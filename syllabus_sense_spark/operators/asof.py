@@ -1,0 +1,100 @@
+"""As-of join (point-in-time lookup) as a union + window composition.
+
+Spark SQL has no native AS OF join. The scalable pattern is NOT a
+non-equi range join (BroadcastNestedLoop, O(n*m)); it is:
+
+1. tag left (probe) and right (reference) rows and union them,
+2. one window partitioned by the join key, ordered by
+   (time, is_probe, tiebreak) — reference rows sort before probe rows
+   at equal timestamps, so the match is inclusive (<=),
+3. last-observation-carried-forward via ``last(..., ignorenulls=True)``,
+4. keep only probe rows.
+
+Cost: a single shuffle on the key — survives arbitrarily large inputs
+because no per-row scan of the reference side ever happens.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    how: str = "left",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right[right_time] <= left[left_time]`` and equal key(s).
+
+    ``tiebreak``: a right column ordering equal-timestamp reference
+    rows; the row with the greatest tiebreak value wins (deterministic
+    results need this whenever right timestamps can collide).
+    ``how='inner'`` drops left rows with no prior right row; ``'left'``
+    keeps them with nulls.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    left_cols = list(left.columns)
+    tb_col = (
+        F.col(tiebreak).cast("double")
+        if tiebreak is not None
+        else F.lit(0.0)
+    )
+
+    l_tagged = left.select(
+        *[F.col(c) for c in left_cols],
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_probe"),
+        F.lit(None).cast("double").alias("__tb"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+            for c in value_cols
+        ],
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_probe"),
+        tb_col.alias("__tb"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    # Fill the probe-only columns on the reference side with nulls.
+    for c in left_cols:
+        if c not in keys:
+            r_tagged = r_tagged.withColumn(
+                c, F.lit(None).cast(left.schema[c].dataType)
+            )
+    r_tagged = r_tagged.select(l_tagged.columns)
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t"), F.col("__is_probe"), F.col("__tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # All value columns are carried from the same winning reference row:
+    # pack them into one struct so last(..., ignorenulls) is atomic.
+    packed = F.when(
+        F.col("__is_probe") == 0,
+        F.struct(*[F.col(f"__v_{c}").alias(c) for c in value_cols]),
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in left_cols],
+        F.col("__is_probe"),
+        F.last(packed, ignorenulls=True).over(w).alias("__match"),
+    )
+    out = filled.filter(F.col("__is_probe") == 1).select(
+        *[F.col(c) for c in left_cols],
+        *[F.col(f"__match.{c}").alias(c) for c in value_cols],
+    )
+    if how == "inner":
+        out = out.filter(F.col(value_cols[0]).isNotNull())
+    return out

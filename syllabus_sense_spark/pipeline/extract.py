@@ -1,0 +1,160 @@
+"""Deterministic stand-ins for the reference's three LLM nodes.
+
+The reference calls gpt-4o-mini behind Pydantic-validated prompts
+(syllabus_ai_graph.py:75,131,260). Correctness must be hermetic
+(SURVEY.md §5), so the engine keeps the exact UDF seam — Arrow-batched
+``mapInPandas`` / ``applyInPandas`` with the declared output schemas —
+but the model call is a seeded hash generator honoring the same output
+contracts:
+
+- extraction (A8, syllabus_ai_graph.py:45-90): topic → >=1 subtopics;
+  parse failure → empty (here: topics with empty titles yield none);
+- planning (A9, :92-144): >=9 planned questions per subtopic (prompt
+  contract at :112);
+- generation (A13, :184-271): exactly 4 choices, exactly 1 correct,
+  question_id and difficulty preserved from the plan (:220-231).
+
+Swapping a real model back in means replacing ``_h``-derived fields
+with client calls — the Spark plumbing (schemas, batching,
+partitioning) is identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import PLANNED_QUESTION_SCHEMA, QUESTION_SCHEMA, SUBTOPIC_SCHEMA
+
+DIFFICULTIES = ("Easy", "Medium", "Hard")
+
+
+def _h(s: str, mod: int) -> int:
+    """Deterministic small hash (never Python's randomized hash())."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big") % mod
+
+
+def extract_subtopics(topics: DataFrame, subject: str = "chemistry") -> DataFrame:
+    """A8: topic rows → subtopic rows via Arrow-batched mapInPandas.
+
+    Input: TOPIC_SCHEMA-shaped rows (doc_id, topic_id, title, elements).
+    1→N expansion happens inside the batch iterator, so one topic never
+    holds more than its own subtopics in memory.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                title = row["title"] or ""
+                if not title.strip():
+                    continue  # extraction failure → empty (A8 :88-90)
+                n_sub = 2 + _h(f"nsub:{title}", 3)
+                n_elem = len(row["elements"]) if row["elements"] is not None else 0
+                for i in range(n_sub):
+                    name = f"{title} — part {i + 1}"
+                    out.append(
+                        {
+                            "subtopic_name": name,
+                            "topic_title": title,
+                            "academic_class": f"Form {1 + _h(name, 2)}",
+                            "subject": subject,
+                            "learning_objectives": [
+                                f"objective {j + 1} of {name}" for j in range(2 + _h(name, 2))
+                            ],
+                            "key_concepts": [f"concept {j + 1}" for j in range(1 + n_elem % 3)],
+                            "assessment_criteria": [f"criterion {j + 1}" for j in range(2)],
+                            "suggested_activities": [f"activity {j + 1}" for j in range(1 + _h(name, 3))],
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in SUBTOPIC_SCHEMA.fields]
+            )
+
+    return topics.mapInPandas(gen, SUBTOPIC_SCHEMA)
+
+
+def plan_questions(subtopics: DataFrame, min_per_subtopic: int = 9) -> DataFrame:
+    """A9: grouped-map plan generation — one plan per topic, >=9
+    planned questions per subtopic (prompt contract
+    syllabus_ai_graph.py:112). Grouping by topic_title mirrors the
+    reference's per-topic plan; Spark runs every topic's plan in
+    parallel."""
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, st in pdf.sort_values("subtopic_name").iterrows():
+            n_q = min_per_subtopic + _h(f"nq:{st['subtopic_name']}", 3)
+            concepts = list(st["key_concepts"]) if st["key_concepts"] is not None else []
+            if not concepts:
+                concepts = ["general"]
+            for i in range(n_q):
+                qid = hashlib.md5(
+                    f"{st['topic_title']}|{st['subtopic_name']}|{i}".encode()
+                ).hexdigest()[:12]
+                out.append(
+                    {
+                        "question_id": f"q_{qid}",
+                        "topic": st["topic_title"],
+                        "subtopic": st["subtopic_name"],
+                        "difficulty": DIFFICULTIES[_h(qid, 3)],
+                        "concept_area": concepts[i % len(concepts)],
+                        "status": "planned",
+                    }
+                )
+        return pd.DataFrame(out, columns=[f.name for f in PLANNED_QUESTION_SCHEMA.fields])
+
+    return subtopics.groupBy("topic_title").applyInPandas(gen, PLANNED_QUESTION_SCHEMA)
+
+
+def generate_questions(batches: DataFrame) -> DataFrame:
+    """A13: grouped-map question generation per (topic, batch_id) —
+    the reference's micro-batch of 5 (bounding each external call)
+    becomes the Arrow batch. Output contract: exactly 4 choices,
+    exactly 1 correct, non-empty explanation/hint, id + difficulty
+    preserved (syllabus_ai_graph.py:220-231).
+
+    Input must carry plan columns + the joined subtopic context
+    (academic_class) — the miss-drop join (A12) happens upstream.
+    """
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, q in pdf.iterrows():
+            correct = _h(q["question_id"], 4)
+            choices = [
+                {"text": f"choice {j + 1} for {q['question_id']}", "is_correct": j == correct}
+                for j in range(4)
+            ]
+            out.append(
+                {
+                    "question_id": q["question_id"],
+                    "text": f"Question on {q['concept_area']} ({q['question_id']})?",
+                    "topic": q["topic"],
+                    "sub_topic": q["subtopic"],
+                    "academic_class": q["academic_class"],
+                    "examination_level": "MSCE",
+                    "difficulty": q["difficulty"],
+                    "tags": [q["concept_area"], q["difficulty"].lower()],
+                    "choices": choices,
+                    "solution": {
+                        "explanation": f"Because choice {correct + 1} is correct.",
+                        "steps": [f"step {s + 1}" for s in range(2 + _h(q["question_id"] + "s", 2))],
+                    },
+                    "hint": f"Consider {q['concept_area']}.",
+                    "metadata": {
+                        "created_by": "syllabus_sense_spark",
+                        "created_at": "2026-01-01T00:00:00Z",
+                        "updated_at": "2026-01-01T00:00:00Z",
+                        "time_estimate": {"minutes": str(1 + _h(q["question_id"], 5))},
+                    },
+                }
+            )
+        return pd.DataFrame(out, columns=[f.name for f in QUESTION_SCHEMA.fields])
+
+    return batches.groupBy("topic", "batch_id").applyInPandas(gen, QUESTION_SCHEMA)

@@ -1,0 +1,59 @@
+"""The flagship pipeline — the reference's whole program as ONE lazy
+DataFrame expression (SURVEY.md §3 "Spark recasting").
+
+Reference control flow (graph + driver loop,
+_base_syllabus_ai_graph_template.py:114-159):
+
+    per topic: extract → plan → { select batch → generate → save →
+    decide } until plan exhausted
+
+Here: every per-topic / per-batch loop is group parallelism; Catalyst
+is the plan build; the conditional loop edge (A17) does not exist
+because all batches are materialized as groups of one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.batching import assign_batches, mark_batch_status
+from ..operators.sessionize import group_topics, sessionize_elements
+from ..sources.synthetic import filtered_elements
+from .extract import extract_subtopics, generate_questions, plan_questions
+
+
+def run_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """elements → sessionize (A5) → topics (A7) → extract (A8) →
+    plan (A9) → batch (A10/A11) → subtopic join (A12) → generate (A13).
+
+    Returns the generated-question DataFrame (QUESTION_SCHEMA).
+    """
+    sess = sessionize_elements(filtered_elements(spark, sf_dir), doc_col="sdoc_id")
+    topics = group_topics(sess, doc_col="sdoc_id")
+    topics = topics.withColumnRenamed("sdoc_id", "doc_id")
+
+    subtopics = extract_subtopics(topics)
+    plan = plan_questions(subtopics)
+    batched = mark_batch_status(
+        assign_batches(plan, batch_size=5, group_cols=("topic",), order_col="question_id")
+    )
+
+    # A12: broadcast lookup of subtopic context; inner join reproduces
+    # the reference's miss-drop semantics (syllabus_ai_graph.py:199-201).
+    context = subtopics.select("subtopic_name", "academic_class")
+    enriched = batched.join(
+        F.broadcast(context),
+        batched.subtopic == context.subtopic_name,
+        "inner",
+    ).drop("subtopic_name")
+
+    return generate_questions(enriched)
+
+
+def save_questions(questions: DataFrame, path: str) -> None:
+    """A14/A15: partitioned append sink — replaces the reference's
+    whole-file JSON read-modify-write (file_output_manager.py:34-69,
+    TODO at :49-50) with an idempotent-per-run, transactional
+    partitioned write."""
+    questions.write.partitionBy("topic").mode("append").parquet(path)

@@ -1,0 +1,51 @@
+"""Query registry — the harness surface of the engine.
+
+Every implemented operator from SURVEY.md §2 registers a named query
+(``(spark, sf_dir) -> DataFrame``) and, where SQL-expressible, a
+DuckDB oracle SQL string over the same parquet tables. The driver
+compares the two at sf0.01 (row count + schema + order-insensitive
+value hash), so:
+
+- every computed column is aliased identically in both,
+- float outputs are produced by *exact* decimal aggregation followed
+  by a final cast/ratio in double precision (bit-identical across
+  engines), never by engine-ordered double summation,
+- complex (array/struct) outputs appear only in rows-only queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Register a harness query; ``oracle=None`` → rows-only check."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all_queries() -> None:
+    """Import every query module (idempotent) to fill the registry."""
+    from . import (  # noqa: F401
+        relational,
+        windows,
+        scalar_funcs,
+        events,
+        pipeline_queries,
+        pipeline_udf,
+        ext_text,
+        ext_dedup,
+        ext_similarity,
+        ext_multimodal,
+    )

@@ -1,0 +1,172 @@
+"""Event-time operators over the ``events`` stream table (batch form;
+the Structured Streaming variants live in ``streaming/``).
+
+- tumbling window aggregation (``F.window`` ≡ date_trunc bucketing),
+- gap-based sessionization (the batch equivalent of
+  ``F.session_window`` — lag + cumulative flag, exactly the pattern of
+  the reference's topic sessionizer A5 applied to time),
+- as-of join (point-in-time enrichment) via the union+LOCF operator.
+
+Timestamps are compared in exact integer microseconds
+(``unix_micros`` / ``epoch_us``) so Spark and the DuckDB oracle agree
+bit-for-bit on boundary events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..tables import load
+from . import register
+from ._util import dec2
+
+_TUMBLING_ORACLE = """
+SELECT
+  date_trunc('hour', ts) AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_tumbling_hourly", _TUMBLING_ORACLE)
+def events_tumbling_hourly(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    # F.window(ts, "1 hour").start == date_trunc('hour', ts) for
+    # aligned tumbling windows; date_trunc keeps the output scalar so
+    # the oracle can hash it. The streaming variant uses F.window.
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(dec2("value")).cast("double").alias("total_value"),
+    )
+
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT
+    user_id,
+    ts,
+    value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT
+    user_id,
+    ts,
+    value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM flagged
+)
+SELECT
+  user_id,
+  CAST(session_id AS BIGINT) AS session_id,
+  COUNT(*) AS n_events,
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end,
+  CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register("events_sessionize_gap30m", _SESSION_ORACLE)
+def events_sessionize_gap30m(spark, sf_dir):
+    # Gap-based sessionization: one shuffle on user_id; the running sum
+    # never crosses users, so this scales to any number of users.
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(
+            prev_us.isNull() | ((F.unix_micros(F.col("ts")) - prev_us) > 1_800_000_000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(frame))
+    return sessions.groupBy(
+        "user_id", F.col("session_id").cast("long").alias("session_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("long")
+        .alias("duration_us"),
+        F.sum(dec2("value")).cast("double").alias("session_value"),
+    )
+
+
+_ASOF_ORACLE = """
+SELECT
+  e.event_id,
+  e.user_id,
+  e.ts,
+  o.o_orderkey AS last_orderkey,
+  o.o_orderdate AS last_orderdate
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_orderdate
+  FROM orders
+  WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+  ORDER BY o_orderdate DESC, o_orderkey DESC
+  LIMIT 1
+) o ON TRUE
+WHERE e.event_type = 'purchase'
+"""
+
+
+@register("events_asof_last_order", _ASOF_ORACLE)
+def events_asof_last_order(spark, sf_dir):
+    # As-of join: each purchase event picks up the user's most recent
+    # order at event time (ties broken by highest orderkey). Implemented
+    # as union + LOCF window — a single shuffle on the key, no
+    # nested-loop range join (see operators/asof.py).
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate"),
+    )
+    joined = asof_join(
+        e,
+        o,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey", "o_orderdate"],
+        how="left",
+        tiebreak="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+    )

@@ -1,0 +1,196 @@
+"""[EXT] Similarity search over the ``embeddings`` table
+(vec_id, embedding: array<float>, label).
+
+- ``similarity_topk_bruteforce``: exact cosine top-k — the correctness
+  baseline. Query set broadcasts; the fact side streams; dot products
+  are JVM higher-order functions (zip_with + aggregate), no Python.
+- ``similarity_cosine_blocked``: embedding-cosine near-dup with label
+  blocking — the IVF-ish shape: candidates only within a block, so
+  the pairwise cost is n^2/n_blocks instead of n^2.
+- ``similarity_ann_lsh`` (rows-only): sign-random-projection LSH — the
+  100 TB path; recall vs brute force is asserted in tests.
+
+Float discipline: embeddings are float32; every product of two
+float32s is exact in float64, and both engines fold arrays
+left-to-right, so dot products match bit-for-bit; the final cosine is
+rounded to 6 dp anyway for hash robustness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..tables import load
+from . import register
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+_SQL_COSINE = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_BRUTE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT
+    q.query_id,
+    c.vec_id AS neighbor_id,
+    c.label AS neighbor_label,
+    {_SQL_COSINE.format(a="q.qv", b="c.cv")} AS sim
+  FROM q JOIN c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+         AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, neighbor_label, rank, round(sim, 6) AS sim_r
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("similarity_topk_bruteforce", _BRUTE_ORACLE)
+def similarity_topk_bruteforce(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            "rank",
+            F.round("sim", 6).alias("sim_r"),
+        )
+    )
+
+
+_BLOCKED_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT
+  a.vec_id AS vec_a,
+  b.vec_id AS vec_b,
+  a.label,
+  round({_SQL_COSINE.format(a="a.v", b="b.v")}, 6) AS sim_r
+FROM e a
+JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_SQL_COSINE.format(a="a.v", b="b.v")} > 0.25
+"""
+
+
+@register("similarity_cosine_blocked", _BLOCKED_ORACLE)
+def similarity_cosine_blocked(spark, sf_dir):
+    """Embedding-cosine near-dup, blocked by label: the equi-join on
+    the block key keeps candidate generation a shuffle join (never a
+    cross join); at scale the block key is an IVF centroid id."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("sim", sim)
+        .filter(F.col("sim") > 0.25)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round("sim", 6).alias("sim_r"),
+        )
+    )
+
+
+@register("similarity_ann_lsh")  # rows-only: LSH bucketing is engine-specific
+def similarity_ann_lsh(spark, sf_dir):
+    """Sign-random-projection ANN: 8 seeded hyperplanes → 8-bit bucket;
+    top-k within bucket only. The scale path: candidate generation is
+    an equi-join on the bucket id. Recall vs brute force is asserted
+    in tests/test_similarity.py."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((8, 64)).tolist()
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def bucket(v):
+        bits = [
+            F.when(
+                _dot(v, F.array(*[F.lit(float(x)) for x in plane])) >= 0, F.lit(1)
+            ).otherwise(F.lit(0))
+            * F.lit(2**i)
+            for i, plane in enumerate(planes)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    bucketed = e.withColumn("bucket", bucket(F.col("v")))
+    q = bucketed.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("sim", cosine(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("sim", 6).alias("sim_r"),
+        )
+    )
