@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall seconds.
+
+Each query executes via the `noop` sink — full computation, no
+driver-side collect, so timings reflect engine work (scan + shuffle +
+compute), not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_broadcast_lookup",
+    "agg_rollup_region_nation",
+    "window_running_total",
+    "events_sessionize_gap30m",
+    "events_asof_last_order",
+    "pipeline_sessionize_topics",
+    "pipeline_flagship_questions",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+]
+
+
+def main() -> None:
+    from syllabus_sense_spark.session import get_spark
+    from syllabus_sense_spark import queries as q
+
+    q.load_all_queries()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("syllabus-sense-bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = q.QUERIES[name]
+        # Warm the scan cache lightly by planning first (parity with a
+        # long-running cluster where metadata is already hot).
+        df = fn(spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -25,9 +25,13 @@ from pyspark.sql import DataFrame, functions as F
 from ..tables import load
 from . import register
 
+# 8 bands x 2 rows: band-collision probability 1-(1-j^2)^8 keeps
+# recall >= 0.99 even for short docs whose planted-dup Jaccard dips to
+# ~0.7; false candidates from unrelated docs (j ~ 0.15) stay bounded
+# and the exact-Jaccard verify stage prunes them.
 N_HASHES = 16
-N_BANDS = 4
-ROWS_PER_BAND = 4
+N_BANDS = 8
+ROWS_PER_BAND = 2
 _DUP_SUFFIX = " near duplicate variant tokens appended"
 
 # --- shared corpus/shingle derivation (Spark + SQL kept in lockstep) --------

@@ -1,0 +1,49 @@
+"""As-of join semantics: inclusive match, tiebreak, inner vs left."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from syllabus_sense_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_basic_and_ties(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-05")),
+            (2, 10, _ts("2024-01-01")),  # before any right row → null
+            (3, 10, _ts("2024-01-03")),  # equal-ts match is inclusive
+            (4, 20, _ts("2024-01-10")),  # other key
+        ],
+        "probe_id long, key long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-03"), 100),
+            (10, _ts("2024-01-03"), 101),  # tie on ts → max(val) wins
+            (10, _ts("2024-01-04"), 102),
+            (20, _ts("2024-01-02"), 200),
+        ],
+        "key long, rt timestamp, val long",
+    )
+    out = {
+        r.probe_id: r.val
+        for r in asof_join(
+            left, right, on="key", left_time="t", right_time="rt",
+            value_cols=["val"], tiebreak="val",
+        ).collect()
+    }
+    assert out[1] == 102  # latest before 01-05
+    assert out[2] is None  # nothing on/before 01-01
+    assert out[3] == 101  # inclusive match at equal ts, tiebreak max
+    assert out[4] == 200
+
+    inner = asof_join(
+        left, right, on="key", left_time="t", right_time="rt",
+        value_cols=["val"], how="inner", tiebreak="val",
+    ).collect()
+    assert {r.probe_id for r in inner} == {1, 3, 4}

@@ -1,0 +1,55 @@
+"""[EXT] dedup + similarity behavior checks: planted near-dups are
+found, LSH recall vs brute force, exact-dedup counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from syllabus_sense_spark.queries import (
+    QUERIES,
+    load_all_queries,
+)
+
+load_all_queries()
+
+
+def test_minhash_finds_planted_dups(spark, sf_dir):
+    out = QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    found = {(r.doc_a, r.doc_b) for r in out}
+    planted = {(i, i + 2000000) for i in range(0, 500, 7)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"minhash recall {recall}"
+    # Every reported pair genuinely passes the Jaccard threshold.
+    assert all(r.jaccard >= 0.5 for r in out)
+
+
+def test_ngram_jaccard_high_for_planted_pairs(spark, sf_dir):
+    out = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    assert len(out) == len(range(0, 500, 7))
+    assert all(r.jaccard > 0.5 for r in out)
+
+
+def test_exact_dedup_counts(spark, sf_dir):
+    out = QUERIES["dedup_exact_hash"](spark, sf_dir)
+    dup_groups = out.filter(F.col("n_copies") > 1).count()
+    assert dup_groups == len(range(0, 500, 5))
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    brute = QUERIES["similarity_topk_bruteforce"](spark, sf_dir).collect()
+    ann = QUERIES["similarity_ann_lsh"](spark, sf_dir).collect()
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for r in ann:
+        total += 1
+        if r.neighbor_id in brute_sets.get(r.query_id, set()):
+            hits += 1
+    # 8-bit SRP buckets over random 64-d vectors: candidates are a
+    # ~1/256 sample, so matching any exact top-5 neighbor is rare; the
+    # assertion is that the ANN path produces ranked, non-empty output
+    # with valid ids (the scale-path plumbing), not high recall on
+    # unclustered data.
+    assert total > 0
+    assert all(1 <= r.rank <= 5 for r in ann)
