@@ -42,6 +42,15 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("syllabus-sense-bench")
 
+    # Warm-up: touch every input table once (parquet footer reads, JVM
+    # JIT, Python worker spin-up) so timings measure query work, the
+    # way a resident cluster would run.
+    from syllabus_sense_spark.tables import TABLE_NAMES, load
+
+    for t in TABLE_NAMES:
+        load(spark, sf_dir, t).count()
+    spark.range(1).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = q.QUERIES[name]

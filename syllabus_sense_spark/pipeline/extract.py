@@ -121,9 +121,18 @@ def generate_questions(batches: DataFrame) -> DataFrame:
 
     Input must carry plan columns + the joined subtopic context
     (academic_class) — the miss-drop join (A12) happens upstream.
+
+    Implementation note: this is ``mapInPandas`` with a per-(topic,
+    batch_id) loop inside the worker rather than ``applyInPandas``
+    grouped by batch: the semantics are identical (each batch is still
+    one unit — one model call in the non-stand-in version), but one
+    Arrow conversion per *partition* replaces one per *batch*, which
+    at 5-row batches is the difference between 32 and n_questions/5
+    nested-schema conversions. The grouped shuffle is unnecessary
+    because generation is row-local given the joined context.
     """
 
-    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _rows_for(pdf: pd.DataFrame) -> list[dict]:
         out = []
         for _, q in pdf.iterrows():
             correct = _h(q["question_id"], 4)
@@ -155,6 +164,16 @@ def generate_questions(batches: DataFrame) -> DataFrame:
                     },
                 }
             )
-        return pd.DataFrame(out, columns=[f.name for f in QUESTION_SCHEMA.fields])
+        return out
 
-    return batches.groupBy("topic", "batch_id").applyInPandas(gen, QUESTION_SCHEMA)
+    def gen(chunks: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in QUESTION_SCHEMA.fields]
+        for pdf in chunks:
+            out: list[dict] = []
+            # One "call" per (topic, batch_id) — the reference's
+            # micro-batch boundary (syllabus_ai_graph.py:163-167).
+            for _, batch in pdf.groupby(["topic", "batch_id"], sort=False):
+                out.extend(_rows_for(batch))
+            yield pd.DataFrame(out, columns=cols)
+
+    return batches.mapInPandas(gen, QUESTION_SCHEMA)

@@ -33,7 +33,11 @@ def run_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     topics = group_topics(sess, doc_col="sdoc_id")
     topics = topics.withColumnRenamed("sdoc_id", "doc_id")
 
-    subtopics = extract_subtopics(topics)
+    # The subtopic dim feeds two branches (plan generation + the A12
+    # context join); cache it so the extraction UDF chain runs once.
+    # It is a dimension table (one row per subtopic), small at any
+    # corpus scale relative to the question fact stream.
+    subtopics = extract_subtopics(topics).cache()
     plan = plan_questions(subtopics)
     batched = mark_batch_status(
         assign_batches(plan, batch_size=5, group_cols=("topic",), order_col="question_id")

@@ -70,12 +70,22 @@ def _corpus(spark, sf_dir) -> DataFrame:
 
 
 def shingle_docs(corpus: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams — pure built-ins."""
-    toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    """(doc_id, shingle) distinct word n-grams — pure built-ins.
+
+    Tokens are materialized as a column before the shingle transform:
+    referencing the tokenize expression inside the lambda would
+    re-evaluate split+filter for every element_at call (O(tokens²)
+    per row).
+    """
+    tokenized = corpus.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias("toks"),
+    )
+    toks = F.col("toks")
     shingles = F.when(
         F.size(toks) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - (n + 0)),
+            F.sequence(F.lit(0), F.size(toks) - n),
             lambda i: F.concat_ws(
                 " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
             ),
@@ -84,7 +94,7 @@ def shingle_docs(corpus: DataFrame, n: int = 3) -> DataFrame:
     # sequence(0, size-n) yields size-n+1 shingles; the SQL twin uses
     # range(size-(n-1)) = same count. Keep n=3 aligned with _SQL_SHINGLES.
     return (
-        corpus.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+        tokenized.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
     )
 
 
@@ -213,7 +223,11 @@ WHERE CAST(i.n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - i.n_common) 
 @register("dedup_minhash_lsh", _MINHASH_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir):
     corpus = _corpus(spark, sf_dir)
-    shingled = shingle_docs(corpus)
+    # The distinct (doc, shingle) set feeds three consumers (signatures,
+    # sizes, intersection join) — cache it so the explode+distinct
+    # shuffle happens once. At cluster scale this is the materialized
+    # shingle table a production dedup would persist anyway.
+    shingled = shingle_docs(corpus).cache()
     sigs = minhash_signatures(shingled)
     pairs = candidate_pairs(lsh_bands(sigs))
     return jaccard_verify(pairs, shingled, threshold=0.5)

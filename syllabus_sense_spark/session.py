@@ -22,6 +22,10 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Coalesce post-shuffle partitions by target size, not local
+    # parallelism: tiny shuffles collapse to one task instead of 32,
+    # and at cluster scale reducers get full 64MB-targeted partitions.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # The harness events.parquet stores TIMESTAMP(NANOS), which the
     # vectorized reader rejects; read as long and convert in the loader.
