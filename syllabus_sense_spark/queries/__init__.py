@@ -39,9 +39,12 @@ def load_all_queries() -> None:
     """Import every query module (idempotent) to fill the registry."""
     from . import (  # noqa: F401
         relational,
+        relational2,
         windows,
         scalar_funcs,
+        scalar_funcs2,
         events,
+        events2,
         pipeline_queries,
         pipeline_udf,
         ext_text,

@@ -1,0 +1,39 @@
+"""Output sinks (reference A14/A15: the pluggable output manager).
+
+The reference's sink rewrites a whole JSON file per batch
+(file_output_manager.py:34-69, acknowledged bottleneck at :49-50) and
+routes output by topic (:43-44). Spark replaces both behaviors with
+transactional partitioned appends; the sink interface (A15,
+base_output_manager.py:6-13) is Spark's own DataSource API — these
+helpers just fix the layout conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import QUESTION_SCHEMA
+
+
+def write_questions_parquet(questions: DataFrame, path: str) -> None:
+    """Topic-partitioned append — the production sink. Idempotent per
+    Spark job (task retries never duplicate), append across runs."""
+    questions.write.partitionBy("topic").mode("append").parquet(path)
+
+
+def write_questions_json(questions: DataFrame, path: str) -> None:
+    """JSON-lines append sink — format parity with the reference's
+    JSON files, without the read-modify-write loop."""
+    questions.write.partitionBy("topic").mode("append").json(path)
+
+
+def read_questions_json(spark: SparkSession, path: str) -> DataFrame:
+    """Read the JSON sink back with the declared schema (A14's
+    read-own-output path, file_output_manager.py:46-50 — but with an
+    explicit schema instead of inference, so malformed rows surface
+    as nulls rather than schema drift)."""
+    # `topic` comes back as a partition directory column.
+    schema_no_topic = [f for f in QUESTION_SCHEMA.fields if f.name != "topic"]
+    from pyspark.sql import types as T
+
+    return spark.read.schema(T.StructType(schema_no_topic)).json(path)

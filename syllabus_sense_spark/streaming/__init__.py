@@ -1,0 +1,6 @@
+"""Structured Streaming variants of the engine's event-time operators."""
+
+from .events import (  # noqa: F401
+    stream_hourly_counts,
+    stream_session_windows,
+)

@@ -1,0 +1,53 @@
+"""Structured Streaming parity: the availableNow-drained streaming
+aggregations must match their batch twins exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from syllabus_sense_spark.streaming import (
+    stream_hourly_counts,
+    stream_session_windows,
+)
+from syllabus_sense_spark.tables import load
+
+
+def test_stream_hourly_matches_batch(spark, sf_dir):
+    q = stream_hourly_counts(spark, sf_dir, query_name="t_hourly")
+    q.awaitTermination(120)
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM t_hourly").collect()
+    }
+    e = load(spark, sf_dir, "events")
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in e.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_stream_sessions_match_batch_native(spark, sf_dir):
+    q = stream_session_windows(spark, sf_dir, query_name="t_sessions")
+    q.awaitTermination(120)
+    streamed = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in spark.sql("SELECT * FROM t_sessions").collect()
+    }
+    e = load(spark, sf_dir, "events")
+    batch = {
+        (r.user_id, r["session_window"].start, r["session_window"].end): r.n_events
+        for r in e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert streamed == batch
