@@ -41,6 +41,7 @@ def load_all_queries() -> None:
         relational,
         relational2,
         windows,
+        windows2,
         scalar_funcs,
         scalar_funcs2,
         events,
@@ -48,7 +49,9 @@ def load_all_queries() -> None:
         pipeline_queries,
         pipeline_udf,
         ext_text,
+        ext_text2,
         ext_dedup,
+        ext_simhash,
         ext_similarity,
         ext_multimodal,
     )

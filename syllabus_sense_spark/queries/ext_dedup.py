@@ -43,21 +43,23 @@ _SQL_CORPUS = f"""
   FROM documents WHERE doc_id % 7 = 0
 """
 
-_SQL_SHINGLES = """
+def sql_shingles(n: int = 3) -> str:
+    """DuckDB twin of ``shingle_docs`` for word n-grams (keep in
+    lockstep with it)."""
+    toks = "list_filter(string_split(c.text, ' '), x -> length(x) > 0)"
+    gram = " || ' ' || ".join(f"{toks}[i+{j + 1}]" for j in range(n))
+    return f"""
   SELECT DISTINCT c.doc_id, s.shingle
   FROM corpus c,
   UNNEST(
-    CASE WHEN len(list_filter(string_split(c.text, ' '), x -> length(x) > 0)) >= 3
-         THEN list_transform(
-                range(len(list_filter(string_split(c.text, ' '), x -> length(x) > 0)) - 2),
-                i -> list_filter(string_split(c.text, ' '), x -> length(x) > 0)[i+1]
-                     || ' ' ||
-                     list_filter(string_split(c.text, ' '), x -> length(x) > 0)[i+2]
-                     || ' ' ||
-                     list_filter(string_split(c.text, ' '), x -> length(x) > 0)[i+3])
+    CASE WHEN len({toks}) >= {n}
+         THEN list_transform(range(len({toks}) - {n - 1}), i -> {gram})
          ELSE [] END
   ) AS s(shingle)
 """
+
+
+_SQL_SHINGLES = sql_shingles(3)
 
 
 def _corpus(spark, sf_dir) -> DataFrame:

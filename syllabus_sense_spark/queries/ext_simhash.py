@@ -1,0 +1,157 @@
+"""[EXT] SimHash near-duplicate detection.
+
+32-bit SimHash over word-bigram features: each feature hashes to 32
+bits; per document, each bit position accumulates +1/-1 votes across
+features; the sign vector is the fingerprint. Near-duplicates differ
+in few bits (small Hamming distance), so candidate generation blocks
+on exact-match 8-bit bands of the fingerprint (any of 4 bands equal →
+candidate), then filters on bit_count(xor) — both equi-joins and
+integer ops, no pairwise scan.
+
+Cross-engine determinism: the 32 feature-hash bits are derived from
+md5 hex digits with pure integer arithmetic (instr on the hex
+alphabet, shift, mask), so Spark and the DuckDB oracle compute
+identical fingerprints bit for bit.
+
+Feature choice: word bigrams, not unigrams — the synthetic corpus
+draws from a small vocabulary, so unigram feature sets barely differ
+between documents; bigrams give ~|doc| features from a quadratically
+larger space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import register
+from .ext_dedup import _SQL_CORPUS, _corpus, shingle_docs, sql_shingles
+
+# 8 bands x 4 bits: the pigeonhole guarantee finds every pair with
+# hamming < 8 (7 flipped bits cannot touch all 8 bands); pairs at
+# hamming 8-10 are still found with high probability. At production
+# scale the same structure widens to 64-bit fingerprints with 8-bit
+# bands to keep band collisions rare on billions of docs.
+N_BITS = 32
+N_BANDS = 8
+BAND_BITS = N_BITS // N_BANDS
+MAX_HAMMING = 10
+
+_HEX = "0123456789abcdef"
+
+
+def _bit_votes_spark():
+    """Per-feature ±1 vote columns for each of the 32 bits, from md5
+    hex digits of the `shingle` column."""
+    md5 = F.md5(F.col("shingle"))
+    votes = []
+    for j in range(N_BITS):
+        digit = F.instr(F.lit(_HEX), F.substring(md5, 1 + j // 4, 1)) - 1
+        bit = F.shiftright(digit, j % 4).bitwiseAND(F.lit(1))
+        votes.append((bit * 2 - 1).alias(f"v{j}"))
+    return votes
+
+
+def simhash_fingerprints(shingled):
+    """(doc_id, simhash): sign-aggregated 32-bit fingerprint."""
+    voted = shingled.select("doc_id", *_bit_votes_spark())
+    aggs = [F.sum(F.col(f"v{j}")).alias(f"s{j}") for j in range(N_BITS)]
+    sums = voted.groupBy("doc_id").agg(*aggs)
+    fingerprint = None
+    for j in range(N_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return sums.select("doc_id", fingerprint.alias("simhash"))
+
+
+def _sql_fingerprints() -> str:
+    vote_cols = []
+    for j in range(N_BITS):
+        digit = f"(instr('{_HEX}', substr(md5(shingle), {1 + j // 4}, 1)) - 1)"
+        bit = f"(({digit} >> {j % 4}) & 1)"
+        vote_cols.append(f"SUM({bit} * 2 - 1) AS s{j}")
+    fingerprint = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(N_BITS)
+    )
+    return f"""
+sums AS (
+  SELECT doc_id, {', '.join(vote_cols)}
+  FROM sh GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {fingerprint} AS simhash FROM sums)
+"""
+
+
+_SIMHASH_ORACLE = f"""
+WITH corpus AS ({_SQL_CORPUS}),
+sh AS ({sql_shingles(2)}),
+{_sql_fingerprints()},
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band_idx, (simhash >> {b * BAND_BITS}) & {2**BAND_BITS - 1} AS band_val, simhash FROM fp"
+      for b in range(N_BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {MAX_HAMMING}
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    shingled = shingle_docs(corpus, n=2)
+    fp = simhash_fingerprints(shingled)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), b * BAND_BITS)
+                        .bitwiseAND(F.lit(2**BAND_BITS - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_val").alias("band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sim_a ^ sim_b")).cast("long")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,77 @@
+"""Custom stateful streaming operator: first-seen deduplication by key
+via ``applyInPandasWithState`` (SURVEY.md §2 Table B "Streaming" row —
+the per-key mutable state the reference threads through its State
+object, recast as managed stream state).
+
+Semantics: emit an event only the first time its (user_id, event_type)
+pair is seen; state is the set of seen event_types per user, bounded
+by the key domain (5 types), so state never grows past
+n_users x n_types.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .events import _event_stream
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("first_event_id", T.LongType(), False),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [T.StructField("seen_types", T.ArrayType(T.StringType()), True)]
+)
+
+
+def _dedupe(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    seen: set[str] = set(state.get[0]) if state.exists else set()
+    out = []
+    for pdf in pdfs:
+        # Deterministic first-seen: process events in event_id order.
+        for _, row in pdf.sort_values("event_id").iterrows():
+            if row["event_type"] not in seen:
+                seen.add(row["event_type"])
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "event_type": row["event_type"],
+                        "first_event_id": int(row["event_id"]),
+                    }
+                )
+    state.update((sorted(seen),))
+    yield pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+
+def stream_first_seen_dedupe(
+    spark: SparkSession, sf_dir: str, query_name: str = "first_seen"
+):
+    """Drain the event stream, emitting each user's first event of
+    each type. Returns the StreamingQuery (memory sink)."""
+    events = _event_stream(spark, sf_dir).select("user_id", "event_type", "event_id")
+    deduped = events.groupBy("user_id").applyInPandasWithState(
+        _dedupe,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -53,3 +53,12 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     # unclustered data.
     assert total > 0
     assert all(1 <= r.rank <= 5 for r in ann)
+
+
+def test_simhash_finds_planted_dups(spark, sf_dir):
+    out = QUERIES["dedup_simhash"](spark, sf_dir).collect()
+    found = {(r.doc_a, r.doc_b) for r in out}
+    planted = {(i, i + 2000000) for i in range(0, 500, 7)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.95, f"simhash recall {recall}"
+    assert all(0 <= r.hamming <= 10 for r in out)
