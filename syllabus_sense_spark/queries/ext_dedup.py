@@ -4,15 +4,22 @@ toolkit of a 100 TB training-data pipeline.
 
 Design for scale (this is the real production shape, not a toy):
 
-1. shingle: word 3-grams per doc (JVM higher-order functions, no UDF);
-2. signature: k=16 MinHashes = min(md5(seed:shingle)) — one hash-agg
-   shuffle keyed by doc_id; md5 is deterministic across engines, so
-   the DuckDB oracle reproduces signatures bit-for-bit;
-3. band: 4 bands x 4 rows; band hash = md5(concat of 4 mins). Docs
-   agreeing on any band become candidates — the self-join is on
-   (band_idx, band_hash), i.e. the shuffle key is a 128-bit hash with
-   near-uniform distribution: no skew, no O(n^2) blowup;
-4. verify: exact Jaccard on candidate pairs only.
+1. shingle: word 3-grams per doc (JVM higher-order functions, no UDF),
+   immediately collapsed to a 48-bit integer fingerprint
+   ``h = int(md5(shingle)[:12], 16)`` — ONE md5 per shingle, and every
+   downstream shuffle/join key is a bigint, not a ~25-byte string;
+2. signature: k=16 MinHashes = min((a_j*h + b_j) mod M) — integer
+   universal hashing over the fingerprint, so the k hash families cost
+   k multiply-adds instead of k md5 digests. Constants are sized so
+   every intermediate fits int64 (a_j < 2^14, h < 2^48 → product
+   < 2^62): the same arithmetic is exact in Spark and in the DuckDB
+   oracle (which raises on int64 overflow rather than wrapping);
+3. band: 8 bands x 2 rows; the candidate self-join keys directly on
+   the raw (band_idx, m_lo, m_hi) signature values — no band digest
+   needed, the min-hashes are already uniform: no skew, no O(n^2);
+4. verify: exact Jaccard on candidate pairs only, joining on the
+   48-bit fingerprints (a truncation collision would undercount by
+   ~n_shingles²/2^49 ≈ 0 and identically in both engines).
 
 The harness corpus is duplicate-free, so each query deterministically
 plants near-dups (text || suffix) and must find exactly those.
@@ -33,6 +40,15 @@ N_HASHES = 16
 N_BANDS = 8
 ROWS_PER_BAND = 2
 _DUP_SUFFIX = " near duplicate variant tokens appended"
+
+# Universal-hash family over the 48-bit shingle fingerprint:
+# hash_j(h) = (A[j]*h + B[j]) mod M.  A odd and < 2^14 keeps A*h < 2^62.
+_M = (1 << 61) - 1  # Mersenne prime 2^61-1
+_A = [8191, 13619, 9973, 12289, 11261, 14741, 10007, 15373,
+      8731, 13093, 9341, 12611, 11827, 14423, 10501, 15859]
+_B = [40503, 988471, 52361, 739393, 17029, 654435, 92821, 33301,
+      77023, 508349, 26041, 871733, 14407, 623171, 68483, 91193]
+assert len(_A) == len(_B) == N_HASHES
 
 # --- shared corpus/shingle derivation (Spark + SQL kept in lockstep) --------
 
@@ -61,6 +77,28 @@ def sql_shingles(n: int = 3) -> str:
 
 _SQL_SHINGLES = sql_shingles(3)
 
+# 48-bit fingerprint of a shingle — DuckDB twin of ``_fingerprint``.
+# DISTINCT on (doc_id, h), matching the Spark side, so a (vanishingly
+# rare) truncation collision collapses identically in both engines.
+_SQL_SHINGLE_HASHES = f"""
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 12)) AS BIGINT) AS h
+  FROM ({_SQL_SHINGLES.replace(chr(10), ' ')}) raw_shingles
+"""
+
+
+def _fingerprint(shingle_col):
+    """48-bit integer fingerprint: first 12 hex chars of md5."""
+    return F.conv(F.substring(F.md5(shingle_col), 1, 12), 16, 10).cast("bigint")
+
+
+def shingle_hashes(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, h) distinct 48-bit shingle fingerprints — the compact
+    form every dedup stage shuffles/joins on. One md5 per shingle,
+    then bigint keys everywhere."""
+    raw = shingle_docs_raw(corpus, n)
+    return raw.select("doc_id", _fingerprint(F.col("shingle")).alias("h")).distinct()
+
 
 def _corpus(spark, sf_dir) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -71,8 +109,9 @@ def _corpus(spark, sf_dir) -> DataFrame:
     return d.unionByName(dupes)
 
 
-def shingle_docs(corpus: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams — pure built-ins.
+def shingle_docs_raw(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) word n-grams, NOT deduplicated — pure
+    built-ins.
 
     Tokens are materialized as a column before the shingle transform:
     referencing the tokenize expression inside the lambda would
@@ -95,72 +134,77 @@ def shingle_docs(corpus: DataFrame, n: int = 3) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     # sequence(0, size-n) yields size-n+1 shingles; the SQL twin uses
     # range(size-(n-1)) = same count. Keep n=3 aligned with _SQL_SHINGLES.
-    return (
-        tokenized.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
-    )
+    return tokenized.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
-def minhash_signatures(shingled: DataFrame, k: int = N_HASHES) -> DataFrame:
-    """k MinHashes per doc: min over md5('<seed>:'||shingle). One
-    hash-agg shuffle; signature width is k*32 bytes regardless of doc
-    size."""
+def shingle_docs(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams."""
+    return shingle_docs_raw(corpus, n).distinct()
+
+
+def minhash_signatures(hashed: DataFrame, k: int = N_HASHES) -> DataFrame:
+    """k MinHashes per doc over the 48-bit fingerprints: min of
+    (A[j]*h + B[j]) mod M. One hash-agg shuffle; per-row cost is k
+    multiply-adds (vs k md5 digests), signature width k*8 bytes."""
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"m{j}")
+        F.min((F.col("h") * F.lit(_A[j]) + F.lit(_B[j])) % F.lit(_M)).alias(f"m{j}")
         for j in range(k)
     ]
-    return shingled.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band_idx, band_val): band hash over each run of
-    ROWS_PER_BAND signature rows."""
+    """(doc_id, band_idx, v0..v{ROWS_PER_BAND-1}): the raw signature
+    values of each band — they ARE the join key; no digest needed."""
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat(
-                        *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-                    )
-                ).alias("band_val"),
+                *[
+                    F.col(f"m{b * ROWS_PER_BAND + r}").alias(f"v{r}")
+                    for r in range(ROWS_PER_BAND)
+                ],
             )
             for b in range(N_BANDS)
         ]
     )
+    cols = ["band_idx"] + [f"v{r}" for r in range(ROWS_PER_BAND)]
     return sigs.select("doc_id", F.explode(bands).alias("band")).select(
-        "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_val").alias("band_val")
+        "doc_id", *[F.col(f"band.{c}").alias(c) for c in cols]
     )
 
 
 def candidate_pairs(bands: DataFrame) -> DataFrame:
-    """Distinct (doc_a < doc_b) agreeing on at least one band."""
+    """Distinct (doc_a < doc_b) agreeing on at least one band — an
+    equi-join on the band's signature tuple (uniform ints: no skew)."""
+    keys = ["band_idx"] + [f"v{r}" for r in range(ROWS_PER_BAND)]
     a = bands.alias("a")
     b = bands.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for kcol in keys:
+        cond = (F.col(f"a.{kcol}") == F.col(f"b.{kcol}")) & cond
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
 
 
-def jaccard_verify(pairs: DataFrame, shingled: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard on candidates only: |A∩B| via a shingle equi-join,
-    sizes via one count per doc. All joins are equi-joins on hashes/ids."""
-    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    s1 = shingled.alias("s1")
-    s2 = shingled.alias("s2")
+def jaccard_verify(pairs: DataFrame, hashed: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard on candidates only: |A∩B| via a fingerprint
+    equi-join, sizes via one count per doc. The candidate set is tiny
+    relative to the corpus (LSH guarantees it) — broadcast it so the
+    intersection needs no shuffle of the shingle table."""
+    sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    s1 = hashed.alias("s1")
+    s2 = hashed.alias("s2")
     inter = (
-        pairs.alias("c")
+        F.broadcast(pairs.alias("c"))
         .join(s1, F.col("s1.doc_id") == F.col("c.doc_a"))
         .join(
             s2,
             (F.col("s2.doc_id") == F.col("c.doc_b"))
-            & (F.col("s2.shingle") == F.col("s1.shingle")),
+            & (F.col("s2.h") == F.col("s1.h")),
         )
         .groupBy("c.doc_a", "c.doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -184,31 +228,35 @@ def jaccard_verify(pairs: DataFrame, shingled: DataFrame, threshold: float) -> D
 
 _MINHASH_ORACLE = f"""
 WITH corpus AS ({_SQL_CORPUS}),
-sh AS ({_SQL_SHINGLES}),
+sh AS ({_SQL_SHINGLE_HASHES}),
 sigs AS (
   SELECT doc_id,
-    {', '.join(f"MIN(md5('{j}:' || shingle)) AS m{j}" for j in range(N_HASHES))}
+    {', '.join(f"MIN((h * {_A[j]} + {_B[j]}) % {_M}) AS m{j}" for j in range(N_HASHES))}
   FROM sh GROUP BY doc_id
 ),
 bands AS (
   {' UNION ALL '.join(
-      "SELECT doc_id, " + str(b) + " AS band_idx, md5("
-      + " || ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
-      + ") AS band_val FROM sigs"
+      "SELECT doc_id, " + str(b) + " AS band_idx, "
+      + ", ".join(
+          f"m{b * ROWS_PER_BAND + r} AS v{r}" for r in range(ROWS_PER_BAND)
+      )
+      + " FROM sigs"
       for b in range(N_BANDS)
   )}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ON a.band_idx = b.band_idx
+   AND {' AND '.join(f"a.v{r} = b.v{r}" for r in range(ROWS_PER_BAND))}
+   AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
   FROM cand c
   JOIN sh s1 ON s1.doc_id = c.doc_a
-  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.h = s1.h
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT
@@ -225,14 +273,16 @@ WHERE CAST(i.n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - i.n_common) 
 @register("dedup_minhash_lsh", _MINHASH_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir):
     corpus = _corpus(spark, sf_dir)
-    # The distinct (doc, shingle) set feeds three consumers (signatures,
-    # sizes, intersection join) — cache it so the explode+distinct
-    # shuffle happens once. At cluster scale this is the materialized
-    # shingle table a production dedup would persist anyway.
-    shingled = shingle_docs(corpus).cache()
-    sigs = minhash_signatures(shingled)
+    # The distinct (doc, fingerprint) set feeds three consumers
+    # (signatures, sizes, intersection join) — cache it so the
+    # explode+distinct shuffle happens once. At cluster scale this is
+    # the materialized shingle table a production dedup would persist.
+    hashed = shingle_hashes(corpus).cache()
+    # The signature table is k*8 bytes per doc; caching it keeps the
+    # band self-join from running the min-hash aggregation twice.
+    sigs = minhash_signatures(hashed).cache()
     pairs = candidate_pairs(lsh_bands(sigs))
-    return jaccard_verify(pairs, shingled, threshold=0.5)
+    return jaccard_verify(pairs, hashed, threshold=0.5)
 
 
 _NGRAM_JACCARD_ORACLE = f"""

@@ -24,12 +24,30 @@ from ..tables import load
 from . import register
 
 
+DIM = 64  # embeddings.embedding width (TESTDATA.md)
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _dot_unrolled(a, b, dim: int = DIM):
+    """Dot product as a statically-unrolled sum of products — stays
+    inside whole-stage codegen instead of the interpreted higher-order
+    aggregate. Left-associated addition, so the result is bit-identical
+    to the ``F.aggregate`` fold (IEEE: 0.0 + x == x)."""
+    out = F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(2, dim + 1):
+        out = out + F.element_at(a, i) * F.element_at(b, i)
+    return out
+
+
+def _norm(v, dim: int = DIM):
+    return F.sqrt(_dot_unrolled(v, v, dim))
 
 
 def cosine(a, b):
@@ -69,18 +87,24 @@ FROM ranked WHERE rank <= 5
 @register("similarity_topk_bruteforce", _BRUTE_ORACLE)
 def similarity_topk_bruteforce(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
+    # Norms are per-row facts: compute them once on each side before
+    # the pairwise join, so the join evaluates ONE unrolled dot per
+    # pair instead of three interpreted folds.
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").cast("array<double>").alias("cv"),
-    )
+    ).withColumn("cn", _norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "sim",
+            _dot_unrolled(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -118,10 +142,12 @@ def similarity_cosine_blocked(spark, sf_dir):
     cross join); at scale the block key is an IVF centroid id."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).withColumn("nrm", _norm(F.col("v")))
     a = e.alias("a")
     b = e.alias("b")
-    sim = cosine(F.col("a.v"), F.col("b.v"))
+    sim = _dot_unrolled(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(
             b,
@@ -157,7 +183,8 @@ def similarity_ann_lsh(spark, sf_dir):
     def bucket(v):
         bits = [
             F.when(
-                _dot(v, F.array(*[F.lit(float(x)) for x in plane])) >= 0, F.lit(1)
+                _dot_unrolled(v, F.array(*[F.lit(float(x)) for x in plane])) >= 0,
+                F.lit(1),
             ).otherwise(F.lit(0))
             * F.lit(2**i)
             for i, plane in enumerate(planes)
@@ -167,11 +194,14 @@ def similarity_ann_lsh(spark, sf_dir):
             out = out + b
         return out
 
-    bucketed = e.withColumn("bucket", bucket(F.col("v")))
+    bucketed = e.withColumn("bucket", bucket(F.col("v"))).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
     q = bucketed.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("bucket").alias("qbucket"),
+        F.col("nrm").alias("qn"),
     )
     scored = (
         bucketed.join(
@@ -179,7 +209,10 @@ def similarity_ann_lsh(spark, sf_dir):
             (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .withColumn("sim", cosine(F.col("qv"), F.col("v")))
+        .withColumn(
+            "sim",
+            _dot_unrolled(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("vec_id")
