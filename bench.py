@@ -50,6 +50,12 @@ def main() -> None:
     for t in TABLE_NAMES:
         load(spark, sf_dir, t).count()
     spark.range(1).write.format("noop").mode("overwrite").save()
+    # Spin up the resident Python worker pool (one worker per core):
+    # pandas-UDF queries should measure Arrow+compute, not process
+    # fork+import, same as a warm cluster's reused workers.
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

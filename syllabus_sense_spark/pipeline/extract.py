@@ -50,12 +50,14 @@ def extract_subtopics(topics: DataFrame, subject: str = "chemistry") -> DataFram
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                title = row["title"] or ""
+            # zip over column lists, not iterrows: row materialization
+            # cost dominates the stand-in generation otherwise.
+            for title, elements in zip(pdf["title"].tolist(), pdf["elements"].tolist()):
+                title = title or ""
                 if not title.strip():
                     continue  # extraction failure → empty (A8 :88-90)
                 n_sub = 2 + _h(f"nsub:{title}", 3)
-                n_elem = len(row["elements"]) if row["elements"] is not None else 0
+                n_elem = len(elements) if elements is not None else 0
                 for i in range(n_sub):
                     name = f"{title} — part {i + 1}"
                     out.append(
@@ -88,20 +90,25 @@ def plan_questions(subtopics: DataFrame, min_per_subtopic: int = 9) -> DataFrame
 
     def gen(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for _, st in pdf.sort_values("subtopic_name").iterrows():
-            n_q = min_per_subtopic + _h(f"nq:{st['subtopic_name']}", 3)
-            concepts = list(st["key_concepts"]) if st["key_concepts"] is not None else []
+        srt = pdf.sort_values("subtopic_name")
+        for name, topic_title, key_concepts in zip(
+            srt["subtopic_name"].tolist(),
+            srt["topic_title"].tolist(),
+            srt["key_concepts"].tolist(),
+        ):
+            n_q = min_per_subtopic + _h(f"nq:{name}", 3)
+            concepts = list(key_concepts) if key_concepts is not None else []
             if not concepts:
                 concepts = ["general"]
             for i in range(n_q):
                 qid = hashlib.md5(
-                    f"{st['topic_title']}|{st['subtopic_name']}|{i}".encode()
+                    f"{topic_title}|{name}|{i}".encode()
                 ).hexdigest()[:12]
                 out.append(
                     {
                         "question_id": f"q_{qid}",
-                        "topic": st["topic_title"],
-                        "subtopic": st["subtopic_name"],
+                        "topic": topic_title,
+                        "subtopic": name,
                         "difficulty": DIFFICULTIES[_h(qid, 3)],
                         "concept_area": concepts[i % len(concepts)],
                         "status": "planned",
@@ -134,33 +141,40 @@ def generate_questions(batches: DataFrame) -> DataFrame:
 
     def _rows_for(pdf: pd.DataFrame) -> list[dict]:
         out = []
-        for _, q in pdf.iterrows():
-            correct = _h(q["question_id"], 4)
+        for qid, concept, topic, subtopic, academic_class, difficulty in zip(
+            pdf["question_id"].tolist(),
+            pdf["concept_area"].tolist(),
+            pdf["topic"].tolist(),
+            pdf["subtopic"].tolist(),
+            pdf["academic_class"].tolist(),
+            pdf["difficulty"].tolist(),
+        ):
+            correct = _h(qid, 4)
             choices = [
-                {"text": f"choice {j + 1} for {q['question_id']}", "is_correct": j == correct}
+                {"text": f"choice {j + 1} for {qid}", "is_correct": j == correct}
                 for j in range(4)
             ]
             out.append(
                 {
-                    "question_id": q["question_id"],
-                    "text": f"Question on {q['concept_area']} ({q['question_id']})?",
-                    "topic": q["topic"],
-                    "sub_topic": q["subtopic"],
-                    "academic_class": q["academic_class"],
+                    "question_id": qid,
+                    "text": f"Question on {concept} ({qid})?",
+                    "topic": topic,
+                    "sub_topic": subtopic,
+                    "academic_class": academic_class,
                     "examination_level": "MSCE",
-                    "difficulty": q["difficulty"],
-                    "tags": [q["concept_area"], q["difficulty"].lower()],
+                    "difficulty": difficulty,
+                    "tags": [concept, difficulty.lower()],
                     "choices": choices,
                     "solution": {
                         "explanation": f"Because choice {correct + 1} is correct.",
-                        "steps": [f"step {s + 1}" for s in range(2 + _h(q["question_id"] + "s", 2))],
+                        "steps": [f"step {s + 1}" for s in range(2 + _h(qid + "s", 2))],
                     },
-                    "hint": f"Consider {q['concept_area']}.",
+                    "hint": f"Consider {concept}.",
                     "metadata": {
                         "created_by": "syllabus_sense_spark",
                         "created_at": "2026-01-01T00:00:00Z",
                         "updated_at": "2026-01-01T00:00:00Z",
-                        "time_estimate": {"minutes": str(1 + _h(q["question_id"], 5))},
+                        "time_estimate": {"minutes": str(1 + _h(qid, 5))},
                     },
                 }
             )

@@ -40,6 +40,7 @@ def load_all_queries() -> None:
     from . import (  # noqa: F401
         relational,
         relational2,
+        relational3,
         windows,
         windows2,
         scalar_funcs,

@@ -1,0 +1,407 @@
+"""TPC-H-shape queries, batch 3: the remaining shapes expressible over
+the harness star schema (no ``partsupp`` table and no
+``l_commitdate``/``l_receiptdate`` columns exist, so Q2/Q11/Q16/Q20
+are out of scope and Q9/Q21 are adapted — noted per query).
+
+Scale posture: every dimension (region 5, nation 25, supplier 100,
+customer 1.5k, part 2k rows at sf0.01) is broadcast; only
+lineitem⋈orders ever shuffles, on its join key. Aggregations follow
+the exact-decimal discipline of ``_util`` so hashes are bit-stable
+against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import register
+from ._util import dec2, dsum, rate
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(3,2))"
+)
+
+
+def _rev():
+    return dec2("l_extendedprice") * rate("l_discount")
+
+
+# --------------------------------------------------------------------------
+# q6: forecasting revenue change — the pure scan+agg query. Predicates
+# push into the parquet scan (shipdate range, discount band, quantity);
+# no shuffle at all besides the final single-group reduce.
+# --------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", _Q6_ORACLE)
+def q6_forecast_revenue(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(dec2("l_extendedprice") * dec2("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q7: volume shipping between two nations — lineitem⋈orders shuffle
+# join with four broadcast dims; the nation-pair disjunction is applied
+# after the joins (it needs both sides' nation names).
+# --------------------------------------------------------------------------
+
+_Q7_ORACLE = f"""
+SELECT
+  n1.n_name AS supp_nation,
+  n2.n_name AS cust_nation,
+  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+  CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                       AND TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", _Q7_ORACLE)
+def q7_volume_shipping(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(dsum(_rev()).alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# q8: national market share — a share-of-total over a 6-way join.
+# Numerator and denominator are both exact decimal sums; the final
+# ratio is one double division (bit-stable cross-engine).
+# --------------------------------------------------------------------------
+
+_Q8_ORACLE = f"""
+SELECT
+  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+  CAST(CAST(SUM(CASE WHEN n1.n_name = 'NATION_5' THEN {_REV_SQL}
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM({_REV_SQL}) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+JOIN region r ON n2.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE r.r_name = 'ASIA'
+  AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY o_year
+"""
+
+
+@register("q8_market_share", _Q8_ORACLE)
+def q8_market_share(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    )
+    nation_rev = F.when(
+        F.col("supp_nation") == "NATION_5", _rev()
+    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (F.sum(nation_rev).cast("double") / F.sum(_rev()).cast("double"))
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q9: product-type profit (ADAPTED: the harness schema has no partsupp,
+# so profit = discounted revenue without the supplycost term).
+# --------------------------------------------------------------------------
+
+_Q9_ORACLE = f"""
+SELECT
+  n.n_name AS nation,
+  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM({_REV_SQL}) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY nation, o_year
+"""
+
+
+@register("q9_product_profit", _Q9_ORACLE)
+def q9_product_profit(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(dsum(_rev()).alias("sum_profit"))
+
+
+# --------------------------------------------------------------------------
+# q13: customer order-count distribution — LEFT OUTER join preserved
+# customers with zero orders, then a second aggregation over the first
+# (distribution of counts). Two shuffles by construction.
+# --------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@register("q13_customer_distribution", _Q13_ORACLE)
+def q13_customer_distribution(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# q15: top supplier — an aggregate joined against its own MAX (scalar
+# subquery). The revenue table is tiny (one row per supplier), so the
+# max comparison is a broadcast of a 1-row aggregate.
+# --------------------------------------------------------------------------
+
+_Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", _Q15_ORACLE)
+def q15_top_supplier(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    revenue = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(_rev()).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# q17: small-quantity-order revenue — correlated scalar subquery
+# (per-part average) decorrelated into an aggregate + equi-join, the
+# rewrite Catalyst itself would produce. The per-part avg table is
+# small (≤ #parts rows) and broadcasts.
+# --------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+WITH part_avg AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+            AS DOUBLE) AS avg_yearly,
+       COUNT(*) AS n_small
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#15'
+JOIN part_avg a ON a.l_partkey = l.l_partkey
+WHERE l.l_quantity < 0.5 * a.avg_qty
+"""
+
+
+@register("q17_small_quantity_revenue", _Q17_ORACLE)
+def q17_small_quantity_revenue(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#15")
+    part_avg = l.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (F.sum(dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(part_avg), l.l_partkey == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec2("l_extendedprice")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q21: suppliers who kept orders waiting (ADAPTED: no
+# l_commitdate/l_receiptdate in the harness schema — "late" is
+# l_shipdate > o_orderdate + 90 days). The EXISTS becomes a left-semi
+# join, the NOT EXISTS a left-anti join, both on l_orderkey.
+# --------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+  SELECT 1 FROM late l3
+  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+)
+GROUP BY s.s_name
+"""
+
+
+@register("q21_waiting_suppliers", _Q21_ORACLE)
+def q21_waiting_suppliers(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    l2 = l.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    with_other = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = with_other.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
