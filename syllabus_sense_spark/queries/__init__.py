@@ -52,6 +52,7 @@ def load_all_queries() -> None:
         ext_text,
         ext_text2,
         ext_dedup,
+        ext_graph,
         ext_simhash,
         ext_similarity,
         ext_multimodal,

@@ -1,0 +1,141 @@
+"""[EXT] Near-duplicate clustering: connected components over the
+MinHash dup-pair graph — the step a production dedup runs after pair
+finding, so each cluster keeps one canonical document.
+
+This is the engine's one genuinely *iterative* algorithm: min-label
+propagation (the Pregel/GraphX pattern) as a driver-coordinated loop
+of DataFrame joins. Each iteration is one shuffle join on the edge
+list; ``localCheckpoint`` truncates lineage so the plan does not grow
+with iterations. Convergence in O(graph diameter) rounds — the dup
+graph's components are tiny (planted pairs plus incidental chains),
+so 2-3 rounds in practice; at 100 TB the same loop holds because
+every round is a pure equi-join + min-agg, and the label table stays
+one row per *duplicated* doc (a small fraction of the corpus).
+
+Oracle: DuckDB computes the same components by recursive transitive
+closure (WITH RECURSIVE) over the identical pair list — tractable
+because the pair graph, not the corpus, is the input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import register
+from .ext_dedup import (
+    _MINHASH_ORACLE,
+    _corpus,
+    candidate_pairs,
+    jaccard_verify,
+    lsh_bands,
+    minhash_signatures,
+    shingle_hashes,
+)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected edge list
+    ``(doc_a, doc_b)`` → ``(doc_id, component_id)`` where
+    ``component_id`` is the smallest doc_id reachable from ``doc_id``.
+
+    Runs Spark jobs while building (the convergence test is an
+    action); returns the converged label table, localCheckpoint-ed so
+    downstream consumers see a flat plan.
+    """
+    fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    und = fwd.unionByName(rev).distinct().localCheckpoint()
+    labels = (
+        und.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE dups AS ({_MINHASH_ORACLE}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dups
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM dups
+),
+reach(src, dst) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)
+SELECT src AS doc_id, MIN(dst) AS component_id
+FROM reach GROUP BY src
+"""
+
+
+@register("dedup_components", _COMPONENTS_ORACLE)
+def dedup_components(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    hashed = shingle_hashes(corpus).cache()
+    sigs = minhash_signatures(hashed).cache()
+    pairs = candidate_pairs(lsh_bands(sigs))
+    dups = jaccard_verify(pairs, hashed, threshold=0.5)
+    return connected_components(dups.select("doc_a", "doc_b"))
+
+
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE dups AS ({_MINHASH_ORACLE}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dups
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM dups
+),
+reach(src, dst) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS component_id FROM reach GROUP BY src)
+SELECT
+  component_id,
+  COUNT(*) AS cluster_size,
+  COUNT(CASE WHEN doc_id = component_id THEN 1 END) AS n_kept
+FROM comp GROUP BY component_id
+"""
+
+
+@register("dedup_canonical_keep", _CANONICAL_ORACLE)
+def dedup_canonical_keep(spark, sf_dir):
+    """Cluster summary: per component, how many docs collapse into the
+    canonical representative (the min doc_id). The "keep one per
+    cluster" decision of a production dedup, as an aggregation over
+    the component labels."""
+    comp = dedup_components(spark, sf_dir)
+    return comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.count(F.when(F.col("doc_id") == F.col("component_id"), 1)).alias("n_kept"),
+    )

@@ -227,3 +227,95 @@ def similarity_ann_lsh(spark, sf_dir):
             F.round("sim", 6).alias("sim_r"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the production scale path: a coarse
+# quantizer assigns every vector to its nearest centroid cell; a query
+# probes only its own cell. Centroids here are the "iteration 0" of a
+# k-means: the 8 vectors with vec_id ≡ 0 (mod 251) — deterministic and
+# derivable in SQL, so unlike most ANN indexes this one is fully
+# oracle-checkable. At 100 TB: centroids come from a sampled k-means,
+# the assignment is one broadcast join + argmax, and the probe is an
+# equi-join on cell_id — never a cross join.
+# --------------------------------------------------------------------------
+
+_IVF_CENTROID_PRED = "vec_id % 251 = 0"
+
+_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE {_IVF_CENTROID_PRED}),
+assigned AS (
+  SELECT vec_id, label, v, cent_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY vec_id
+      ORDER BY {_SQL_COSINE.format(a="v", b="cv")} DESC, cent_id
+    ) AS cent_rank
+  FROM e CROSS JOIN cent
+),
+cells AS (SELECT vec_id, label, v, cent_id FROM assigned WHERE cent_rank = 1),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, cent_id AS qcell
+  FROM cells WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_SQL_COSINE.format(a="q.qv", b="c.v")} AS sim
+  FROM q JOIN cells c ON c.cent_id = q.qcell AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r
+FROM ranked WHERE rank <= 3
+"""
+
+
+@register("similarity_ivf_cells", _IVF_ORACLE)
+def similarity_ivf_cells(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    cent = e.filter(F.expr(_IVF_CENTROID_PRED)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    # Coarse quantization: argmax cosine over the broadcast centroid set.
+    sim_to_cent = _dot_unrolled(F.col("v"), F.col("cv")) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        sim_to_cent.desc(), F.col("cent_id")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("cent_rank", F.row_number().over(w_assign))
+        .filter(F.col("cent_rank") == 1)
+        .select("vec_id", "label", "v", "nrm", "cent_id")
+    )
+    q = cells.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cent_id").alias("qcell"),
+    )
+    scored = cells.join(
+        F.broadcast(q),
+        (F.col("cent_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn(
+        "sim", _dot_unrolled(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("sim", 6).alias("sim_r"),
+        )
+    )
