@@ -23,15 +23,18 @@ from ..sources.synthetic import filtered_elements
 from .extract import extract_subtopics, generate_questions, plan_questions
 
 
-def run_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """elements → sessionize (A5) → topics (A7) → extract (A8) →
+def flagship_from_elements(elements: DataFrame, doc_col: str = "sdoc_id") -> DataFrame:
+    """The element→questions chain, given any (already filtered)
+    element DataFrame: sessionize (A5) → topics (A7) → extract (A8) →
     plan (A9) → batch (A10/A11) → subtopic join (A12) → generate (A13).
 
-    Returns the generated-question DataFrame (QUESTION_SCHEMA).
+    Shared by the batch flagship and the streaming drain
+    (``streaming/flagship.py``), which feeds whole documents per
+    micro-batch — the chain itself is oblivious to which.
     """
-    sess = sessionize_elements(filtered_elements(spark, sf_dir), doc_col="sdoc_id")
-    topics = group_topics(sess, doc_col="sdoc_id")
-    topics = topics.withColumnRenamed("sdoc_id", "doc_id")
+    sess = sessionize_elements(elements, doc_col=doc_col)
+    topics = group_topics(sess, doc_col=doc_col)
+    topics = topics.withColumnRenamed(doc_col, "doc_id")
 
     # The subtopic dim feeds two branches (plan generation + the A12
     # context join); cache it so the extraction UDF chain runs once.
@@ -53,6 +56,14 @@ def run_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("subtopic_name")
 
     return generate_questions(enriched)
+
+
+def run_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch flagship over the harness-derived element stream.
+
+    Returns the generated-question DataFrame (QUESTION_SCHEMA).
+    """
+    return flagship_from_elements(filtered_elements(spark, sf_dir))
 
 
 def save_questions(questions: DataFrame, path: str) -> None:
