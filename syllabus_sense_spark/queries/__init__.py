@@ -48,6 +48,7 @@ def load_all_queries() -> None:
         events,
         events2,
         pipeline_queries,
+        docx_queries,
         pipeline_udf,
         ext_text,
         ext_text2,
