@@ -1,0 +1,136 @@
+"""MLlib feature pipelines over the document store.
+
+Three production shapes, all pure JVM (no Python in the hot path):
+
+- ``tfidf_embeddings``: RegexTokenizer → HashingTF → IDF → Normalizer
+  — embedding *generation* from raw text, the MLlib path of the north
+  star. Deterministic (HashingTF is seedless murmur3; IDF is a
+  function of the corpus), so downstream consumers can hash-compare
+  runs.
+- ``ml_minhash_dup_pairs``: MinHashLSH over shingle count-vectors —
+  the built-in alternative to the hand-rolled band join in
+  ``queries/ext_dedup.py``; tests assert the two find the same
+  planted duplicates.
+- ``brp_lsh_neighbors``: BucketedRandomProjectionLSH over the
+  ``embeddings`` table — Euclidean ANN; tests assert recall against
+  the brute-force cosine baseline (unit-norm vectors ⇒ same ranking).
+
+Scale posture: every stage is a narrow map except the LSH join, whose
+candidate generation is an equi-join on hash buckets (approxSimilarityJoin
+explodes hash tables then joins) — the same n²/buckets shape as the
+hand-rolled variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import (
+    BucketedRandomProjectionLSH,
+    HashingTF,
+    IDF,
+    MinHashLSH,
+    NGram,
+    Normalizer,
+    RegexTokenizer,
+)
+from pyspark.ml.functions import vector_to_array
+from pyspark.ml.linalg import Vectors, VectorUDT
+from pyspark.sql import DataFrame, functions as F
+
+N_FEATURES = 1 << 14
+
+
+def tfidf_embeddings(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, embedding: array<double>) — L2-normalized tf-idf.
+
+    The IDF model is fit on the input corpus (one extra pass); at
+    100 TB you fit on a sample and reuse the model across runs.
+    """
+    tok = RegexTokenizer(
+        inputCol=text_col, outputCol="toks", pattern=r"\W+", minTokenLength=1
+    )
+    tf = HashingTF(inputCol="toks", outputCol="tf", numFeatures=N_FEATURES)
+    toks = tok.transform(documents)
+    tfd = tf.transform(toks)
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
+    norm = Normalizer(inputCol="tfidf", outputCol="emb", p=2.0)
+    out = norm.transform(idf.transform(tfd))
+    return out.select("doc_id", vector_to_array("emb").alias("embedding"))
+
+
+def _shingle_vectors(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Binary occurrence vectors of word 3-grams (the MinHash input —
+    MinHashLSH requires at least one non-zero per row, so empty docs
+    are filtered like the reference's empty-element drop)."""
+    tok = RegexTokenizer(
+        inputCol=text_col, outputCol="toks", pattern=r"\s+", minTokenLength=1
+    )
+    ng = NGram(n=3, inputCol="toks", outputCol="grams")
+    tf = HashingTF(
+        inputCol="grams", outputCol="features", numFeatures=N_FEATURES, binary=True
+    )
+    out = tf.transform(ng.transform(tok.transform(documents)))
+    nnz = F.udf(lambda v: v.numNonzeros() > 0, "boolean")
+    return out.filter(nnz("features"))
+
+
+def ml_minhash_dup_pairs(
+    documents: DataFrame, threshold: float = 0.5, num_hash_tables: int = 8
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard_dist) near-dup candidates with Jaccard
+    distance ≤ threshold, via MLlib MinHashLSH approxSimilarityJoin."""
+    vecs = _shingle_vectors(documents).select("doc_id", "features")
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    ).fit(vecs)
+    joined = lsh.approxSimilarityJoin(vecs, vecs, threshold, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            "jaccard_dist",
+        )
+    )
+
+
+def brp_lsh_neighbors(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bucket_length: float = 2.0,
+    radius: float = 1.2,
+) -> DataFrame:
+    """(query_id, neighbor_id, dist, rank) — approx k-NN by Euclidean
+    LSH, fully distributed: ``approxSimilarityJoin`` generates
+    candidates by bucket equi-join (no driver loop, unlike
+    ``approxNearestNeighbors`` which serves one key at a time), then a
+    per-query window keeps the top k. For unit-norm vectors, Euclidean
+    and cosine rankings agree (d² = 2 - 2·cos)."""
+    from pyspark.sql import Window
+
+    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
+    base = embeddings.select("vec_id", to_vec("embedding").alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=4,
+        seed=42,
+    ).fit(base)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), to_vec("embedding").alias("features")
+    )
+    joined = lsh.approxSimilarityJoin(q, base, radius, distCol="dist")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist"), F.col("neighbor_id")
+    )
+    return (
+        joined.select(
+            F.col("datasetA.query_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            "dist",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

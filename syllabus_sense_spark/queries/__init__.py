@@ -57,4 +57,5 @@ def load_all_queries() -> None:
         ext_simhash,
         ext_similarity,
         ext_multimodal,
+        ml_queries,
     )

@@ -1,0 +1,49 @@
+"""MLlib-pipeline queries (rows-only: HashingTF/IDF/LSH internals are
+engine-specific, so no SQL oracle exists; agreement with the
+hand-rolled oracle-checked variants is asserted in
+``tests/test_ml_embeddings.py``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..ml.embeddings import brp_lsh_neighbors, ml_minhash_dup_pairs, tfidf_embeddings
+from ..tables import load
+from . import register
+from .ext_dedup import _corpus
+
+
+@register("ml_tfidf_embeddings")  # rows-only
+def ml_tfidf_embeddings(spark, sf_dir):
+    """Embedding generation: one L2-normalized tf-idf vector per doc;
+    surfaced as summary stats (wire-stable, no VectorUDT in output)."""
+    emb = tfidf_embeddings(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    nnz = F.size(F.filter("embedding", lambda x: x != 0.0))
+    return emb.select(
+        "doc_id",
+        nnz.alias("n_active_terms"),
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x), 6)
+        .alias("sq_norm_r"),
+    )
+
+
+@register("ml_minhash_lsh_dupes")  # rows-only
+def ml_minhash_lsh_dupes(spark, sf_dir):
+    """MLlib MinHashLSH near-dup pairs on the same planted-dup corpus
+    as ``dedup_minhash_lsh`` — the built-in vs hand-rolled cross-check."""
+    pairs = ml_minhash_dup_pairs(_corpus(spark, sf_dir), threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard_dist", 6).alias("jaccard_dist_r")
+    )
+
+
+@register("ml_brp_lsh_neighbors")  # rows-only
+def ml_brp_lsh_neighbors(spark, sf_dir):
+    """Distributed Euclidean-LSH k-NN over the embeddings table for
+    the harness query set (vec_id % 100 == 0)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    nn = brp_lsh_neighbors(e, q, k=5)
+    return nn.select(
+        "query_id", "neighbor_id", "rank", F.round("dist", 6).alias("dist_r")
+    )
