@@ -412,3 +412,61 @@ def agg_percentiles_exact(spark, sf_dir):
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+# --- unpivot / melt (wide → long reshaping) -------------------------------
+# Spark's df.unpivot (Catalyst Unpivot node) vs a UNION ALL oracle —
+# the relational definition of melt, kept in lockstep column-for-column.
+
+_UNPIVOT_ORACLE = """
+WITH per_nation AS (
+  SELECT c_nationkey,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, 'total_bal' AS metric, total_bal AS value FROM per_nation
+UNION ALL
+SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM per_nation
+UNION ALL
+SELECT c_nationkey, 'max_bal' AS metric, max_bal AS value FROM per_nation
+"""
+
+
+@register("unpivot_nation_metrics", _UNPIVOT_ORACLE)
+def unpivot_nation_metrics(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    wide = c.groupBy("c_nationkey").agg(
+        F.sum(dec2("c_acctbal")).cast("double").alias("total_bal"),
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        F.max(dec2("c_acctbal")).cast("double").alias("max_bal"),
+    )
+    return wide.unpivot(
+        ids=["c_nationkey"],
+        values=["total_bal", "n_customers", "max_bal"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# --- deterministic systematic sampling ------------------------------------
+# Random TABLESAMPLE can never hash-match across engines; the
+# reproducible form — hash-modulo systematic sampling — can, and is
+# also the production shape (stable across reruns and engines).
+
+_SAMPLE_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT)
+      % 20 = 0
+"""
+
+
+@register("sample_systematic_hash", _SAMPLE_ORACLE)
+def sample_systematic_hash(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    return o.filter(h % 20 == 0).select("o_orderkey", "o_custkey", "o_totalprice")

@@ -51,3 +51,38 @@ def test_stream_sessions_match_batch_native(spark, sf_dir):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (purchase ← views within 1h, same
+    user) equals the identical batch join."""
+    from syllabus_sense_spark.streaming.events import stream_view_purchase_join
+    from syllabus_sense_spark.tables import load
+
+    q = stream_view_purchase_join(spark, sf_dir, query_name="vp_join")
+    q.awaitTermination(300)
+    streamed = {
+        (r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT * FROM vp_join").collect()
+    }
+
+    e = load(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = {
+        (r.purchase_id, r.view_id)
+        for r in p.join(
+            v,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
