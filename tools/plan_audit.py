@@ -1,0 +1,78 @@
+"""Plan-quality audit over the whole query registry.
+
+Flags physical-plan patterns that are usually wrong at scale:
+CartesianProduct, BroadcastNestedLoopJoin, SortMergeJoin (where a
+broadcast was expected), and wide scans (ReadSchema with many
+columns, i.e. missing column pruning). Exit code 1 if a query not on
+the allowlist is flagged — run in CI after adding operators.
+
+Allowlisted (intentional by design, see docstrings):
+- join_cross_matrix: an explicit cross join demo;
+- join_range_bands: non-equi theta join → broadcast nested loop;
+- q21_waiting_suppliers: fact×fact semi/anti — SMJ is the right plan;
+- similarity_topk_bruteforce / similarity_ivf_cells: broadcast query
+  set with a non-equi predicate → BNLJ over the broadcast side.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+ALLOW = {
+    "join_cross_matrix": {"BNLJ", "CARTESIAN"},
+    "join_range_bands": {"BNLJ"},
+    "q21_waiting_suppliers": {"SMJ"},
+    "similarity_topk_bruteforce": {"BNLJ"},
+    "similarity_ivf_cells": {"BNLJ"},
+}
+
+
+def audit(plan: str) -> set[str]:
+    issues = set()
+    if "CartesianProduct" in plan:
+        issues.add("CARTESIAN")
+    if "BroadcastNestedLoopJoin" in plan:
+        issues.add("BNLJ")
+    if "SortMergeJoin" in plan:
+        issues.add("SMJ")
+    for line in plan.splitlines():
+        if "ReadSchema" in line and line.count(",") >= 9:
+            issues.add("WIDE-SCAN")
+            break
+    return issues
+
+
+def main() -> int:
+    from syllabus_sense_spark.session import get_spark
+    from syllabus_sense_spark import queries as q
+
+    q.load_all_queries()
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-audit")
+    jvm = spark.sparkContext._jvm
+
+    bad = 0
+    for name, fn in sorted(q.QUERIES.items()):
+        try:
+            df = fn(spark, sf_dir)
+            plan = jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {name}: {str(e)[:100]}")
+            bad += 1
+            continue
+        issues = audit(plan) - ALLOW.get(name, set())
+        if issues:
+            print(f"FLAG {name}: {','.join(sorted(issues))}")
+            bad += 1
+    print(f"{'FAIL' if bad else 'OK'}: {bad} unexpected plan issues over {len(q.QUERIES)} queries")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
