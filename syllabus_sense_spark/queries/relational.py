@@ -549,3 +549,64 @@ def sort_limit_top_orders(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# The same range join, binned: intervals explode into fixed-width
+# bins, the join becomes an equi-join on bin id + residual filter —
+# the plan that survives when BOTH sides are large (the broadcast
+# nested loop above cannot). Same oracle, same result.
+# --------------------------------------------------------------------------
+
+
+@register("join_range_binned", _RANGE_ORACLE)
+def join_range_binned(spark, sf_dir):
+    from ..operators.range_join import binned_range_join
+
+    l = load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 0, 20000), ("mid", 20000, 60000), ("high", 60000, 200000)],
+        "band string, lo int, hi int",
+    )
+    joined = binned_range_join(
+        l.select("l_extendedprice"), bands, "l_extendedprice", "lo", "hi",
+        bin_width=10000,
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(dec2("l_extendedprice")).alias("band_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Salted skew join, surfaced as a query: the salt is internal plumbing
+# (deterministic split + recombine), so the result — and the oracle —
+# is exactly the plain equi-join.
+# --------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT
+  s.s_name,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+GROUP BY s.s_name
+"""
+
+
+@register("join_salted_skew", _SALTED_ORACLE)
+def join_salted_skew(spark, sf_dir):
+    from ..operators.skew import salted_join
+
+    l = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    joined = salted_join(l, s, on="suppkey", salt=8)
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(dec2("l_quantity")).alias("total_qty"),
+    )
