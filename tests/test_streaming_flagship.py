@@ -55,3 +55,30 @@ def test_stream_drain_matches_batch(spark, sf_dir, tmp_path):
         | (F.size(F.filter("choices", lambda c: c["is_correct"])) != 1)
     ).count()
     assert bad == 0
+
+
+def test_stream_drain_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Re-running the drain against the same checkpoint processes
+    nothing new: the file-source offsets commit to the checkpoint, so
+    restarts never duplicate output (exactly-once sink effect for an
+    idempotent-per-batch append)."""
+    elements = filtered_elements(spark, sf_dir)
+    elements_dir = str(tmp_path / "elements")
+    (
+        elements.repartition("sdoc_id")
+        .write.partitionBy("sdoc_id")
+        .parquet(elements_dir)
+    )
+    out_dir = str(tmp_path / "questions")
+    ckpt = str(tmp_path / "ckpt")
+
+    q1 = stream_flagship_drain(spark, elements_dir, out_dir, ckpt)
+    q1.awaitTermination(300)
+    n_first = spark.read.parquet(out_dir).count()
+
+    q2 = stream_flagship_drain(spark, elements_dir, out_dir, ckpt)
+    q2.awaitTermination(300)
+    n_second = spark.read.parquet(out_dir).count()
+
+    assert n_first > 0
+    assert n_second == n_first
