@@ -163,3 +163,40 @@ def events_rollup_daily_from_hourly(spark, sf_dir):
         F.sum("total_value").cast("double").alias("total_value"),
         F.count(F.lit(1)).alias("n_active_hours"),
     )
+
+
+# --- CDC-style dedup: keep the latest record per key ----------------------
+# The compaction every change-capture / upsert ingest runs: one window
+# shuffle on the key, rank by (event time desc, id desc) for a total
+# order, keep rank 1. At scale this is the "latest snapshot" view of
+# an append-only log.
+
+_LATEST_ORACLE = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       ts AS last_ts
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register("events_latest_per_key", _LATEST_ORACLE)
+def events_latest_per_key(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
