@@ -76,3 +76,88 @@ def multimodal_decode_metadata(spark, sf_dir):
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return media.mapInPandas(fake_decode, MEDIA_META_SCHEMA)
+
+
+# --- feature extraction: binary payload → fixed-dim vector ----------------
+# A real byte-level feature (16-bin byte histogram, L1-normalized +
+# mean byte): genuine computation over the binary column via numpy in
+# the Arrow batch — the exact shape a CLIP/mel-spectrogram extractor
+# plugs into. Rows-only: DuckDB has no per-byte BLOB access.
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
+        T.StructField("mean_byte", T.DoubleType(), False),
+    ]
+)
+
+
+def byte_histogram_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        feats, means = [], []
+        for payload in pdf["payload"]:
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+            if arr.size == 0:
+                feats.append([0.0] * 16)
+                means.append(0.0)
+                continue
+            hist = np.bincount(arr >> 4, minlength=16).astype("float64")
+            feats.append((hist / hist.sum()).tolist())
+            means.append(float(arr.mean()))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "features": feats,
+             "mean_byte": means}
+        )
+
+
+@register("multimodal_feature_extract")  # rows-only: byte-level BLOB math
+def multimodal_feature_extract(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    out = media.mapInPandas(byte_histogram_features, FEATURE_SCHEMA)
+    return out.select(
+        "doc_id",
+        F.round("mean_byte", 6).alias("mean_byte_r"),
+        F.round(F.element_at("features", 7), 6).alias("bin6_r"),
+        F.size("features").alias("dim"),
+    )
+
+
+# --- resize planning: fit-within-box preserving aspect ratio --------------
+# The geometry stage of an image-resize operator as exact integer math
+# (floor division), oracle-checked; the pixel transform itself would
+# ride the same mapInPandas seam as fake_decode.
+
+_RESIZE_ORACLE = f"""
+WITH meta AS ({_MM_ORACLE})
+SELECT doc_id, frame_w, frame_h,
+  CASE WHEN frame_w <= frame_h THEN CAST(FLOOR(frame_w * 224 / frame_h) AS BIGINT) ELSE 224 END AS out_w,
+  CASE WHEN frame_w <= frame_h THEN 224 ELSE CAST(FLOOR(frame_h * 224 / frame_w) AS BIGINT) END AS out_h
+FROM meta
+WHERE frame_w >= frame_h
+"""
+
+
+@register("multimodal_resize_plan", _RESIZE_ORACLE)
+def multimodal_resize_plan(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    meta = media.mapInPandas(fake_decode, MEDIA_META_SCHEMA)
+    landscape = meta.filter(F.col("frame_w") >= F.col("frame_h"))
+    fit_h = F.col("frame_w") <= F.col("frame_h")
+    return landscape.select(
+        "doc_id",
+        "frame_w",
+        "frame_h",
+        F.when(fit_h, F.floor(F.col("frame_w") * 224 / F.col("frame_h")).cast("long"))
+        .otherwise(F.lit(224).cast("long"))
+        .alias("out_w"),
+        F.when(fit_h, F.lit(224).cast("long"))
+        .otherwise(F.floor(F.col("frame_h") * 224 / F.col("frame_w")).cast("long"))
+        .alias("out_h"),
+    )

@@ -70,3 +70,24 @@ def test_empty_input_pipeline_yields_empty_not_crash(spark):
     out = flagship_from_elements(empty)
     assert out.count() == 0
     assert "question_id" in out.columns
+
+
+def test_multimodal_feature_extract_shapes(spark, sf_dir):
+    """Byte-histogram features: fixed dim 16, L1-normalized, and
+    deterministic across runs (Arrow batch plumbing is real even
+    though the codec is absent)."""
+    from syllabus_sense_spark.queries.ext_multimodal import (
+        FEATURE_SCHEMA, byte_histogram_features,
+    )
+    from syllabus_sense_spark.tables import load
+
+    d = load(spark, sf_dir, "documents").limit(50)
+    media = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    out = media.mapInPandas(byte_histogram_features, FEATURE_SCHEMA)
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r.features) == 16
+        assert abs(sum(r.features) - 1.0) < 1e-9
+    again = {r.doc_id: tuple(r.features) for r in out.collect()}
+    assert again == {r.doc_id: tuple(r.features) for r in rows}
