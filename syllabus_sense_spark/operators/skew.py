@@ -12,8 +12,6 @@ join on (key, salt). The hot key's rows spread across SALT reducers.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

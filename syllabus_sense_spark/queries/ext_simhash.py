@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..tables import load
 from . import register
 from .ext_dedup import _SQL_CORPUS, _corpus, shingle_docs, sql_shingles
 

@@ -18,7 +18,7 @@ rounded to 6 dp anyway for hash robustness.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Window, functions as F
 
 from ..tables import load
 from . import register

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load, load_all
 from . import register
-from ._util import davg, dec2, dsum, rate
+from ._util import dec2, dsum, rate
 
 # --- q4 shape: EXISTS semi-join with a correlated predicate ---------------
 

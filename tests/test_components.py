@@ -1,6 +1,5 @@
 """Connected-components (min-label propagation) unit tests."""
 
-import pytest
 from pyspark.sql import Row
 
 from syllabus_sense_spark.queries.ext_graph import connected_components
