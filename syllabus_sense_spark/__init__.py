@@ -21,4 +21,12 @@ Layout
 - ``streaming``  : Structured Streaming variants of the pipeline
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+from .errors import (  # noqa: E402,F401  (public error surface, A20)
+    InvalidDocumentSourceError,
+    InvalidOutputDirectoryError,
+    StreamStalledError,
+    SyllabusSenseSparkError,
+    TableNotFoundError,
+)

@@ -98,10 +98,10 @@ SELECT
   CASE WHEN l_quantity < 10 THEN 'small'
        WHEN l_quantity < 30 THEN 'medium'
        ELSE 'large' END AS qty_band,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-    AS high_line_count,
-  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-    AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS low_line_count
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1
@@ -310,9 +310,9 @@ def subquery_brand_max_price(spark, sf_dir):
 _PIVOT_ORACLE = """
 SELECT
   o_orderpriority,
-  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
-  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
-  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
 FROM orders
 GROUP BY o_orderpriority
 """

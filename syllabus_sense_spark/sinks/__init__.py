@@ -10,20 +10,34 @@ helpers just fix the layout conventions.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
+from ..errors import InvalidOutputDirectoryError
 from ..schemas import QUESTION_SCHEMA
+
+
+def _validate_sink_dir(path: str) -> None:
+    """Fail fast at the driver if the sink path is a file (A20:
+    reference output managers validate the output directory up front,
+    /root/reference/exceptions.py:13-18). Only local paths can be
+    checked here; object-store URIs are validated by the committer."""
+    if "://" not in path and os.path.exists(path) and not os.path.isdir(path):
+        raise InvalidOutputDirectoryError(path)
 
 
 def write_questions_parquet(questions: DataFrame, path: str) -> None:
     """Topic-partitioned append — the production sink. Idempotent per
     Spark job (task retries never duplicate), append across runs."""
+    _validate_sink_dir(path)
     questions.write.partitionBy("topic").mode("append").parquet(path)
 
 
 def write_questions_json(questions: DataFrame, path: str) -> None:
     """JSON-lines append sink — format parity with the reference's
     JSON files, without the read-modify-write loop."""
+    _validate_sink_dir(path)
     questions.write.partitionBy("topic").mode("append").json(path)
 
 

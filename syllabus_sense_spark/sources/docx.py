@@ -21,6 +21,7 @@ document's XML tree per task at a time.
 from __future__ import annotations
 
 import io
+import os
 import zipfile
 from collections.abc import Iterator
 from xml.etree import ElementTree as ET
@@ -30,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..errors import InvalidDocumentSourceError
 
 W_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 
@@ -83,7 +86,14 @@ def parse_docx_bytes(content: bytes) -> list[tuple[int, str, str | None, list | 
 
 def read_docx_elements(spark: SparkSession, path: str) -> DataFrame:
     """Distributed DOCX scan: one row per document element, in
-    document order, with the source path as document identity."""
+    document order, with the source path as document identity.
+
+    Path-level misuse raises :class:`InvalidDocumentSourceError` at
+    the driver (A20); per-document corruption stays task-level
+    failure→empty (see ``parse`` below).
+    """
+    if "://" not in path and not os.path.exists(path):
+        raise InvalidDocumentSourceError(path)
     binary = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.docx")

@@ -66,3 +66,58 @@ def stream_flagship_drain(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def drain_with_progress_guard(
+    query,
+    max_idle_polls: int = 3,
+    poll_interval_s: float = 1.0,
+    raise_on_stall: bool = False,
+) -> bool:
+    """Watch a running StreamingQuery and stop it once it stalls —
+    the reference's stuck-cursor safeguard (A17,
+    /root/reference/syllabus_ai_graph.py:306-312) recast for
+    Structured Streaming.
+
+    The reference breaks its generation loop when the batch cursor
+    stops advancing between iterations; here the "cursor" is the
+    stream's committed batch id + cumulative input rows. If neither
+    advances across ``max_idle_polls`` consecutive polls, the query is
+    stopped cleanly (returns False) or, with ``raise_on_stall=True``,
+    :class:`~syllabus_sense_spark.errors.StreamStalledError` is raised
+    after stopping. Returns True if the query terminated on its own
+    (e.g. ``availableNow`` drained everything).
+
+    This guards the *tail-new-arrivals* deployment mode
+    (``trigger(processingTime=...)``) where Spark alone would poll an
+    idle/stalled source forever.
+    """
+    import time as _time
+
+    from ..errors import StreamStalledError
+
+    def cursor():
+        p = query.lastProgress
+        if not p:
+            return (-1, 0)
+        return (p.get("batchId", -1), p.get("numInputRows", 0))
+
+    last_batch, _ = cursor()
+    idle = 0
+    while query.isActive:
+        _time.sleep(poll_interval_s)
+        batch, rows = cursor()
+        if batch != last_batch and rows > 0:
+            # A new micro-batch committed and it carried data: the
+            # cursor advanced — reset the stall counter.
+            last_batch, idle = batch, 0
+            continue
+        last_batch = batch
+        idle += 1
+        if idle >= max_idle_polls:
+            name = query.name or query.id
+            query.stop()
+            if raise_on_stall:
+                raise StreamStalledError(str(name), idle)
+            return False
+    return True
