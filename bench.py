@@ -57,15 +57,21 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # min-of-N warm iterations per query: iteration 1 still pays
+    # one-off costs (codegen compile, broadcast build, shuffle-file
+    # creation); the min is the steady-state number a resident cluster
+    # would see, and it keeps round-over-round deltas out of the noise.
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = q.QUERIES[name]
-        # Warm the scan cache lightly by planning first (parity with a
-        # long-running cluster where metadata is already hot).
-        df = fn(spark, sf_dir)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(iters):
+            df = fn(spark, sf_dir)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -170,3 +170,57 @@ def events_asof_last_order(spark, sf_dir):
         F.col("o_orderkey").alias("last_orderkey"),
         F.col("o_orderdate").alias("last_orderdate"),
     )
+
+
+_ASOF_INNER_ORACLE = """
+SELECT
+  e.event_id,
+  e.user_id,
+  e.ts,
+  o.o_orderkey AS last_orderkey,
+  o.o_orderdate AS last_orderdate
+FROM events e
+JOIN LATERAL (
+  SELECT o_orderkey, o_orderdate
+  FROM orders
+  WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+  ORDER BY o_orderdate DESC, o_orderkey DESC
+  LIMIT 1
+) o ON TRUE
+WHERE e.event_type = 'purchase'
+"""
+
+
+@register("events_asof_inner", _ASOF_INNER_ORACLE)
+def events_asof_inner(spark, sf_dir):
+    # Inner-mode as-of: purchases with no prior order are dropped
+    # (operators/asof.py how='inner' path — the post-window filter on
+    # the carried value struct). Same single-shuffle plan as the left
+    # variant.
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate"),
+    )
+    joined = asof_join(
+        e,
+        o,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey", "o_orderdate"],
+        how="inner",
+        tiebreak="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+    )

@@ -47,3 +47,33 @@ def test_asof_basic_and_ties(spark):
         value_cols=["val"], how="inner", tiebreak="val",
     ).collect()
     assert {r.probe_id for r in inner} == {1, 3, 4}
+
+
+def test_asof_multikey_and_full_collision(spark):
+    """Composite join keys, plus the degenerate tiebreak case: two
+    reference rows identical in (key, ts, tiebreak) — the carried
+    struct must still come from ONE row (atomic multi-column carry),
+    never mix columns across the tied rows."""
+    left = spark.createDataFrame(
+        [(1, 10, "a", _ts("2024-01-05")), (2, 10, "b", _ts("2024-01-05"))],
+        "probe_id long, k1 long, k2 string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            # full collision on (key, ts, tiebreak): payloads pair
+            # (3, 30) vs (3, 31) — val2 must match whichever row won.
+            (10, "a", _ts("2024-01-04"), 3, 30),
+            (10, "a", _ts("2024-01-04"), 3, 31),
+            (10, "b", _ts("2024-01-03"), 7, 70),
+        ],
+        "k1 long, k2 string, rt timestamp, val long, val2 long",
+    )
+    rows = {
+        r.probe_id: r
+        for r in asof_join(
+            left, right, on=["k1", "k2"], left_time="t", right_time="rt",
+            value_cols=["val", "val2"], tiebreak="val",
+        ).collect()
+    }
+    assert rows[1].val == 3 and rows[1].val2 in (30, 31)
+    assert rows[2].val == 7 and rows[2].val2 == 70
