@@ -161,3 +161,88 @@ def multimodal_resize_plan(spark, sf_dir):
         .otherwise(F.floor(F.col("frame_h") * 224 / F.col("frame_w")).cast("long"))
         .alias("out_h"),
     )
+
+
+# --- REAL container-header decode (no codec libraries needed) -------------
+# PNG IHDR and WAV RIFF/fmt metadata are pure byte math, so this stage
+# is a genuine decoder over real blobs — only pixel/sample decode
+# remains behind the deterministic-fake seam above. Unknown or
+# truncated containers degrade to codec='unknown' with null metadata
+# (failure→empty, never a task crash).
+
+MEDIA_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("bit_depth", T.LongType(), True),
+        T.StructField("n_channels", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+    ]
+)
+
+
+def parse_media_header(payload: bytes) -> dict:
+    """Parse PNG (IHDR) or WAV (RIFF fmt/data) header metadata from
+    raw bytes. Returns a dict matching MEDIA_HEADER_SCHEMA minus
+    media_id; unknown/corrupt input → codec='unknown', nulls."""
+    import struct
+
+    out = {
+        "codec": "unknown", "width": None, "height": None,
+        "bit_depth": None, "n_channels": None,
+        "sample_rate": None, "n_samples": None,
+    }
+    b = bytes(payload)
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            w, h, depth, color_type = struct.unpack(">IIBB", b[16:26])
+            out.update(
+                codec="png", width=w, height=h, bit_depth=depth,
+                n_channels={0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type),
+            )
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            # Walk RIFF chunks: fmt_ carries rate/channels/width,
+            # data carries payload size → sample count.
+            pos, fmt, data_size = 12, None, None
+            while pos + 8 <= len(b):
+                cid, size = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+                if cid == b"fmt ":
+                    fmt = struct.unpack("<HHIIHH", b[pos + 8 : pos + 24])
+                elif cid == b"data":
+                    data_size = size
+                pos += 8 + size + (size & 1)
+            if fmt is not None:
+                _, n_ch, rate, _, block_align, bits = fmt
+                out.update(
+                    codec="wav", n_channels=n_ch, sample_rate=rate,
+                    bit_depth=bits,
+                    n_samples=(
+                        data_size // block_align
+                        if data_size is not None and block_align
+                        else None
+                    ),
+                )
+    except Exception:
+        pass  # malformed container → stays 'unknown'
+    return out
+
+
+def decode_media_headers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in MEDIA_HEADER_SCHEMA.fields]
+    for pdf in batches:
+        recs = []
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            rec = parse_media_header(payload)
+            rec["media_id"] = int(mid)
+            recs.append(rec)
+        yield pd.DataFrame(recs, columns=cols)
+
+
+def media_header_table(media) -> "pd.DataFrame":
+    """media: DataFrame(media_id long, payload binary) → real header
+    metadata via Arrow-batched mapInPandas (one task per input split;
+    at 100 TB each executor decodes only its partitions' blobs)."""
+    return media.mapInPandas(decode_media_headers, MEDIA_HEADER_SCHEMA)
