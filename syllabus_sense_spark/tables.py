@@ -73,7 +73,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # truncate to micros with integer division — double division
         # would lose precision above 2^53 ns.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    if _disk_size(path) <= _PERSIST_MAX_BYTES:
+    if (
+        _disk_size(path) <= _PERSIST_MAX_BYTES
+        and not os.environ.get("SPARK_GRAFT_NO_PERSIST")
+    ):
         df = df.persist()
     _LOAD_CACHE[key] = df
     return df

@@ -18,9 +18,15 @@ Usage: python tools/plan_audit.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+# Audit the production plan shape: the check-scale in-memory persist of
+# tiny tables would hide the parquet scan (its materialization reads the
+# full schema and trips WIDE-SCAN even though the query itself prunes).
+os.environ["SPARK_GRAFT_NO_PERSIST"] = "1"
 
 ALLOW = {
     "join_cross_matrix": {"BNLJ", "CARTESIAN"},
