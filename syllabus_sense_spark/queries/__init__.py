@@ -54,6 +54,7 @@ def load_all_queries() -> None:
         ext_text2,
         ext_similarity,
         ext_multimodal,
+        ext_training,
         pipeline_queries,
         events,
         events2,

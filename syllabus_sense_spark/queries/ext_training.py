@@ -1,0 +1,122 @@
+"""[EXT] Training-data curation primitives beyond dedup: deterministic
+dataset splits and benchmark-contamination detection.
+
+Both are first-class large-scale pipeline operators:
+
+- ``split_train_holdout``: hash-bucket split (train/valid/test) that is
+  a pure function of the stable document id — reproducible across
+  engines, runs, and cluster sizes, and cheap at 100 TB because it is
+  one projection (no shuffle, no RNG state). The md5→bigint bridge
+  makes Spark and DuckDB agree bit-for-bit (same trick as the minhash
+  fingerprints in ext_dedup.py).
+- ``contamination_ngram_overlap``: which corpus documents share ≥K
+  word-3-gram shingles with a designated benchmark/eval set — the
+  standard decontamination join. Scale shape: shingle both sides into
+  48-bit fingerprints (ext_dedup machinery), equi-join on the
+  fingerprint with the (small) benchmark side broadcast, then one
+  group-by count. No all-pairs comparison anywhere; cost is
+  |corpus shingles| + |benchmark shingles|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import register
+from .ext_dedup import shingle_hashes
+
+# --- deterministic train/valid/test split ---------------------------------
+
+_SPLIT_ORACLE = """
+SELECT
+  doc_id,
+  bucket,
+  CASE WHEN bucket < 80 THEN 'train'
+       WHEN bucket < 90 THEN 'valid'
+       ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+) b
+"""
+
+
+@register("split_train_holdout", _SPLIT_ORACLE)
+def split_train_holdout(spark, sf_dir):
+    # One narrow projection: the split is derivable anywhere the id
+    # is, so downstream stages never need to carry or join the
+    # assignment — at 100 TB that's the difference between a metadata
+    # column and an extra fact-table join.
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        % 100
+    ).alias("bucket")
+    return d.select("doc_id", bucket).select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# --- benchmark contamination: shared-shingle join --------------------------
+
+# Real decontamination uses a higher bar (e.g. any 13-gram hit); the
+# synthetic harness corpus has little natural overlap, so ≥2 shared
+# 3-grams keeps a meaningful result set at every test scale.
+_MIN_OVERLAP = 2
+
+# DuckDB twin: same word-3-gram shingling and 48-bit fingerprints as
+# ext_dedup's _SQL_SHINGLE_HASHES, but over the plain documents table
+# (no planted dups), split into corpus vs benchmark by doc_id % 50.
+_CONTAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(s.shingle), 1, 12)) AS BIGINT) AS h
+  FROM toks,
+  UNNEST(
+    CASE WHEN len(t) >= 3
+         THEN list_transform(range(len(t) - 2),
+                             i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+         ELSE [] END
+  ) AS s(shingle)
+)
+SELECT c.doc_id, b.doc_id AS bench_id,
+       COUNT(*) AS n_shared_shingles
+FROM shingles c
+JOIN shingles b ON c.h = b.h
+WHERE b.doc_id % 50 = 0 AND c.doc_id % 50 <> 0
+GROUP BY c.doc_id, b.doc_id
+HAVING COUNT(*) >= {_MIN_OVERLAP}
+"""
+
+
+@register("contamination_ngram_overlap", _CONTAM_ORACLE)
+def contamination_ngram_overlap(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = shingle_hashes(d, n=3)
+    bench = hashed.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "h"
+    )
+    corpus = hashed.filter(F.col("doc_id") % 50 != 0)
+    # Benchmark/eval sets are tiny relative to the corpus (thousands
+    # of docs vs billions): broadcast them so the contamination scan
+    # is map-side — the 100 TB corpus side never shuffles.
+    return (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= _MIN_OVERLAP)
+    )
