@@ -405,3 +405,47 @@ def q21_waiting_suppliers(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# --------------------------------------------------------------------------
+# q16: supplier-count by part attribute (ADAPTED: the harness has no
+# partsupp table — lineitem is the part<->supplier bridge; the
+# "customer complaints" exclusion becomes negative-balance suppliers).
+# Shape under test: NOT IN anti-join feeding COUNT(DISTINCT) after a
+# fact join, grouped by dimension attributes.
+# --------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("q16_supplier_part_counts", _Q16_ORACLE)
+def q16_supplier_part_counts(spark, sf_dir):
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complained = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        l.join(F.broadcast(complained), l.l_suppkey == complained.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
