@@ -134,3 +134,55 @@ def brp_lsh_neighbors(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def kmeans_ivf_neighbors(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, sim) — IVF ANN with LEARNED
+    centroids: the production upgrade of the deterministic-seed IVF in
+    ``queries/ext_similarity.py`` (SCALE.md "what would change first").
+
+    Fit: sampled k-means (here the full table — at 100 TB a ~0.1%
+    sample; the model is centroids only, broadcast-sized regardless of
+    corpus size). Assign: ``model.transform`` is a narrow map (argmin
+    over broadcast centroids). Probe: queries search ONLY their own
+    cell — an equi-join on cell id, never a cross join.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.sql import Window
+
+    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
+    base = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("arr")
+    ).withColumn("features", to_vec("arr"))
+    model = KMeans(k=n_cells, seed=42, featuresCol="features").fit(base)
+    cells = model.transform(base).select(
+        "vec_id", "arr", F.col("prediction").alias("cell_id")
+    )
+    q = cells.join(
+        queries.select("vec_id"), "vec_id", "left_semi"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("arr").alias("qarr"),
+        F.col("cell_id").alias("qcell"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qarr", "arr", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda s, x: s + x * x)
+    )
+    scored = cells.join(
+        F.broadcast(q),
+        (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn("sim", dot / (nrm("qarr") * nrm("arr")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "sim")
+    )

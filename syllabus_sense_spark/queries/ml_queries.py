@@ -47,3 +47,18 @@ def ml_brp_lsh_neighbors(spark, sf_dir):
     return nn.select(
         "query_id", "neighbor_id", "rank", F.round("dist", 6).alias("dist_r")
     )
+
+
+@register("similarity_ivf_kmeans")  # rows-only: learned centroids
+def similarity_ivf_kmeans(spark, sf_dir):
+    """IVF ANN with k-means-learned cells (the 100 TB path where the
+    coarse quantizer is trained, not seeded); recall vs brute force is
+    asserted in tests/test_ml_embeddings.py."""
+    from ..ml.embeddings import kmeans_ivf_neighbors
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    nn = kmeans_ivf_neighbors(e, q, k=3)
+    return nn.select(
+        "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim_r")
+    )

@@ -67,3 +67,28 @@ def test_brp_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert n_q > 0
     hits = len(ann & exact)
     assert hits >= int(0.8 * n_q), (hits, n_q)
+
+
+def test_kmeans_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """Learned-centroid IVF: the top-1 in-cell neighbor matches the
+    true cosine top-1 for most queries (IVF misses only when the true
+    neighbor landed in a different cell)."""
+    from syllabus_sense_spark.ml.embeddings import kmeans_ivf_neighbors
+    from syllabus_sense_spark.queries.ext_similarity import similarity_topk_bruteforce
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in kmeans_ivf_neighbors(e, q, k=1).filter(F.col("rank") == 1).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_topk_bruteforce(spark, sf_dir)
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    n_q = len(exact)
+    assert n_q > 0
+    hits = len(ann & exact)
+    assert hits >= int(0.6 * n_q), (hits, n_q)
