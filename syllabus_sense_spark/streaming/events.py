@@ -143,3 +143,30 @@ def stream_view_purchase_join(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedupe_within_watermark(
+    spark: SparkSession, sf_dir: str, query_name: str = "dedup_wm"
+):
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until
+    the watermark passes its event time, so at 100 TB/day the dedup
+    state is a sliding window of keys, not the full history (the
+    unbounded-history variant is a compaction job, not stream state).
+
+    Duplicates are simulated by unioning the source with itself —
+    i.e. the at-least-once delivery a real ingest bus exhibits; the
+    output must equal the distinct input exactly.
+    """
+    ev = _event_stream(spark, sf_dir).select("event_id", "user_id", "event_type", "ts")
+    at_least_once = ev.unionByName(_event_stream(spark, sf_dir).select(ev.columns))
+    deduped = at_least_once.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

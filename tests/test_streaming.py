@@ -86,3 +86,16 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_dedupe_within_watermark_exactly_distinct(spark, sf_dir):
+    """The doubled (at-least-once) stream dedups back to exactly the
+    distinct event set, with state bounded by the watermark."""
+    from syllabus_sense_spark.streaming.events import stream_dedupe_within_watermark
+    from syllabus_sense_spark.tables import load
+
+    q = stream_dedupe_within_watermark(spark, sf_dir, query_name="dedup_wm_t")
+    q.awaitTermination(300)
+    got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_wm_t").collect()[0]
+    want = load(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert got.n == got.d == want
