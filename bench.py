@@ -29,6 +29,7 @@ HEADLINE = [
     "pipeline_flagship_questions",
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
+    "curation_pipeline_summary",
 ]
 
 

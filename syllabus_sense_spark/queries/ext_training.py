@@ -120,3 +120,95 @@ def contamination_ngram_overlap(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
         .filter(F.col("n_shared_shingles") >= _MIN_OVERLAP)
     )
+
+
+# --- end-to-end curation pipeline -----------------------------------------
+# The full training-data curation chain as ONE declarative plan —
+# language filter → quality filter → exact dedup (canonical-keep) →
+# deterministic split → shard-level accounting. Each stage is one of
+# this engine's verified operators; composing them stays a single
+# Catalyst plan (scan → filter → one dedup shuffle → projection →
+# one final agg shuffle), so the 100 TB run is two shuffles total,
+# with the filters pushed against the scan.
+
+_CURATION_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang
+  FROM documents WHERE doc_id % 5 = 0
+),
+filtered AS (
+  SELECT doc_id, text, lang,
+         len(list_filter(string_split(text, ' '), x -> length(x) > 0))
+           AS n_tokens
+  FROM corpus
+  WHERE lang IN ('en', 'fr', 'es')
+),
+quality AS (
+  SELECT * FROM filtered WHERE n_tokens >= 5
+),
+deduped AS (
+  SELECT md5(text) AS content_hash,
+         MIN(doc_id) AS doc_id,
+         MIN(lang) AS lang,
+         MIN(n_tokens) AS n_tokens
+  FROM quality
+  GROUP BY md5(text)
+),
+split AS (
+  SELECT lang, n_tokens,
+    CASE WHEN bucket < 80 THEN 'train'
+         WHEN bucket < 90 THEN 'valid'
+         ELSE 'test' END AS split
+  FROM (
+    SELECT lang, n_tokens,
+      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+        % 100 AS bucket
+    FROM deduped
+  ) b
+)
+SELECT split, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM split
+GROUP BY split, lang
+"""
+
+
+@register("curation_pipeline_summary", _CURATION_ORACLE)
+def curation_pipeline_summary(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+        )
+    )
+    toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    quality = (
+        corpus.filter(F.col("lang").isin("en", "fr", "es"))
+        .withColumn("n_tokens", F.size(toks).cast("long"))
+        .filter(F.col("n_tokens") >= 5)
+    )
+    deduped = quality.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    assigned = deduped.select(
+        "lang",
+        "n_tokens",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
