@@ -449,3 +449,43 @@ def q16_supplier_part_counts(spark, sf_dir):
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# Calendar densification via RECURSIVE CTE (Spark 4 WITH RECURSIVE):
+# generate the month series, left-join monthly order activity, keep
+# zero months visible — the gap-filling shape reports need and joins
+# can't produce. Recursion is monotonic (bounded month increment), so
+# UNION ALL terminates; cyclic-graph closure stays with the iterative
+# connected-components operator in ext_graph.py, which is the shape
+# that scales.
+# --------------------------------------------------------------------------
+
+_MONTHS_ORACLE = """
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < DATE '1996-12-01'
+),
+monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         COUNT(*) AS n_orders
+  FROM orders
+  GROUP BY 1
+)
+SELECT months.m AS month_start,
+       CAST(COALESCE(monthly.n_orders, 0) AS BIGINT) AS n_orders,
+       COALESCE(monthly.n_orders, 0) > 0 AS has_orders
+FROM months LEFT JOIN monthly ON monthly.m = months.m
+"""
+
+
+@register("recursive_month_series", _MONTHS_ORACLE)
+def recursive_month_series(spark, sf_dir):
+    from ..tables import load_all
+
+    load_all(spark, sf_dir)
+    # The identical ANSI recursion runs in both engines — Spark 4's
+    # WITH RECURSIVE executes it as an iterative union plan.
+    return spark.sql(_MONTHS_ORACLE)
