@@ -74,3 +74,29 @@ def test_docx_scan_and_sessionize(spark, tmp_path):
     # Preamble discarded; topic 1 holds its paragraph + table in order.
     assert [e.type for e in topics[0].elements] == ["paragraph", "table"]
     assert topics[1].elements[0].text == "Bonds hold atoms."
+
+
+def test_docx_python_datasource_matches_mapinpandas(spark, tmp_path):
+    """The registered `docx` format (Python DataSource API) returns the
+    same elements as the binaryFile+mapInPandas scan, one partition per
+    document; corrupt containers contribute zero rows."""
+    from syllabus_sense_spark.sources.docx_datasource import register_docx_source
+
+    make_docx(str(tmp_path / "a.docx"), BODY)
+    make_docx(str(tmp_path / "b.docx"), BODY)
+    (tmp_path / "broken.docx").write_bytes(b"not a zip")
+
+    register_docx_source(spark)
+    via_ds = spark.read.format("docx").load(str(tmp_path))
+    assert via_ds.rdd.getNumPartitions() == 3  # one per file
+
+    ds_rows = {
+        (r.path.split("/")[-1], r.element_idx, r.element_type, r.text)
+        for r in via_ds.collect()
+    }
+    mp_rows = {
+        (r.path.split("/")[-1], r.element_idx, r.element_type, r.text)
+        for r in read_docx_elements(spark, str(tmp_path)).collect()
+    }
+    assert ds_rows == mp_rows
+    assert not any(name == "broken.docx" for name, *_ in ds_rows)
