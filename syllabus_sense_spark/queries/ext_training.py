@@ -262,3 +262,40 @@ def curation_pipeline_audited(spark, sf_dir):
         )
     )
     return deduped, obs
+
+
+# --- deterministic stratified sampling ------------------------------------
+# Per-stratum keep-rates as a pure hash condition: lang='en' docs are
+# downsampled to ~20%, every other language kept — the rebalancing
+# step of corpus construction. Unlike rng-based sample()/sampleBy(),
+# the md5-bucket predicate is reproducible across engines, runs,
+# partitionings, and cluster sizes, and it is just a filter: fully
+# pushed down, no state, no extra pass at 100 TB.
+
+_STRATIFIED_ORACLE = """
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(concat('strat:', CAST(doc_id AS VARCHAR))), 1, 12))
+           AS BIGINT) % 100 AS bucket
+  FROM documents
+) b
+WHERE (lang = 'en' AND bucket < 20) OR (lang <> 'en')
+"""
+
+
+@register("sampling_stratified_deterministic", _STRATIFIED_ORACLE)
+def sampling_stratified_deterministic(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    keep = ((F.col("lang") == "en") & (bucket < 20)) | (F.col("lang") != "en")
+    return d.filter(keep).select("doc_id", "lang")

@@ -73,3 +73,31 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     assert sorted(map(tuple, rows_after)) == sorted(map(tuple, rows_before))
     # No stray temp dirs.
     assert not [d for d in os.listdir(out) if "_compact_tmp" in d]
+
+
+def test_shard_export_balanced_and_deterministic(spark, sf_dir, tmp_path):
+    from syllabus_sense_spark.sinks.shards import with_shard, write_shards
+    from syllabus_sense_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards")
+    write_shards(docs, out, n_shards=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+
+    sizes = {r.shard: r.n for r in back.groupBy("shard").count().withColumnRenamed("count", "n").collect()}
+    assert len(sizes) == 8
+    mean = sum(sizes.values()) / 8
+    assert all(abs(n - mean) < mean for n in sizes.values())  # no empty/2x shard
+
+    # Stable assignment: recomputing yields identical membership.
+    a = {(r.doc_id, r.shard) for r in with_shard(docs, 8).select("doc_id", "shard").collect()}
+    b = {(r.doc_id, r.shard) for r in back.select("doc_id", "shard").collect()}
+    assert a == b
+
+    # One data file per shard.
+    import glob as g
+    for k in range(8):
+        files = g.glob(f"{out}/shard={k}/*.parquet")
+        assert len(files) == 1, (k, files)
