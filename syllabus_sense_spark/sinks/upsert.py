@@ -1,0 +1,78 @@
+"""Keyed upsert (CDC apply) onto a parquet dataset.
+
+The reference's sink rewrites its whole JSON file per batch
+(file_output_manager.py:34-69); the engine's append sinks fixed that,
+but pipelines also need MERGE semantics: apply a change batch (insert
++ update + delete markers) to a keyed table. Without a transactional
+table format, the scalable plain-parquet recipe is partition-scoped
+copy-on-write, implemented here:
+
+1. tag each change row's target partition (same partition expr as the
+   table layout);
+2. rewrite ONLY partitions that appear in the change batch: current
+   rows anti-joined by key against the changes (drops updated/deleted
+   keys), unioned with the non-delete change rows;
+3. write to fresh partition dirs and swap.
+
+Cost scales with the touched partitions, not the table — the same
+contract Delta/Iceberg MERGE gives, expressed as Spark primitives.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DELETE_COL = "_deleted"
+
+
+def apply_changes(
+    current: DataFrame, changes: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Pure merge: latest change wins per key; ``_deleted`` rows drop
+    the key. ``changes`` must carry all of ``current``'s columns plus
+    optionally ``_deleted`` boolean."""
+    has_delete = DELETE_COL in changes.columns
+    survivors = current.join(changes.select(key_cols), key_cols, "left_anti")
+    incoming = (
+        changes.filter(~F.coalesce(F.col(DELETE_COL), F.lit(False))).drop(DELETE_COL)
+        if has_delete
+        else changes
+    )
+    return survivors.unionByName(incoming.select(current.columns))
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+) -> list[str]:
+    """Partition-scoped copy-on-write MERGE into a Hive-layout parquet
+    dataset. Returns the rewritten partition values."""
+    parts = [
+        r[0]
+        for r in changes.select(partition_col).distinct().collect()
+    ]
+    if not parts:
+        return []
+    current = spark.read.parquet(path).filter(F.col(partition_col).isin(parts))
+    merged = apply_changes(current, changes.filter(F.col(partition_col).isin(parts)), key_cols)
+    # Stage the rewritten partitions, then swap directories.
+    staged = path + "._upsert_tmp"
+    merged.write.partitionBy(partition_col).mode("overwrite").parquet(staged)
+    import shutil
+
+    for v in parts:
+        sub = f"{partition_col}={v}"
+        dst = os.path.join(path, sub)
+        src = os.path.join(staged, sub)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        if os.path.isdir(src):
+            shutil.move(src, dst)
+    shutil.rmtree(staged, ignore_errors=True)
+    return parts
