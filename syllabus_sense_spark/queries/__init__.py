@@ -55,6 +55,7 @@ def load_all_queries() -> None:
         ext_similarity,
         ext_multimodal,
         ext_training,
+        agg_families,
         pipeline_queries,
         events,
         events2,
