@@ -75,3 +75,41 @@ def stream_first_seen_dedupe(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_first_seen_dedupe_dir(
+    spark: SparkSession, events_dir: str, out_dir: str, checkpoint_dir: str
+):
+    """Checkpointed variant over an arbitrary event-file directory,
+    writing a parquet sink: the state (seen types per user) must
+    SURVIVE a stop/restart via the checkpoint, so re-delivered or
+    late-arriving events never re-emit a (user, type) pair — the
+    exactly-once contract of the reference's State threading, held
+    across process restarts. One row per file-batch drain:
+    ``trigger(availableNow=True)`` then restart later for new files."""
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(events_dir)
+    )
+    events = raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    ).select("user_id", "event_type", "event_id")
+    deduped = events.groupBy("user_id").applyInPandasWithState(
+        _dedupe,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -46,3 +46,50 @@ def test_stateful_first_seen_dedupe(spark, sf_dir):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stateful_dedupe_state_survives_restart(spark, sf_dir, tmp_path):
+    """applyInPandasWithState state is checkpoint-durable: after a
+    stop/restart, (user, type) pairs already emitted in run 1 are NOT
+    re-emitted when re-delivered in run 2."""
+    from syllabus_sense_spark.streaming.stateful import stream_first_seen_dedupe_dir
+    from syllabus_sense_spark.tables import load
+
+    events_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us"), "user_id", "event_type",
+        "value", "props",
+    )
+    part1 = e.filter(F.col("event_id") % 2 == 0)
+    (
+        part1.select(
+            "event_id", (F.col("us") * 1000).alias("ts"), "user_id",
+            "event_type", "value", "props",
+        ).coalesce(1).write.mode("overwrite").parquet(events_dir)
+    )
+    q1 = stream_first_seen_dedupe_dir(spark, events_dir, out_dir, ckpt)
+    q1.awaitTermination(300)
+    run1 = spark.read.parquet(out_dir)
+    pairs1 = {(r.user_id, r.event_type) for r in run1.collect()}
+    assert len(pairs1) == run1.count()  # no dup pairs within run 1
+
+    # Run 2: re-deliver EVERYTHING (part1 again + the other half).
+    (
+        e.select(
+            "event_id", (F.col("us") * 1000).alias("ts"), "user_id",
+            "event_type", "value", "props",
+        ).coalesce(1).write.mode("append").parquet(events_dir)
+    )
+    q2 = stream_first_seen_dedupe_dir(spark, events_dir, out_dir, ckpt)
+    q2.awaitTermination(300)
+
+    spark.catalog.clearCache()
+    final = spark.read.parquet(out_dir)
+    pairs_all = [(r.user_id, r.event_type) for r in final.collect()]
+    # Exactly-once across restarts: every pair appears exactly once,
+    # and run 1's pairs were not re-emitted.
+    assert len(pairs_all) == len(set(pairs_all))
+    assert pairs1 <= set(pairs_all)
