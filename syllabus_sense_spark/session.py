@@ -33,6 +33,38 @@ RUNTIME_CONF = {
 }
 
 
+# Recommended spark-submit conf for the production deployment this
+# engine is designed for (a ~1000-executor cluster over ~100 TB of
+# parquet). Local tests neither need nor can apply these (they are
+# cluster-manager settings); they are the documented, reviewable
+# companion to SCALE.md — pass via spark-submit --conf.
+CLUSTER_CONF = {
+    # Shuffle width: ~2-3x total cores so AQE has room to coalesce
+    # down by size instead of being starved of parallelism.
+    "spark.sql.shuffle.partitions": "8192",
+    # 128-256 MB input splits keep scan tasks seconds-long at 100 TB
+    # without overwhelming the scheduler with millions of tasks.
+    "spark.sql.files.maxPartitionBytes": "268435456",
+    # AQE target: reducers sized for memory, not core count.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "134217728",
+    # Dimension tables up to this size broadcast (region/nation/
+    # supplier/part all qualify at any realistic cardinality).
+    "spark.sql.autoBroadcastJoinThreshold": "67108864",
+    # Arrow batches for the pipeline UDF seams: big enough to
+    # amortize Python dispatch, small enough to bound worker memory.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Executor shape: leave the driver thin; state lives in executors.
+    "spark.executor.memory": "24g",
+    "spark.executor.cores": "8",
+    "spark.executor.memoryOverhead": "4g",
+    "spark.dynamicAllocation.enabled": "true",
+    "spark.dynamicAllocation.maxExecutors": "1000",
+    # Shuffle robustness at scale.
+    "spark.shuffle.service.enabled": "true",
+    "spark.reducer.maxSizeInFlight": "96m",
+}
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conf to an existing session (idempotent)."""
     for k, v in RUNTIME_CONF.items():
