@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..tables import load
+from ..tables import load, load_all
 from . import register
 from ._util import dec2, dsum, rate
 
@@ -489,3 +489,72 @@ def recursive_month_series(spark, sf_dir):
     # The identical ANSI recursion runs in both engines — Spark 4's
     # WITH RECURSIVE executes it as an iterative union plan.
     return spark.sql(_MONTHS_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys MATCH
+# each other — the semantics dedup/upsert pipelines need when the join
+# key is nullable (a plain equi-join silently drops every null row).
+# --------------------------------------------------------------------------
+
+_NULLSAFE_ORACLE = """
+WITH l AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS k
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+r AS (
+  SELECT o_orderkey AS r_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS k
+  FROM orders WHERE o_orderkey % 4 = 0
+)
+SELECT COALESCE(l.k, '<null>') AS key_val, COUNT(*) AS n_pairs
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+GROUP BY 1
+"""
+
+
+@register("join_null_safe_eq", _NULLSAFE_ORACLE)
+def join_null_safe_eq(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    l = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("k"),
+    )
+    r = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").alias("r_orderkey"),
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("k"),
+    )
+    return (
+        l.join(r, l["k"].eqNullSafe(r["k"]))
+        .groupBy(F.coalesce(l["k"], F.lit("<null>")).alias("key_val"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery in SELECT position (the WHERE-position
+# variant is subquery_brand_max_price) — Catalyst rewrites it to a
+# left outer aggregate join, the scalable form.
+# --------------------------------------------------------------------------
+
+_SCALAR_SELECT_ORACLE = """
+SELECT
+  r.r_name,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM nation n
+   WHERE n.n_regionkey = r.r_regionkey) AS n_nations,
+  (SELECT CAST(MAX(s.s_acctbal) AS DOUBLE) FROM supplier s
+   JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+   WHERE n2.n_regionkey = r.r_regionkey) AS max_supplier_bal
+FROM region r
+"""
+
+
+@register("subquery_scalar_in_select", _SCALAR_SELECT_ORACLE)
+def subquery_scalar_in_select(spark, sf_dir):
+    load_all(spark, sf_dir)
+    return spark.sql(_SCALAR_SELECT_ORACLE)
