@@ -24,6 +24,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--marker", default="Core element", help="topic marker text")
     ap.add_argument("--topics", type=int, default=None, help="limit topics (A19)")
     ap.add_argument("--format", choices=("parquet", "json"), default="parquet")
+    ap.add_argument("--subject", default="chemistry", help="subject context (A8)")
+    ap.add_argument(
+        "--batch-size", type=int, default=5, help="generation micro-batch size (A10)"
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -47,10 +51,14 @@ def main(argv: list[str] | None = None) -> int:
         )
         sess = sess.join(F.broadcast(keep), ["doc_id", "topic_id"], "left_semi")
         questions = flagship_from_elements(
-            sess.drop("topic_id"), doc_col="doc_id"
+            sess.drop("topic_id"), doc_col="doc_id",
+            subject=args.subject, batch_size=args.batch_size,
         )
     else:
-        questions = flagship_from_elements(elements, doc_col="doc_id")
+        questions = flagship_from_elements(
+            elements, doc_col="doc_id",
+            subject=args.subject, batch_size=args.batch_size,
+        )
 
     writer = (
         write_questions_parquet if args.format == "parquet" else write_questions_json

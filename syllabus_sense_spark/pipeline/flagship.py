@@ -23,7 +23,12 @@ from ..sources.synthetic import filtered_elements
 from .extract import extract_subtopics, generate_questions, plan_questions
 
 
-def flagship_from_elements(elements: DataFrame, doc_col: str = "sdoc_id") -> DataFrame:
+def flagship_from_elements(
+    elements: DataFrame,
+    doc_col: str = "sdoc_id",
+    subject: str = "chemistry",
+    batch_size: int = 5,
+) -> DataFrame:
     """The element→questions chain, given any (already filtered)
     element DataFrame: sessionize (A5) → topics (A7) → extract (A8) →
     plan (A9) → batch (A10/A11) → subtopic join (A12) → generate (A13).
@@ -40,10 +45,12 @@ def flagship_from_elements(elements: DataFrame, doc_col: str = "sdoc_id") -> Dat
     # context join); cache it so the extraction UDF chain runs once.
     # It is a dimension table (one row per subtopic), small at any
     # corpus scale relative to the question fact stream.
-    subtopics = extract_subtopics(topics).cache()
+    subtopics = extract_subtopics(topics, subject=subject).cache()
     plan = plan_questions(subtopics)
     batched = mark_batch_status(
-        assign_batches(plan, batch_size=5, group_cols=("topic",), order_col="question_id")
+        assign_batches(
+            plan, batch_size=batch_size, group_cols=("topic",), order_col="question_id"
+        )
     )
 
     # A12: broadcast lookup of subtopic context; inner join reproduces
