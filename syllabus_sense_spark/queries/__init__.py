@@ -56,6 +56,7 @@ def load_all_queries() -> None:
         ext_multimodal,
         ext_training,
         agg_families,
+        ext_sketches,
         pipeline_queries,
         events,
         events2,
