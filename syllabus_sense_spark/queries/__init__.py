@@ -52,6 +52,7 @@ def load_all_queries() -> None:
         ext_simhash,
         ext_text,
         ext_text2,
+        ext_text3,
         ext_similarity,
         ext_multimodal,
         ext_training,
@@ -66,6 +67,7 @@ def load_all_queries() -> None:
         pipeline_udf,
         docx_queries,
         ml_queries,
+        relational4,
         windows,
         relational,
         relational2,

@@ -1,7 +1,8 @@
 """TPC-H-shape queries, batch 3: the remaining shapes expressible over
 the harness star schema (no ``partsupp`` table and no
-``l_commitdate``/``l_receiptdate`` columns exist, so Q2/Q11/Q16/Q20
-are out of scope and Q9/Q21 are adapted — noted per query).
+``l_commitdate``/``l_receiptdate`` columns exist, so Q9/Q21 are
+adapted — noted per query — and Q2/Q11/Q20 live in ``relational4``
+with ``lineitem`` standing in for the supply bridge).
 
 Scale posture: every dimension (region 5, nation 25, supplier 100,
 customer 1.5k, part 2k rows at sf0.01) is broadcast; only
