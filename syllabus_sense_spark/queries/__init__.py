@@ -56,6 +56,7 @@ def load_all_queries() -> None:
         ext_similarity,
         ext_multimodal,
         ext_training,
+        ext_training2,
         agg_families,
         ext_sketches,
         pipeline_queries,

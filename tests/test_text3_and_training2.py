@@ -1,0 +1,125 @@
+"""Invariant tests for the batch-3 text ops and batch-2 training ops.
+
+The oracle gate proves cross-engine equality; these tests pin the
+*semantics* on hand-computable inputs (known repetition values, PII
+idempotence, packing block laws, mixture budget accounting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from syllabus_sense_spark.queries import load_all_queries, QUERIES
+
+load_all_queries()
+
+
+def test_repetition_known_values(spark, tmp_path):
+    # "a a a b" → unigrams 4 tok / 2 distinct → dup 0.5;
+    # bigrams [a a, a a, a b] → 3 / 2 distinct → dup 1/3;
+    # trigrams [a a a, a a b] → 2 / 2 distinct → dup 0.
+    d = spark.createDataFrame(
+        [(1, "a a a b", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["text_repetition_ratios"](spark, str(tmp_path)).collect()
+    }
+    row = out[1]
+    assert row["n_tokens"] == 4
+    assert abs(row["dup_unigram_frac"] - 0.5) < 1e-12
+    assert abs(row["dup_bigram_frac"] - 1 / 3) < 1e-12
+    assert abs(row["dup_trigram_frac"] - 0.0) < 1e-12
+
+
+def test_repetition_short_docs_dropped(spark, tmp_path):
+    d = spark.createDataFrame(
+        [(1, "one two", "en", "s", 7), (2, "one two three", "en", "s", 13)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    ids = [
+        r["doc_id"]
+        for r in QUERIES["text_repetition_ratios"](spark, str(tmp_path)).collect()
+    ]
+    assert ids == [2]
+
+
+def test_pii_redaction_counts_and_idempotence(spark, sf_dir):
+    out = QUERIES["text_pii_redaction"](spark, sf_dir)
+    rows = out.limit(50).collect()
+    assert rows, "expected documents"
+    # The planted contact block guarantees ≥1 email and ≥1 phone hit.
+    assert all(r["n_emails"] >= 1 for r in rows)
+    assert all(r["n_phones"] >= 1 for r in rows)
+    # Redaction removes every match: re-scanning the redacted text
+    # (rebuilt here) must find zero.
+    from syllabus_sense_spark.queries.ext_text3 import _EMAIL_PAT, _PHONE_PAT
+    from syllabus_sense_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(enriched, _EMAIL_PAT, "<EMAIL>"), _PHONE_PAT, "<PHONE>"
+    )
+    residue = d.select(
+        F.size(F.regexp_extract_all(redacted, F.lit(_EMAIL_PAT), F.lit(0))).alias("e"),
+        F.size(F.regexp_extract_all(redacted, F.lit(_PHONE_PAT), F.lit(0))).alias("p"),
+    ).agg(F.sum("e").alias("e"), F.sum("p").alias("p"))
+    res = residue.collect()[0]
+    assert res["e"] == 0 and res["p"] == 0
+
+
+def test_quality_funnel_bounds(spark, sf_dir):
+    rows = QUERIES["quality_filter_funnel"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert abs(r["kept_frac"] - r["n_kept"] / r["n_docs"]) < 1e-12
+
+
+def test_pack_sequences_block_laws(spark, sf_dir):
+    rows = QUERIES["pack_sequences_greedy"](spark, sf_dir).collect()
+    assert rows
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in docs:
+            # pack_id/pack_offset are exactly the concat-position laws
+            assert r["pack_id"] == cum // 4096
+            assert r["pack_offset"] == cum % 4096
+            cum += r["n_tok"]
+        # pack ids are nondecreasing within a source
+        ids = [r["pack_id"] for r in docs]
+        assert ids == sorted(ids)
+
+
+def test_mixture_budget_accounting(spark, sf_dir):
+    rows = QUERIES["mixture_resample_to_target"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["src_chars"] for r in rows)
+    budget_per_source = total * 0.5 / len(rows)
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert 0 < r["keep_ppm"] <= 1_000_000
+        # sources under their allotment are kept whole
+        if r["src_chars"] <= budget_per_source:
+            assert r["keep_ppm"] == 1_000_000
+            assert r["n_kept"] == r["n_docs"]
+            assert r["chars_kept"] == r["src_chars"]
+        else:
+            # downsampled: achieved chars should land near the
+            # allotment (hash sampling is unbiased; generous 3x bound
+            # at the tiny test scale)
+            assert r["chars_kept"] < r["src_chars"]
