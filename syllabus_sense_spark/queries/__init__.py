@@ -57,6 +57,7 @@ def load_all_queries() -> None:
         ext_multimodal,
         ext_training,
         ext_training2,
+        spark4_features,
         agg_families,
         ext_sketches,
         pipeline_queries,

@@ -1,0 +1,109 @@
+"""Spark 4 API surfaces as first-class engine coverage: Python UDTF
+(lateral table functions) and the VARIANT semi-structured type.
+
+- ``udtf_chunk_documents``: a correlated LATERAL Python UDTF that
+  splits each document into fixed 10-token chunks (the
+  retrieval/context-window chunking step of an LLM data pipeline).
+  The chunk semantics are SQL-expressible (the DuckDB oracle proves
+  it), so the UDTF here plays the same role as the pipeline's
+  pandas_udf seams: it exercises the 1→N Python table-function
+  surface with bounded per-row work — swap the body for a real
+  tokenizer and the plan shape is unchanged. Arrow-batched
+  (``useArrow``); at 100 TB this is scan-shaped, no shuffle.
+- ``variant_props_stats``: ``parse_json`` → VariantType →
+  ``variant_get`` typed extraction over the events ``props`` JSON —
+  Spark 4's schema-on-read path for semi-structured columns. Unlike
+  ``json_extract_props`` (string-path get_json_object), the variant
+  is parsed once and typed extraction happens on the binary variant
+  encoding; per-decile stats keep the output shape distinct.
+
+Reference anchor: json round-trips at syllabus_ai_graph.py:71,127,253;
+chunk-into-batches at syllabus_ai_graph.py:163-167.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import register
+
+_CHUNK = 10
+
+_UDTF_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+  FROM documents
+)
+SELECT t.doc_id,
+       c.i AS chunk_id,
+       CAST(len(list_slice(t.w, c.i * {_CHUNK} + 1,
+                           least((c.i + 1) * {_CHUNK}, len(t.w)))) AS BIGINT)
+         AS n_tok,
+       md5(array_to_string(
+             list_slice(t.w, c.i * {_CHUNK} + 1,
+                        least((c.i + 1) * {_CHUNK}, len(t.w))), ' '))
+         AS chunk_md5
+FROM t, UNNEST(range(CAST(ceil(len(t.w) / {_CHUNK}.0) AS BIGINT))) AS c(i)
+"""
+
+
+@register("udtf_chunk_documents", _UDTF_ORACLE)
+def udtf_chunk_documents(spark, sf_dir):
+    import hashlib
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, chunk_id: bigint, n_tok: bigint, chunk_md5: string",
+          useArrow=True)
+    class ChunkDocuments:
+        def eval(self, doc_id: int, text: str):
+            toks = [x for x in text.split(" ") if x]
+            for i in range(0, (len(toks) + _CHUNK - 1) // _CHUNK):
+                chunk = toks[i * _CHUNK : (i + 1) * _CHUNK]
+                yield (
+                    doc_id,
+                    i,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("chunk_documents", ChunkDocuments)
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_id, c.n_tok, c.chunk_md5 "
+        "FROM _udtf_docs d, LATERAL chunk_documents(d.doc_id, d.text) c"
+    )
+
+
+_VARIANT_ORACLE = """
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT)
+         AS k_decile,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+GROUP BY k_decile
+"""
+
+
+@register("variant_props_stats", _VARIANT_ORACLE)
+def variant_props_stats(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.variant_get("v", "$.k", "bigint").alias("k"),
+    )
+    return (
+        v.select((F.col("k") / 10).cast("bigint").alias("k_decile"), "event_type", "k")
+        .groupBy("k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        )
+    )

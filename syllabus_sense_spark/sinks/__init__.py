@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..errors import InvalidOutputDirectoryError
 from ..schemas import QUESTION_SCHEMA
@@ -39,6 +40,60 @@ def write_questions_json(questions: DataFrame, path: str) -> None:
     JSON files, without the read-modify-write loop."""
     _validate_sink_dir(path)
     questions.write.partitionBy("topic").mode("append").json(path)
+
+
+def write_table_csv(df: DataFrame, path: str) -> None:
+    """CSV export sink for downstream flat consumers (spreadsheets,
+    loaders that don't speak parquet). CSV carries no nested types,
+    so array/struct/map columns are bridged through ``to_json``
+    strings — the reverse of ``read_table_csv``. Header on, explicit
+    quoting; append mode like every other sink here."""
+    _validate_sink_dir(path)
+    flat = df.select(
+        *[
+            F.to_json(c).alias(c) if _is_nested(t) else F.col(c)
+            for c, t in df.dtypes
+        ]
+    )
+    flat.write.mode("append").option("header", True).option("escape", '"').csv(path)
+
+
+def read_table_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read a ``write_table_csv`` export back to its typed form: scan
+    with nested fields declared as strings, then ``from_json`` each
+    back to the target type (malformed cells → null, matching the
+    JSON sink's quarantine-not-crash posture)."""
+    from pyspark.sql import types as T
+
+    read_fields = [
+        T.StructField(f.name, T.StringType() if _is_nested_type(f.dataType) else f.dataType,
+                      True)
+        for f in schema.fields
+    ]
+    raw = (
+        spark.read.schema(T.StructType(read_fields))
+        .option("header", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    return raw.select(
+        *[
+            F.from_json(f.name, f.dataType).alias(f.name)
+            if _is_nested_type(f.dataType)
+            else F.col(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
+def _is_nested(dtype_str: str) -> bool:
+    return dtype_str.startswith(("array", "struct", "map"))
+
+
+def _is_nested_type(dt) -> bool:
+    from pyspark.sql import types as T
+
+    return isinstance(dt, (T.ArrayType, T.StructType, T.MapType))
 
 
 def read_questions_json(spark: SparkSession, path: str) -> DataFrame:
