@@ -93,3 +93,38 @@ def test_stateful_dedupe_state_survives_restart(spark, sf_dir, tmp_path):
     # and run 1's pairs were not re-emitted.
     assert len(pairs_all) == len(set(pairs_all))
     assert pairs1 <= set(pairs_all)
+
+
+def test_transform_with_state_running_stats(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4): the final Update-mode
+    emission per user equals the batch groupBy count/sum. Skips when
+    the runtime lacks protobuf (the state-server wire protocol)."""
+    import pytest
+
+    from syllabus_sense_spark.streaming.stateful2 import (
+        protobuf_available,
+        stream_running_user_stats,
+    )
+
+    if not protobuf_available():
+        pytest.skip("google.protobuf not available in this runtime")
+
+    q = stream_running_user_stats(spark, sf_dir, query_name="t_runstats")
+    q.awaitTermination(180)
+    # Update mode may emit a row per batch; keep each user's last.
+    rows = spark.sql("SELECT * FROM t_runstats").collect()
+    streamed = {}
+    for r in rows:
+        streamed[r.user_id] = (r.n_events, r.total_value)
+    e = load(spark, sf_dir, "events")
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(streamed) == set(batch)
+    for uid, (n, total) in batch.items():
+        sn, stotal = streamed[uid]
+        assert sn == n
+        assert abs(stotal - total) < 1e-6 * max(1.0, abs(total))
