@@ -185,12 +185,13 @@ def q20_excess_volume_suppliers(spark, sf_dir):
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(dec2("l_quantity")).alias("qty_dec"))
     )
-    per_part = bridge.groupBy("l_partkey").agg(
-        (F.sum("qty_dec").cast("double") / F.count(F.lit(1))).alias("avg_qty")
-    )
-    excess = (
-        bridge.join(per_part, "l_partkey")
-        .filter(F.col("qty_dec").cast("double") > F.col("avg_qty"))
+    # Per-part average as a window over the bridge, not a self-join:
+    # one exchange on l_partkey instead of agg + SMJ back (the plan
+    # audit flags the join form).
+    wp = Window.partitionBy("l_partkey")
+    avg_qty = F.sum("qty_dec").over(wp).cast("double") / F.count(F.lit(1)).over(wp)
+    excess = bridge.withColumn("avg_qty", avg_qty).filter(
+        F.col("qty_dec").cast("double") > F.col("avg_qty")
     )
     return (
         excess.join(F.broadcast(s), excess.l_suppkey == s.s_suppkey)

@@ -11,7 +11,10 @@ Allowlisted (intentional by design, see docstrings):
 - join_range_bands: non-equi theta join → broadcast nested loop;
 - q21_waiting_suppliers: fact×fact semi/anti — SMJ is the right plan;
 - similarity_topk_bruteforce / similarity_ivf_cells: broadcast query
-  set with a non-equi predicate → BNLJ over the broadcast side.
+  set with a non-equi predicate → BNLJ over the broadcast side;
+- q11_important_supply_value / mixture_resample_to_target: 1-row
+  broadcast scalar-aggregate cross join (the SQL scalar-subquery
+  shape) — BNLJ over a single broadcast row is the intended plan.
 
 Usage: python tools/plan_audit.py [sf_dir]
 """
@@ -34,6 +37,8 @@ ALLOW = {
     "q21_waiting_suppliers": {"SMJ"},
     "similarity_topk_bruteforce": {"BNLJ"},
     "similarity_ivf_cells": {"BNLJ"},
+    "q11_important_supply_value": {"BNLJ"},
+    "mixture_resample_to_target": {"BNLJ"},
 }
 
 
