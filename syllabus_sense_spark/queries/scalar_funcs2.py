@@ -195,3 +195,37 @@ def array_posexplode_tokens(spark, sf_dir):
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+
+
+# --- error-safe (try_*) arithmetic ----------------------------------------
+# ANSI-mode-safe arithmetic: try_divide / try_cast return null instead
+# of raising, the posture a long-running pipeline wants for dirty
+# numeric columns. DuckDB mirrors with NULLIF-guarded division and
+# TRY_CAST, so the nulls line up row-for-row.
+
+_TRY_FNS_ORACLE = """
+SELECT
+  o_orderkey,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+    / NULLIF(CAST(o_orderkey % 3 AS DOUBLE), 0) AS safe_ratio,
+  TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+  TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit
+FROM orders
+WHERE o_orderkey % 20 = 0
+"""
+
+
+@register("try_functions_safe_arith", _TRY_FNS_ORACLE)
+def try_functions_safe_arith(spark, sf_dir):
+    from ._util import dec2
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            dec2("o_totalprice").cast("double"),
+            (F.col("o_orderkey") % 3).cast("double"),
+        ).alias("safe_ratio"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+    )
