@@ -58,6 +58,7 @@ def load_all_queries() -> None:
         ext_training,
         ext_training2,
         spark4_features,
+        dq_queries,
         agg_families,
         ext_sketches,
         pipeline_queries,

@@ -24,7 +24,6 @@ analogue with a capacity measured in tokens, not rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..tables import load
@@ -154,18 +153,11 @@ FROM documents
 
 @register("pack_sequences_greedy", _PACK_ORACLE)
 def pack_sequences_greedy(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
-    n_tok = ((F.col("n_chars") + 3) / 4).cast("bigint")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    from ..operators.packing import pack_sequences
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", ((F.col("n_chars") + 3) / 4).cast("bigint").alias("n_tok")
     )
-    start = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
-    return d.select(
-        "doc_id",
-        "source",
-        n_tok.alias("n_tok"),
-        (start / _PACK_CAPACITY).cast("bigint").alias("pack_id"),
-        (start % _PACK_CAPACITY).alias("pack_offset"),
+    return pack_sequences(
+        d, size_col="n_tok", capacity=_PACK_CAPACITY, n_buckets=1
     )

@@ -123,3 +123,44 @@ def test_mixture_budget_accounting(spark, sf_dir):
             # allotment (hash sampling is unbiased; generous 3x bound
             # at the tiny test scale)
             assert r["chars_kept"] < r["src_chars"]
+
+
+def test_two_level_packing_laws(spark, sf_dir):
+    """Two-level packing: within every (source, bucket) the block laws
+    hold locally; pack ids never collide across buckets of a source;
+    every pack except possibly each bucket's last is exactly full."""
+    from syllabus_sense_spark.operators.packing import pack_sequences
+    from syllabus_sense_spark.tables import load
+
+    cap = 4096
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", ((F.col("n_chars") + 3) / 4).cast("bigint").alias("n_tok")
+    )
+    packed = pack_sequences(
+        d, size_col="n_tok", capacity=cap, n_buckets=4
+    ).collect()
+    from zlib import crc32
+
+    by_bucket: dict[tuple, list] = {}
+    for r in packed:
+        b = crc32(str(r["doc_id"]).encode()) % 4
+        by_bucket.setdefault((r["source"], b), []).append(r)
+    for (_, _), docs in by_bucket.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        base = docs[0]["pack_id"] - 0  # first doc starts the bucket's base
+        for r in docs:
+            assert r["pack_id"] == base + cum // cap
+            assert r["pack_offset"] == cum % cap
+            cum += r["n_tok"]
+    # pack-id ranges of buckets within a source are disjoint
+    for src in {s for (s, _) in by_bucket}:
+        ranges = []
+        for b in range(4):
+            docs = by_bucket.get((src, b))
+            if docs:
+                ids = [r["pack_id"] for r in docs]
+                ranges.append((min(ids), max(ids)))
+        ranges.sort()
+        for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+            assert hi1 < lo2
