@@ -47,3 +47,28 @@ def test_csv_sink_roundtrip(spark, sf_dir, tmp_path):
     ids_out = {r.question_id for r in back.select("question_id").collect()}
     assert ids_in == ids_out
     questions.unpersist()
+
+
+def test_range_clustered_layout(spark, sf_dir, tmp_path):
+    """Files written by write_range_clustered cover disjoint key
+    ranges (the file-pruning guarantee) and preserve every row."""
+    from syllabus_sense_spark.sinks.layout import file_ranges, write_range_clustered
+    from syllabus_sense_spark.tables import load
+
+    o = load(spark, sf_dir, "orders")
+    n = o.count()
+    path = str(tmp_path / "orders_by_date")
+    write_range_clustered(o, path, "o_orderdate", target_files=6)
+    ranges = sorted(
+        file_ranges(spark, path, "o_orderdate").collect(), key=lambda r: r["lo"]
+    )
+    assert sum(r["rows"] for r in ranges) == n
+    assert 1 < len(ranges) <= 6
+    for a, b in zip(ranges, ranges[1:]):
+        assert a["hi"] <= b["lo"]  # disjoint (boundary ties allowed)
+    # the read-back with a range predicate returns the same result as
+    # the unclustered source (layout is transparent to semantics)
+    cut = ranges[1]["lo"]
+    clustered = spark.read.parquet(path).filter(F.col("o_orderdate") < cut).count()
+    source = o.filter(F.col("o_orderdate") < cut).count()
+    assert clustered == source
