@@ -30,6 +30,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
     "curation_pipeline_summary",
+    "pack_sequences_greedy",
+    "dq_check_orders",
 ]
 
 

@@ -43,10 +43,10 @@ def sketch_hll_distinct_users(spark, sf_dir):
     return per_type.unionByName(total)
 
 
-@register("sketch_kll_value_quantiles")  # rows-only: sketch binaries
-def sketch_kll_value_quantiles(spark, sf_dir):
-    """Value quantiles from merged per-day KLL sketches — same
-    store-small/merge-later shape for percentiles."""
+def merged_kll(spark, sf_dir):
+    """Per-day KLL sketches folded into one merged sketch (1-row DF
+    with binary column ``kll``) — shared by the quantile query and the
+    rank-accuracy test."""
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(F.to_date("ts").alias("day")).agg(
         F.kll_sketch_agg_double("value").alias("value_kll")
@@ -54,12 +54,19 @@ def sketch_kll_value_quantiles(spark, sf_dir):
     # kll_sketch_merge_double is a binary scalar (no union aggregate
     # exists): fold the per-day sketches pairwise. The daily sketch
     # count is tiny (one row per day), so the collect_list is bounded.
-    merged = daily.agg(F.collect_list("value_kll").alias("ks")).select(
+    return daily.agg(F.collect_list("value_kll").alias("ks")).select(
         F.expr(
             "aggregate(slice(ks, 2, size(ks) - 1), ks[0], "
             "(acc, x) -> kll_sketch_merge_double(acc, x))"
         ).alias("kll")
     )
+
+
+@register("sketch_kll_value_quantiles")  # rows-only: sketch binaries
+def sketch_kll_value_quantiles(spark, sf_dir):
+    """Value quantiles from merged per-day KLL sketches — same
+    store-small/merge-later shape for percentiles."""
+    merged = merged_kll(spark, sf_dir)
     return merged.select(
         F.round(F.kll_sketch_get_quantile_double("kll", F.lit(0.5)), 2).alias("p50"),
         F.round(F.kll_sketch_get_quantile_double("kll", F.lit(0.95)), 2).alias("p95"),

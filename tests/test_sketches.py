@@ -32,11 +32,31 @@ def test_hll_merge_matches_exact_within_error(spark, sf_dir):
 
 
 def test_kll_merge_quantiles_close_to_exact(spark, sf_dir):
-    row = sketch_kll_value_quantiles(spark, sf_dir).collect()[0]
+    """KLL's guarantee is RANK error (~1.65% std at default k=200; the
+    value-space gap can be arbitrarily large where density is thin and
+    compaction is randomized), so assert: the rank the merged sketch
+    assigns to each EXACT quantile value is within 5% of the target
+    rank; plus a value-domain sanity check."""
+    from syllabus_sense_spark.queries.ext_sketches import merged_kll
+
     e = load(spark, sf_dir, "events")
     p50, p95, p99 = e.selectExpr(
         "percentile(value, 0.5)", "percentile(value, 0.95)", "percentile(value, 0.99)"
     ).collect()[0]
-    spread = e.selectExpr("max(value) - min(value)").collect()[0][0]
-    for got, want in [(row.p50, p50), (row.p95, p95), (row.p99, p99)]:
-        assert abs(got - want) <= 0.02 * spread + 1e-9, (got, want)
+    ranks = (
+        merged_kll(spark, sf_dir)
+        .select(
+            *[
+                F.kll_sketch_get_rank_double("kll", F.lit(v)).alias(f"r{i}")
+                for i, v in enumerate((p50, p95, p99))
+            ]
+        )
+        .collect()[0]
+    )
+    for got_rank, want_rank in zip(ranks, (0.5, 0.95, 0.99)):
+        assert abs(got_rank - want_rank) <= 0.05, (got_rank, want_rank)
+    lo, hi = e.selectExpr("min(value)", "max(value)").collect()[0]
+    row = sketch_kll_value_quantiles(spark, sf_dir).collect()[0]
+    for got in (row.p50, row.p95, row.p99):
+        assert lo <= got <= hi
+    assert row.p50 <= row.p95 <= row.p99
