@@ -64,6 +64,7 @@ def load_all_queries() -> None:
         pipeline_queries,
         events,
         events2,
+        events3,
         scalar_funcs,
         scalar_funcs2,
         windows2,

@@ -12,9 +12,10 @@ Allowlisted (intentional by design, see docstrings):
 - q21_waiting_suppliers: fact×fact semi/anti — SMJ is the right plan;
 - similarity_topk_bruteforce / similarity_ivf_cells: broadcast query
   set with a non-equi predicate → BNLJ over the broadcast side;
-- q11_important_supply_value / mixture_resample_to_target: 1-row
-  broadcast scalar-aggregate cross join (the SQL scalar-subquery
-  shape) — BNLJ over a single broadcast row is the intended plan.
+- q11_important_supply_value / mixture_resample_to_target /
+  events_funnel_sequential: 1-row broadcast scalar-aggregate cross
+  join (the SQL scalar-subquery shape) — BNLJ over a single broadcast
+  row is the intended plan.
 
 Usage: python tools/plan_audit.py [sf_dir]
 """
@@ -39,6 +40,7 @@ ALLOW = {
     "similarity_ivf_cells": {"BNLJ"},
     "q11_important_supply_value": {"BNLJ"},
     "mixture_resample_to_target": {"BNLJ"},
+    "events_funnel_sequential": {"BNLJ"},
 }
 
 
