@@ -39,6 +39,40 @@ def write_range_clustered(
     )
 
 
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    *,
+    x_range: tuple[float, float],
+    y_range: tuple[float, float],
+    target_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """2-D clustered parquet export: quantize both columns onto a
+    2^bits grid, range-partition on the Morton z-value, sort within
+    partitions — rows near in BOTH dimensions co-locate, so a 2-D box
+    predicate prunes most files via their (x, y) min/max stats. The
+    z column is layout-only and not written."""
+    from ..functions.zorder import quantize, zvalue
+
+    _validate_sink_dir(path)
+    z = zvalue(
+        quantize(col_x, *x_range, bits=bits),
+        quantize(col_y, *y_range, bits=bits),
+        bits=bits,
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(target_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def file_ranges(spark: SparkSession, path: str, cluster_col: str) -> DataFrame:
     """Audit helper: per-file (min, max, rows) of the clustering
     column — disjointness of these ranges is exactly the file-pruning

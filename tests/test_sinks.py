@@ -72,3 +72,53 @@ def test_range_clustered_layout(spark, sf_dir, tmp_path):
     clustered = spark.read.parquet(path).filter(F.col("o_orderdate") < cut).count()
     source = o.filter(F.col("o_orderdate") < cut).count()
     assert clustered == source
+
+
+def test_zorder_clustered_layout(spark, sf_dir, tmp_path):
+    """Z-order export: rows survive intact, and a 2-D box query needs
+    only a strict subset of files (the multi-dimensional pruning win
+    a single-column sort cannot give on the second dimension)."""
+    from syllabus_sense_spark.sinks.layout import write_zorder_clustered
+    from syllabus_sense_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    n = li.count()
+    lo_x, hi_x, lo_y, hi_y = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).collect()[0]
+    path = str(tmp_path / "li_z")
+    write_zorder_clustered(
+        li,
+        path,
+        "l_partkey",
+        "l_suppkey",
+        x_range=(lo_x, hi_x + 1),
+        y_range=(lo_y, hi_y + 1),
+        target_files=8,
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    # Box query correctness: layout never changes semantics. Box = the
+    # central ~quarter of each dimension.
+    qx = (hi_x - lo_x) // 4
+    qy = max((hi_y - lo_y) // 4, 1)
+    box = (F.col("l_partkey").between(lo_x + qx, hi_x - qx)) & (
+        F.col("l_suppkey").between(lo_y + qy, hi_y - qy)
+    )
+    assert back.filter(box).count() == li.filter(box).count()
+    # Pruning evidence: the files containing box rows are a strict
+    # subset of all files (per-file min/max of BOTH dims bound the box).
+    files_all = {
+        r["f"]
+        for r in back.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    files_box = {
+        r["f"]
+        for r in back.filter(box)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert files_box and files_box < files_all
