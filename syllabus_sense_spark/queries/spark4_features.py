@@ -107,3 +107,21 @@ def variant_props_stats(spark, sf_dir):
             F.countDistinct("event_type").cast("bigint").alias("n_types"),
         )
     )
+
+
+# GROUP BY ALL: the same ANSI text runs verbatim as the DuckDB oracle
+# — the engine's SQL front-door, not just the DataFrame API.
+_GROUP_BY_ALL_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY ALL
+"""
+
+
+@register("sql_group_by_all", _GROUP_BY_ALL_SQL)
+def sql_group_by_all(spark, sf_dir):
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUP_BY_ALL_SQL)
