@@ -68,6 +68,7 @@ def load_all_queries() -> None:
         scalar_funcs,
         scalar_funcs2,
         windows2,
+        windows3,
         pipeline_udf,
         docx_queries,
         ml_queries,
