@@ -57,14 +57,18 @@ def load_all_queries() -> None:
         ext_multimodal,
         ext_training,
         ext_training2,
+        ext_web,
+        ext_similarity2,
         spark4_features,
         dq_queries,
         agg_families,
+        agg_families2,
         ext_sketches,
         pipeline_queries,
         events,
         events2,
         events3,
+        events4,
         scalar_funcs,
         scalar_funcs2,
         windows2,

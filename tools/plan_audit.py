@@ -13,7 +13,8 @@ Allowlisted (intentional by design, see docstrings):
 - similarity_topk_bruteforce / similarity_ivf_cells: broadcast query
   set with a non-equi predicate → BNLJ over the broadcast side;
 - q11_important_supply_value / mixture_resample_to_target /
-  events_funnel_sequential: 1-row broadcast scalar-aggregate cross
+  events_funnel_sequential / events_histogram_bins /
+  embedding_quantize_int8: 1-row broadcast scalar-aggregate cross
   join (the SQL scalar-subquery shape) — BNLJ over a single broadcast
   row is the intended plan.
 
@@ -41,6 +42,8 @@ ALLOW = {
     "q11_important_supply_value": {"BNLJ"},
     "mixture_resample_to_target": {"BNLJ"},
     "events_funnel_sequential": {"BNLJ"},
+    "events_histogram_bins": {"BNLJ"},
+    "embedding_quantize_int8": {"BNLJ"},
 }
 
 
