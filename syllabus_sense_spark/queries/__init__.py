@@ -69,6 +69,7 @@ def load_all_queries() -> None:
         events2,
         events3,
         events4,
+        scd,
         scalar_funcs,
         scalar_funcs2,
         windows2,
