@@ -59,9 +59,9 @@ FROM intervals
 """
 
 
-@register("scd2_user_status", _SCD2_ORACLE)
-def scd2_user_status(spark, sf_dir):
-    e = load(spark, sf_dir, "events")
+def scd2_intervals(e):
+    """(user_id, run_id, status, valid_from, n_events) from an event
+    DataFrame — the shared interval builder (one user_id shuffle)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run_frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("event_type").over(w)
@@ -75,7 +75,7 @@ def scd2_user_status(spark, sf_dir):
         .alias("changed"),
     )
     runs = flagged.withColumn("run_id", F.sum("changed").over(run_frame))
-    intervals = runs.groupBy(
+    return runs.groupBy(
         "user_id",
         F.col("run_id").cast("bigint").alias("run_id"),
         F.col("event_type").alias("status"),
@@ -83,6 +83,11 @@ def scd2_user_status(spark, sf_dir):
         F.min("ts").alias("valid_from"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register("scd2_user_status", _SCD2_ORACLE)
+def scd2_user_status(spark, sf_dir):
+    intervals = scd2_intervals(load(spark, sf_dir, "events"))
     w_iv = Window.partitionBy("user_id").orderBy("valid_from")
     valid_to = F.lead("valid_from").over(w_iv)
     return intervals.select(
@@ -93,4 +98,76 @@ def scd2_user_status(spark, sf_dir):
         valid_to.alias("valid_to"),
         "n_events",
         valid_to.isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time lookup: the user's last non-purchase state at the
+# moment of each purchase. Composes the SCD2 dimension with the
+# as-of operator (operators/asof.py) — union + one user_id window,
+# never a nested-loop range join, so the lookup costs one shuffle
+# regardless of dimension size.
+# --------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                   OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS changed
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, ts, event_type,
+         SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS run_id
+  FROM flagged
+),
+intervals AS (
+  SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+         event_type AS status, MIN(ts) AS valid_from
+  FROM runs GROUP BY user_id, run_id, event_type
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, i.status, i.run_id,
+       i.status IS NOT NULL AS matched
+FROM p LEFT JOIN LATERAL (
+  SELECT status, run_id FROM intervals i
+  WHERE i.user_id = p.user_id AND i.valid_from <= p.ts
+  ORDER BY i.valid_from DESC LIMIT 1
+) i ON true
+"""
+
+
+@register("scd2_point_in_time", _PIT_ORACLE)
+def scd2_point_in_time(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    dim = scd2_intervals(e.filter(F.col("event_type") != "purchase")).select(
+        "user_id", "run_id", "status", "valid_from"
+    )
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        probes,
+        dim,
+        on="user_id",
+        left_time="ts",
+        right_time="valid_from",
+        value_cols=["status", "run_id"],
+        how="left",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "status",
+        "run_id",
+        F.col("status").isNotNull().alias("matched"),
     )
