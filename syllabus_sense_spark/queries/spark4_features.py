@@ -125,3 +125,74 @@ GROUP BY ALL
 def sql_group_by_all(spark, sf_dir):
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Collation (Spark 4): case-insensitive grouping via UNICODE_CI. The
+# harness langs are already lowercase, so the query first *creates*
+# case drift (upper-cases even doc_ids — deterministic), then groups
+# under the collation; the surfaced key is normalized with lower() so
+# both engines emit identical strings. DuckDB twin groups on
+# lower(...) — same semantics for ASCII case drift.
+# --------------------------------------------------------------------------
+
+_COLLATE_ORACLE = """
+WITH drifted AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS lang_mixed,
+         n_chars
+  FROM documents
+)
+SELECT lower(lang_mixed) AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM drifted
+GROUP BY lower(lang_mixed)
+"""
+
+
+@register("collation_ci_grouping", _COLLATE_ORACLE)
+def collation_ci_grouping(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    drifted = d.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+        .otherwise(F.col("lang"))
+        .alias("lang_mixed"),
+        "n_chars",
+    )
+    return (
+        drifted.groupBy(F.collate("lang_mixed", "UNICODE_CI").alias("_k"))
+        .agg(
+            F.lower(F.max("lang_mixed")).alias("lang"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select("lang", "n_docs", "total_chars")
+    )
+
+
+# --------------------------------------------------------------------------
+# Regexp family: counts/positions — pure codegen expressions in
+# Spark; DuckDB lacks regexp_count, so its twin measures via
+# len(regexp_extract_all(...)). Patterns stay in the Java∩RE2 subset
+# (no backrefs/lookaround) so both engines agree.
+# --------------------------------------------------------------------------
+
+_REGEXP_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, 'ta[a-z]+')) AS BIGINT)
+         AS n_ta_words,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+       regexp_matches(text, 'spark') AS mentions_spark
+FROM documents
+"""
+
+
+@register("regexp_functions", _REGEXP_ORACLE)
+def regexp_functions(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"ta[a-z]+")).alias("n_ta_words"),
+        F.regexp_count("text", F.lit(r"[0-9]+")).alias("n_numbers"),
+        F.regexp("text", F.lit("spark")).alias("mentions_spark"),
+    )
