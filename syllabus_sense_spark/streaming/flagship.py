@@ -49,15 +49,23 @@ def stream_flagship_drain(
 ):
     """Drain all pending element files through the flagship chain into
     a partitioned parquet sink; returns the StreamingQuery (call
-    ``awaitTermination()``; ``availableNow`` stops it when drained)."""
+    ``awaitTermination()``; ``availableNow`` stops it when drained).
+
+    The sink is the exactly-once writer: batch-id-keyed dynamic
+    partition overwrite + commit ledger, so a micro-batch replayed
+    after a crash between data write and checkpoint commit overwrites
+    its own partition instead of appending a duplicate (the failure
+    mode the reference's read-modify-write sink had, SURVEY.md §3)."""
+    from .exactly_once import idempotent_batch_writer
+
+    write_batch = idempotent_batch_writer(
+        out_dir,
+        ledger_dir=checkpoint_dir + "-ledger",
+        partition_cols=["topic"],
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        questions = flagship_from_elements(batch_df)
-        (
-            questions.write.partitionBy("topic")
-            .mode("append")
-            .parquet(out_dir)
-        )
+        write_batch(flagship_from_elements(batch_df), batch_id)
 
     return (
         element_stream(spark, elements_dir)
