@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from .ext_dedup import shingle_hashes
+from .ext_dedup import _fingerprint, shingle_hashes
 
 # --- deterministic train/valid/test split ---------------------------------
 
@@ -119,6 +119,81 @@ def contamination_ngram_overlap(spark, sf_dir):
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
         .filter(F.col("n_shared_shingles") >= _MIN_OVERLAP)
+    )
+
+
+# --- cross-source overlap matrix -------------------------------------------
+# Pairwise vocabulary Jaccard between every pair of corpus sources —
+# the "how much do my data sources overlap" diagnostic that decides
+# mixture weights and flags mirror/scrape duplication between feeds.
+# Scale shape: the corpus collapses to distinct (source, token-
+# fingerprint) pairs FIRST (one map-side-combining shuffle, output
+# bounded by n_sources x vocabulary, not corpus size); the pair join
+# keys on the 48-bit fingerprint, and a token shared by all S sources
+# fans out to at most S^2 rows, so there is no skew for any realistic
+# source count. Per-source vocabulary sizes are a tiny aggregate
+# broadcast back for the Jaccard denominator.
+
+_SOURCE_MATRIX_ORACLE = """
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+  FROM documents
+),
+vocab AS (
+  SELECT DISTINCT source,
+         CAST(concat('0x', substr(md5(s.tok), 1, 12)) AS BIGINT) AS h
+  FROM toks, UNNEST(t) AS s(tok)
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM vocab GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+  FROM vocab a
+  JOIN vocab b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.src_a, i.src_b, i.n_shared,
+       CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+"""
+
+
+@register("source_overlap_matrix", _SOURCE_MATRIX_ORACLE)
+def source_overlap_matrix(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("source", "text")
+    toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    vocab = (
+        d.select("source", F.explode(toks).alias("tok"))
+        .select("source", _fingerprint(F.col("tok")).alias("h"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    # n_sources rows — broadcast both denominator lookups.
+    size_a = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    size_b = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(size_a), "src_a")
+        .join(F.broadcast(size_b), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
     )
 
 
