@@ -66,6 +66,72 @@ def text_quality_scores(spark, sf_dir):
     )
 
 
+# --- unigram-LM quality score ----------------------------------------------
+# CCNet/Gopher-style LM quality filtering, re-expressed with exact
+# arithmetic so the score is bit-identical across engines: instead of
+# a per-token log-prob sum (order-dependent double summation — would
+# never hash-match), score each document by its MEAN UNIGRAM
+# PROBABILITY sum(freq(tok)) / (n_tokens * corpus_tokens) — integer
+# sums all the way, one final IEEE division — plus the rarest-token
+# count (strongest single gibberish/noise signal). Monotone in the
+# same quantity an LM filter thresholds on.
+#
+# Scale shape: token table -> one map-side-combining groupBy(h) for
+# the frequency model (output = vocabulary size, millions of rows at
+# 100 TB — broadcast if it fits, shuffle-hash join on uniform 48-bit
+# int keys otherwise), the corpus-total scalar is a 1-row broadcast
+# cross join, then one per-doc aggregate. No Python, no log().
+
+_UNIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s.tok), 1, 12)) AS BIGINT) AS h
+  FROM toks, UNNEST(t) AS s(tok)
+),
+freq AS (SELECT h, COUNT(*) AS c FROM tok GROUP BY h),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM freq)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       MIN(f.c) AS rarest_token_count,
+       CAST(CAST(SUM(f.c) AS BIGINT) AS DOUBLE)
+         / (COUNT(*) * MAX(total.n)) AS mean_unigram_p
+FROM tok t
+JOIN freq f USING (h)
+CROSS JOIN total
+GROUP BY t.doc_id
+"""
+
+
+@register("quality_unigram_lm_score", _UNIGRAM_ORACLE)
+def quality_unigram_lm_score(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    tok = d.select("doc_id", F.explode(toks).alias("tok")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("bigint").alias("h"),
+    )
+    freq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("bigint").alias("n"))
+    return (
+        tok.join(freq, "h")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.min("c").alias("rarest_token_count"),
+            (
+                F.sum("c").cast("double")
+                / (F.count(F.lit(1)) * F.max("n"))
+            ).alias("mean_unigram_p"),
+        )
+    )
+
+
 _LANG_ORACLE = """
 SELECT
   lang,
