@@ -35,16 +35,74 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def load_all_queries() -> None:
-    """Import every query module (idempotent) to fill the registry.
+# Queries with no CORRECTNESS row after rounds 1-2 (the driver checks
+# the first 50 registered per round). These register first in round 3
+# so that, combined with r01's 50 relational/window rows and r02's 50
+# ext/pipeline rows, every registered query carries driver evidence.
+# The one re-check in the list is pack_sequences_greedy (r02 hash fail,
+# oracle HUGEINT cast fixed in ext_training2.py).
+_ROUND3_PRIORITY = [
+    "pack_sequences_greedy",
+    # -- oracle-ready, never checked --
+    "pipeline_union_accumulate",
+    "pipeline_limit_topics",
+    "events_tumbling_hourly",
+    "events_sessionize_gap30m",
+    "events_asof_last_order",
+    "events_asof_inner",
+    "events_sliding_windows",
+    "events_sliding_window_agg",
+    "events_session_window_native",
+    "events_rollup_daily_from_hourly",
+    "events_latest_per_key",
+    "events_session_capped",
+    "events_cohort_retention",
+    "events_funnel_sequential",
+    "events_interval_join_views",
+    "events_gapfill_forward",
+    "events_histogram_bins",
+    "scd2_user_status",
+    "scd2_point_in_time",
+    "string_functions",
+    "datetime_functions",
+    "math_functions",
+    "array_explode_token_counts",
+    "array_ops_slice_distinct",
+    "json_extract_props",
+    "map_functions",
+    "struct_functions",
+    "json_roundtrip",
+    "date_arithmetic",
+    "null_handling_functions",
+    "union_by_name_missing",
+    "array_posexplode_tokens",
+    "try_functions_safe_arith",
+    "window_distinct_users_running",
+    "array_explode_outer_keepempty",
+    "q2_min_cost_supplier",
+    "q11_important_supply_value",
+    "q20_excess_volume_suppliers",
+    "q16_supplier_part_counts",
+    "recursive_month_series",
+    "join_null_safe_eq",
+    "subquery_scalar_in_select",
+    # -- rows-only, never checked --
+    "pipeline_extract_subtopics",
+    "pipeline_plan_questions",
+    "pipeline_flagship_questions",
+    "text_lang_id_heuristic",
+    "docx_parse_topics",
+    "ml_minhash_lsh_dupes",
+    "similarity_ivf_kmeans",
+]
 
-    Registration order is deliberate: the driver verifies queries in
-    registration order under a time budget, so the modules whose
-    queries have not yet carried a CORRECTNESS row (every ``ext_*``
-    extension operator, pipeline, events, scalar-function family)
-    register FIRST, oracle-ready before rows-only; the 48 queries
-    already proven green in round 1 (relational*/windows*) register
-    last.
+
+def load_all_queries() -> None:
+    """Import every query module (idempotent) to fill the registry,
+    then reorder it so queries without a prior CORRECTNESS row come
+    first (the driver verifies the first 50 registered per round —
+    module import order alone is too coarse because checked and
+    unchecked queries share modules).
     """
     from . import (  # noqa: F401
         ext_dedup,
@@ -83,3 +141,11 @@ def load_all_queries() -> None:
         relational2,
         relational3,
     )
+
+    order = [n for n in _ROUND3_PRIORITY if n in QUERIES] + [
+        n for n in QUERIES if n not in _ROUND3_PRIORITY
+    ]
+    for registry in (QUERIES, ORACLE):
+        reordered = {n: registry[n] for n in order if n in registry}
+        registry.clear()
+        registry.update(reordered)

@@ -139,14 +139,14 @@ _PACK_CAPACITY = 4096
 _PACK_ORACLE = f"""
 SELECT doc_id, source,
        (n_chars + 3) // 4 AS n_tok,
-       COALESCE(SUM((n_chars + 3) // 4) OVER (
+       CAST(COALESCE(SUM((n_chars + 3) // 4) OVER (
          PARTITION BY source ORDER BY doc_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         // {_PACK_CAPACITY} AS pack_id,
-       COALESCE(SUM((n_chars + 3) // 4) OVER (
+         // {_PACK_CAPACITY} AS BIGINT) AS pack_id,
+       CAST(COALESCE(SUM((n_chars + 3) // 4) OVER (
          PARTITION BY source ORDER BY doc_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         % {_PACK_CAPACITY} AS pack_offset
+         % {_PACK_CAPACITY} AS BIGINT) AS pack_offset
 FROM documents
 """
 
