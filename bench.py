@@ -64,16 +64,28 @@ def main() -> None:
     # one-off costs (codegen compile, broadcast build, shuffle-file
     # creation); the min is the steady-state number a resident cluster
     # would see, and it keeps round-over-round deltas out of the noise.
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    # 3 warm iterations: single-warm-repeat minima still showed 2-5x
+    # run-to-run swings on shared hardware; min-of-3 pins the
+    # steady-state number.
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = q.QUERIES[name]
+        fn = q.QUERIES.get(name)
+        if fn is None:
+            errors[name] = "not registered"
+            continue
         best = float("inf")
-        for _ in range(iters):
-            df = fn(spark, sf_dir)
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+        try:
+            for _ in range(iters):
+                df = fn(spark, sf_dir)
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+        except Exception as exc:  # noqa: BLE001 — one bad query must not zero the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -85,6 +97,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

@@ -35,66 +35,35 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# Queries with no CORRECTNESS row after rounds 1-2 (the driver checks
-# the first 50 registered per round). These register first in round 3
-# so that, combined with r01's 50 relational/window rows and r02's 50
-# ext/pipeline rows, every registered query carries driver evidence.
-# The one re-check in the list is pack_sequences_greedy (r02 hash fail,
-# oracle HUGEINT cast fixed in ext_training2.py).
-_ROUND3_PRIORITY = [
-    "pack_sequences_greedy",
-    # -- oracle-ready, never checked --
-    "pipeline_union_accumulate",
-    "pipeline_limit_topics",
-    "events_tumbling_hourly",
-    "events_sessionize_gap30m",
-    "events_asof_last_order",
-    "events_asof_inner",
-    "events_sliding_windows",
-    "events_sliding_window_agg",
-    "events_session_window_native",
-    "events_rollup_daily_from_hourly",
-    "events_latest_per_key",
-    "events_session_capped",
-    "events_cohort_retention",
-    "events_funnel_sequential",
-    "events_interval_join_views",
-    "events_gapfill_forward",
-    "events_histogram_bins",
-    "scd2_user_status",
-    "scd2_point_in_time",
-    "string_functions",
-    "datetime_functions",
-    "math_functions",
-    "array_explode_token_counts",
-    "array_ops_slice_distinct",
-    "json_extract_props",
-    "map_functions",
-    "struct_functions",
-    "json_roundtrip",
-    "date_arithmetic",
-    "null_handling_functions",
-    "union_by_name_missing",
-    "array_posexplode_tokens",
-    "try_functions_safe_arith",
-    "window_distinct_users_running",
-    "array_explode_outer_keepempty",
-    "q2_min_cost_supplier",
-    "q11_important_supply_value",
-    "q20_excess_volume_suppliers",
-    "q16_supplier_part_counts",
-    "recursive_month_series",
-    "join_null_safe_eq",
-    "subquery_scalar_in_select",
-    # -- rows-only, never checked --
-    "pipeline_extract_subtopics",
-    "pipeline_plan_questions",
-    "pipeline_flagship_questions",
-    "text_lang_id_heuristic",
-    "docx_parse_topics",
-    "ml_minhash_lsh_dupes",
-    "similarity_ivf_kmeans",
+# The driver checks the first 50 registered queries per round. Rounds
+# 1-3 produced green rows for almost everything; round 4 front-loads
+# (a) every query whose last driver check failed and has since been
+# fixed, (b) the three queries that never got any row, and (c) queries
+# newly added this round. Remaining slots fall through to already-green
+# queries (harmless re-confirmation).
+_ROUND4_PRIORITY = [
+    # -- fixed this round, need a green re-check --
+    "events_sessionize_gap30m",  # r03 err: TIMESTAMP_NTZ vs unix_micros
+    "events_session_capped",  # r03 err: same
+    "events_rollup_daily_from_hourly",  # r03 hash: SUM(BIGINT)->HUGEINT
+    "q2_min_cost_supplier",  # r03 hash: decimal col Arrow metadata
+    "pipeline_extract_subtopics",  # r03 err: ndarray in driver canon
+    "pipeline_flagship_questions",  # r03 err: same
+    "q12_priority_by_band",  # r01 hash: HUGEINT cast (fixed r02, unchecked)
+    "pivot_status_counts",  # r01 hash: same
+    # -- never carried any CORRECTNESS row --
+    "agg_approx_sketches",
+    "ml_brp_lsh_neighbors",
+    "ml_tfidf_embeddings",
+    # -- new queries added in round 4 (registered below as built) --
 ]
+
+
+def prioritize(*names: str) -> None:
+    """Append round-4 additions to the front-of-line check list."""
+    for n in names:
+        if n not in _ROUND4_PRIORITY:
+            _ROUND4_PRIORITY.append(n)
 
 
 def load_all_queries() -> None:
@@ -142,8 +111,8 @@ def load_all_queries() -> None:
         relational3,
     )
 
-    order = [n for n in _ROUND3_PRIORITY if n in QUERIES] + [
-        n for n in QUERIES if n not in _ROUND3_PRIORITY
+    order = [n for n in _ROUND4_PRIORITY if n in QUERIES] + [
+        n for n in QUERIES if n not in _ROUND4_PRIORITY
     ]
     for registry in (QUERIES, ORACLE):
         reordered = {n: registry[n] for n in order if n in registry}

@@ -21,6 +21,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def epoch_us(col: str | Column) -> Column:
+    """Exact integer microseconds since epoch, NTZ-safe.
+
+    The harness parquet stores ``timestamp[us]`` without a timezone
+    annotation, which Spark 4 reads as TIMESTAMP_NTZ — a type
+    ``unix_micros`` rejects. The session timezone is pinned to UTC
+    (session.py RUNTIME_CONF), so casting NTZ → TIMESTAMP is
+    value-preserving and the result matches DuckDB ``epoch_us``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def dec2(col: str | Column) -> Column:
     """Exact 2-dp decimal view of a money/quantity/rate column."""
     c = F.col(col) if isinstance(col, str) else col

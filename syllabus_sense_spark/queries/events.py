@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..operators.asof import asof_join
 from ..tables import load
 from . import register
-from ._util import dec2
+from ._util import dec2, epoch_us
 
 _TUMBLING_ORACLE = """
 SELECT
@@ -92,13 +92,13 @@ def events_sessionize_gap30m(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_us = F.unix_micros(F.lag("ts").over(w))
+    prev_us = epoch_us(F.lag("ts").over(w))
     flagged = e.select(
         "user_id",
         "ts",
         "value",
         F.when(
-            prev_us.isNull() | ((F.unix_micros(F.col("ts")) - prev_us) > 1_800_000_000),
+            prev_us.isNull() | ((epoch_us("ts") - prev_us) > 1_800_000_000),
             F.lit(1),
         )
         .otherwise(F.lit(0))
@@ -111,7 +111,7 @@ def events_sessionize_gap30m(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        (epoch_us(F.max("ts")) - epoch_us(F.min("ts")))
         .cast("long")
         .alias("duration_us"),
         F.sum(dec2("value")).cast("double").alias("session_value"),

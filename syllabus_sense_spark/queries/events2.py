@@ -137,7 +137,7 @@ WITH hourly AS (
 SELECT
   CAST(date_trunc('day', hour_start) AS TIMESTAMP) AS day_start,
   event_type,
-  SUM(n_events) AS n_events,
+  CAST(SUM(n_events) AS BIGINT) AS n_events,
   CAST(SUM(total_value) AS DOUBLE) AS total_value,
   COUNT(*) AS n_active_hours
 FROM hourly

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2
+from ._util import dec2, epoch_us
 
 # --------------------------------------------------------------------------
 # Capped sessions: 30-minute-gap sessions chunked into ≤1h windows
@@ -68,14 +68,13 @@ def events_session_capped(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_us = F.unix_micros(F.lag("ts").over(w))
+    prev_us = epoch_us(F.lag("ts").over(w))
     flagged = e.select(
         "user_id",
         "ts",
         "value",
         F.when(
-            prev_us.isNull()
-            | ((F.unix_micros(F.col("ts")) - prev_us) > 1_800_000_000),
+            prev_us.isNull() | ((epoch_us("ts") - prev_us) > 1_800_000_000),
             F.lit(1),
         )
         .otherwise(F.lit(0))
@@ -87,7 +86,7 @@ def events_session_capped(spark, sf_dir):
         F.min("ts").over(Window.partitionBy("user_id", "session_id")),
     )
     chunk = (
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("session_start")))
+        (epoch_us("ts") - epoch_us("session_start"))
         / 3_600_000_000
     ).cast("bigint")
     return (

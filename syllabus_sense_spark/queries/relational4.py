@@ -44,7 +44,8 @@ WITH ps AS (
   GROUP BY l_partkey, l_suppkey
 )
 SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name AS nation,
-       CAST(s.s_acctbal AS DECIMAL(18,2)) AS s_acctbal, ps.unit_cost
+       CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal,
+       ps.unit_cost
 FROM ps
 JOIN part p ON p.p_partkey = ps.l_partkey
 JOIN supplier s ON s.s_suppkey = ps.l_suppkey
@@ -91,7 +92,11 @@ def q2_min_cost_supplier(spark, sf_dir):
             "p_brand",
             "s_name",
             F.col("n_name").alias("nation"),
-            dec2("s_acctbal").alias("s_acctbal"),
+            # double, not raw decimal: the driver's Arrow-level value
+            # hash is sensitive to decimal precision metadata, which
+            # differs across engines even when values are identical
+            # (r03: rows+schema matched, hash didn't).
+            dec2("s_acctbal").cast("double").alias("s_acctbal"),
             "unit_cost",
         )
     )

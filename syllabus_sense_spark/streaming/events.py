@@ -20,23 +20,39 @@ from pyspark.sql import functions as F
 
 from ..session import tune
 
-EVENTS_SCHEMA = (
+EVENTS_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+EVENTS_SCHEMA_MICROS = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
 
 
 def _event_stream(spark: SparkSession, sf_dir: str):
-    """File-source stream of the events table. The nanos `ts` arrives
-    as long (see session.RUNTIME_CONF) and converts exactly like the
-    batch loader."""
+    """File-source stream of the events table.
+
+    Streaming sources need a declared schema, and the harness parquet
+    has shipped two physical encodings of ``ts`` (TIMESTAMP(NANOS),
+    which session.RUNTIME_CONF surfaces as long, and plain
+    ``timestamp[us]``) — so probe the batch-read schema once and
+    branch, converting exactly like the batch loader (tables.load).
+    """
     tune(spark)
+    probe = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+    )
+    ts_type = next(f.dataType.simpleString() for f in probe if f.name == "ts")
+    schema = EVENTS_SCHEMA_NANOS if ts_type == "bigint" else EVENTS_SCHEMA_MICROS
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
 
 
 def stream_hourly_counts(

@@ -60,7 +60,10 @@ def test_stateful_dedupe_state_survives_restart(spark, sf_dir, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     e = load(spark, sf_dir, "events").select(
-        "event_id", F.unix_micros("ts").alias("us"), "user_id", "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "user_id",
+        "event_type",
         "value", "props",
     )
     part1 = e.filter(F.col("event_id") % 2 == 0)
