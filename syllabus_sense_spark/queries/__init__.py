@@ -91,6 +91,9 @@ def load_all_queries() -> None:
         agg_families,
         agg_families2,
         ext_sketches,
+        ext_text4,
+        agg_families3,
+        events5,
         pipeline_queries,
         events,
         events2,

@@ -6,6 +6,8 @@ gate table.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..operators.expectations import (
     expect_accepted_values,
     expect_in_range,
@@ -15,7 +17,7 @@ from ..operators.expectations import (
     run_expectations,
 )
 from ..tables import load
-from . import register
+from . import prioritize, register
 
 _DQ_ORACLE = """
 WITH agg AS (
@@ -53,3 +55,95 @@ def dq_check_orders(spark, sf_dir):
             expect_matches("o_orderpriority", "^[1-5]-"),
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity gate: orphan counts for every foreign key in
+# the star schema. Each check is a left-anti join against the parent
+# key set — dimension parents broadcast (their key columns are tiny at
+# any realistic cardinality), the lineitem→orders check shuffles on
+# the natural join key and AQE handles the rest. A violation count of
+# zero per FK is the pass condition, same contract as dq_check_orders.
+# --------------------------------------------------------------------------
+
+_FK_ORACLE = """
+SELECT 'orders.o_custkey -> customer' AS fk,
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+            AS BIGINT) AS n_orphans,
+       (SELECT COUNT(*) FROM orders o
+        WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0 AS passed
+UNION ALL
+SELECT 'lineitem.l_orderkey -> orders',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+            AS BIGINT),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+UNION ALL
+SELECT 'lineitem.l_partkey -> part',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE l.l_partkey NOT IN (SELECT p_partkey FROM part))
+            AS BIGINT),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l.l_partkey NOT IN (SELECT p_partkey FROM part)) = 0
+UNION ALL
+SELECT 'lineitem.l_suppkey -> supplier',
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+            AS BIGINT),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier)) = 0
+"""
+
+
+@register("dq_check_fk_integrity", _FK_ORACLE)
+def dq_check_fk_integrity(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    checks = [
+        (
+            "orders.o_custkey -> customer",
+            o.join(
+                F.broadcast(load(spark, sf_dir, "customer").select("c_custkey")),
+                o.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ),
+        ),
+        (
+            "lineitem.l_orderkey -> orders",
+            l.join(
+                o.select("o_orderkey"),
+                l.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ),
+        ),
+        (
+            "lineitem.l_partkey -> part",
+            l.join(
+                F.broadcast(load(spark, sf_dir, "part").select("p_partkey")),
+                l.l_partkey == F.col("p_partkey"),
+                "left_anti",
+            ),
+        ),
+        (
+            "lineitem.l_suppkey -> supplier",
+            l.join(
+                F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey")),
+                l.l_suppkey == F.col("s_suppkey"),
+                "left_anti",
+            ),
+        ),
+    ]
+    out = None
+    for fk_name, orphans in checks:
+        row = orphans.agg(F.count(F.lit(1)).alias("n_orphans")).select(
+            F.lit(fk_name).alias("fk"),
+            F.col("n_orphans"),
+            (F.col("n_orphans") == 0).alias("passed"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+prioritize("dq_check_fk_integrity")
