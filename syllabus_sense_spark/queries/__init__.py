@@ -92,6 +92,7 @@ def load_all_queries() -> None:
         agg_families2,
         ext_sketches,
         ext_text4,
+        ext_pq,
         agg_families3,
         events5,
         pipeline_queries,
