@@ -93,6 +93,7 @@ def load_all_queries() -> None:
         ext_sketches,
         ext_text4,
         ext_pq,
+        ext_semdedup,
         agg_families3,
         events5,
         pipeline_queries,
