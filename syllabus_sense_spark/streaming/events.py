@@ -161,6 +161,41 @@ def stream_view_purchase_join(
     )
 
 
+def stream_enrich_static_dim(
+    spark: SparkSession, sf_dir: str, query_name: str = "enrich_dim"
+):
+    """Stream-static broadcast enrichment: the event stream joins the
+    static customer dimension per micro-batch — the canonical streaming
+    lookup-join (the reference's A12 broadcast join, streaming form).
+
+    The static side is a plain batch DataFrame re-resolved each
+    micro-batch (so a dimension refresh between batches is picked up);
+    broadcast keeps the join shuffle-free — stream state is ZERO
+    because stream-static joins are stateless. Miss-drop (inner)
+    mirrors the reference's behavior of skipping unmatched rows.
+    """
+    from ..tables import load
+
+    events = _event_stream(spark, sf_dir)
+    dim = F.broadcast(
+        load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_nationkey").alias("nation_key"),
+        )
+    )
+    enriched = events.join(dim, "user_id", "inner").select(
+        "event_id", "user_id", "event_type", "ts", "customer_name", "nation_key"
+    )
+    return (
+        enriched.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_dedupe_within_watermark(
     spark: SparkSession, sf_dir: str, query_name: str = "dedup_wm"
 ):

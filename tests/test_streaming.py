@@ -99,3 +99,28 @@ def test_dedupe_within_watermark_exactly_distinct(spark, sf_dir):
     got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_wm_t").collect()[0]
     want = load(spark, sf_dir, "events").select("event_id").distinct().count()
     assert got.n == got.d == want
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    """Stream-static broadcast dimension join equals the batch join
+    (stateless per micro-batch, inner/miss-drop semantics)."""
+    from syllabus_sense_spark.streaming import stream_enrich_static_dim
+
+    q = stream_enrich_static_dim(spark, sf_dir, query_name="t_enrich")
+    q.awaitTermination(120)
+    streamed = {
+        (r.event_id, r.customer_name, r.nation_key)
+        for r in spark.sql("SELECT * FROM t_enrich").collect()
+    }
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_nationkey").alias("nation_key"),
+    )
+    batch = {
+        (r.event_id, r.customer_name, r.nation_key)
+        for r in e.join(c, "user_id", "inner").collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0

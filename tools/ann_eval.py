@@ -50,6 +50,47 @@ def main() -> None:
             "queries_answered": len(got),
             "wall_sec": round(wall, 2),
         }
+
+    # PQ+rerank over the SAME query set (vec_id % 100 = 0; unit-norm
+    # vectors, so L2 top-k == cosine top-k). Self-matches are excluded
+    # to align with the brute-force query's "neighbor != query" rule.
+    from pyspark.sql import functions as F
+    from syllabus_sense_spark.operators.pq import (
+        assign_codes,
+        pq_search,
+        subvectors,
+        train_codebook,
+    )
+    from syllabus_sense_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    subs = subvectors(emb, dim=64)
+    centroids = train_codebook(subs)
+    codes = assign_codes(subs, centroids)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+
+    def pq_rows():
+        return (
+            pq_search(emb, codes, centroids, queries_df, dim=64, k=6)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .collect()
+        )
+
+    pq_rows()  # warm (also materializes the trained codebook path)
+    t0 = time.time()
+    rows = pq_rows()
+    wall = time.time() - t0
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(got.get(qid, set()) & nbrs) / len(nbrs) for qid, nbrs in exact.items()
+    ]
+    out["similarity_pq_adc_rerank"] = {
+        "recall_at_5": round(sum(recalls) / len(recalls), 3),
+        "queries_answered": len(got),
+        "wall_sec": round(wall, 2),
+    }
     print(json.dumps({"sf_dir": sf_dir, "exact_queries": len(exact), "variants": out}))
 
 
