@@ -94,6 +94,7 @@ def load_all_queries() -> None:
         ext_text4,
         ext_pq,
         ext_semdedup,
+        ext_training3,
         agg_families3,
         events5,
         pipeline_queries,
