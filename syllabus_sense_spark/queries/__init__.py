@@ -95,6 +95,7 @@ def load_all_queries() -> None:
         ext_pq,
         ext_semdedup,
         ext_training3,
+        ext_dedup2,
         agg_families3,
         events5,
         pipeline_queries,
