@@ -96,6 +96,7 @@ def load_all_queries() -> None:
         ext_semdedup,
         ext_training3,
         ext_dedup2,
+        streaming_queries,
         agg_families3,
         events5,
         pipeline_queries,
