@@ -4,11 +4,14 @@ high-cosine vectors collapse to one canonical representative.
 
 Pipeline shape (the published SemDeDup recipe, Spark-first):
 
-1. coarse-quantize every vector to its nearest centroid cell
-   (broadcast centroid set, argmax cosine — the IVF assignment from
-   ext_similarity.py);
-2. find intra-cell pairs with cosine >= τ — an equi-join on cell_id,
-   so the pair search is n²/n_cells, never corpus-quadratic;
+1. coarse-quantize every vector to its TWO nearest centroid cells
+   (broadcast centroid set, cosine rank ≤ 2 — multi-probe assignment:
+   single-probe misses pairs that straddle a cell boundary, which the
+   +0.05 perturbation reliably manufactures for near-boundary
+   vectors);
+2. find intra-cell pairs with cosine >= τ — an equi-join on cell_id
+   with a DISTINCT over pairs found in both shared cells; pair search
+   cost is 4·n²/n_cells, never corpus-quadratic;
 3. connected components over the pair graph (the min-label propagation
    operator from ext_graph.py);
 4. keep the minimum vec_id per component.
@@ -60,9 +63,9 @@ assigned AS (
     ) AS cent_rank
   FROM corpus CROSS JOIN cent
 ),
-cells AS (SELECT vec_id, v, cent_id FROM assigned WHERE cent_rank = 1),
+cells AS (SELECT vec_id, v, cent_id FROM assigned WHERE cent_rank <= 2),
 pairs AS (
-  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
   FROM cells a JOIN cells b
     ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
   WHERE {_SQL_COSINE.format(a="a.v", b="b.v")} >= {_TAU}
@@ -118,7 +121,7 @@ def dedup_semantic_clusters(spark, sf_dir):
     cells = (
         corpus.crossJoin(F.broadcast(cent))
         .withColumn("cent_rank", F.row_number().over(w_assign))
-        .filter(F.col("cent_rank") == 1)
+        .filter(F.col("cent_rank") <= 2)
         .select("vec_id", "v", "nrm", "cent_id")
     )
     a = cells.alias("a")
@@ -134,6 +137,7 @@ def dedup_semantic_clusters(spark, sf_dir):
         )
         .filter(sim >= _TAU)
         .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
+        .distinct()
     )
     comp = connected_components(pairs).select(
         F.col("doc_id").alias("vec_id"), "component_id"
