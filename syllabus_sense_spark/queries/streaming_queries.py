@@ -57,4 +57,43 @@ def streaming_static_enrich_drain(spark, sf_dir):
     )
 
 
-prioritize("streaming_tumbling_hourly_drain", "streaming_static_enrich_drain")
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM flagged
+)
+SELECT
+  MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+  user_id,
+  COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register("streaming_session_windows_drain", _SESSION_ORACLE)
+def streaming_session_windows_drain(spark, sf_dir):
+    from ..streaming import stream_session_windows
+
+    q = stream_session_windows(spark, sf_dir, query_name="harness_session_drain")
+    q.awaitTermination(600)
+    return spark.sql("SELECT * FROM harness_session_drain")
+
+
+prioritize(
+    "streaming_tumbling_hourly_drain",
+    "streaming_static_enrich_drain",
+    "streaming_session_windows_drain",
+)
