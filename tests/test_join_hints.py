@@ -36,3 +36,45 @@ def test_merge_hint_forces_smj(spark, sf_dir):
     c = load(spark, sf_dir, "customer").hint("merge")
     plan = _plan(o.join(c, o.o_custkey == c.c_custkey))
     assert "SortMergeJoin" in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Runtime-filter posture for the 100 TB deployment: a selective
+    filter on the build side injects a bloom filter into the probe-side
+    scan, pruning shuffle input before the join. The size thresholds
+    that gate injection are sized for real clusters (probe side >=
+    10 GB), so the test lowers them to demonstrate the capability at
+    harness scale; result equality against the unfiltered plan is
+    asserted too."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        l = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        assert "bloom_filter_agg" in _plan(j)
+        with_bloom = {(r.o_orderpriority, r.n) for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    plain = (
+        load(spark, sf_dir, "lineitem")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert with_bloom == {(r.o_orderpriority, r.n) for r in plain.collect()}
