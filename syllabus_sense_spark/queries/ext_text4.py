@@ -16,6 +16,7 @@ doubles in engine-dependent order.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from ..tables import load
@@ -84,4 +85,87 @@ def text_boilerplate_fraction(spark, sf_dir):
     )
 
 
-prioritize("text_boilerplate_fraction")
+# --------------------------------------------------------------------------
+# Text normalization: the first stage of every curation pipeline —
+# case-fold, collapse runs of whitespace (incl. tabs/newlines), strip
+# leading/trailing space. The harness corpus is already clean, so the
+# query deterministically re-dirties it first (both engines build the
+# identical messy string), then must normalize it back. Pure
+# whole-stage-codegen string expressions; the regexes use only
+# constructs with identical semantics in Java regex and RE2.
+# --------------------------------------------------------------------------
+
+_NORM_ORACLE = r"""
+WITH messy AS (
+  SELECT doc_id,
+         concat('  ', upper(substr(text, 1, 10)), chr(9), substr(text, 11),
+                '   ', chr(10)) AS raw
+  FROM documents WHERE doc_id % 25 = 1
+)
+SELECT
+  doc_id,
+  trim(regexp_replace(lower(raw), '[ \t\n]+', ' ', 'g')) AS norm_text,
+  CAST(length(raw) AS BIGINT) AS raw_len,
+  CAST(length(trim(regexp_replace(lower(raw), '[ \t\n]+', ' ', 'g'))) AS BIGINT)
+    AS norm_len
+FROM messy
+"""
+
+
+@register("text_normalize_clean", _NORM_ORACLE)
+def text_normalize_clean(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 1)
+    raw = F.concat(
+        F.lit("  "),
+        F.upper(F.substring("text", 1, 10)),
+        F.lit("\t"),
+        F.expr("substring(text, 11)"),
+        F.lit("   \n"),
+    )
+    messy = d.select("doc_id", raw.alias("raw"))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("raw")), r"[ \t\n]+", " "))
+    return messy.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length("raw").cast("bigint").alias("raw_len"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Compression-ratio quality signal (rows-only): zlib-compressed size /
+# raw size — the cheap entropy proxy real curation pipelines use to
+# flag boilerplate (ratio ≪ typical) and gibberish (ratio ≈ 1). No SQL
+# twin (DuckDB has no zlib), so laws live in tests: repetitive text
+# compresses far better than varied text, ratio bounds hold.
+# Arrow-batched pandas UDF — one Python roundtrip per batch, the
+# documented slow-path pattern for logic built-ins cannot express.
+# --------------------------------------------------------------------------
+
+
+@register("text_compression_ratio")  # rows-only: no zlib in DuckDB
+def text_compression_ratio(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def comp_ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: round(len(zlib.compress(t.encode("utf-8"), 6)) / len(t), 6)
+            if t
+            else None
+        )
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        comp_ratio(F.col("text")).alias("compression_ratio"),
+    )
+
+
+prioritize(
+    "text_boilerplate_fraction", "text_normalize_clean", "text_compression_ratio"
+)

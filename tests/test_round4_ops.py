@@ -85,3 +85,44 @@ def test_fk_integrity_all_pass_on_clean_harness(spark, sf_dir):
     rows = dq_check_fk_integrity(spark, sf_dir).collect()
     assert len(rows) == 4
     assert all(r.passed and r.n_orphans == 0 for r in rows)
+
+
+def test_compression_ratio_laws(spark, sf_dir):
+    from syllabus_sense_spark.queries.ext_text4 import text_compression_ratio
+
+    rows = text_compression_ratio(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.compression_ratio < 1.5
+    # the harness corpus draws from a ~30-word vocabulary: repetitive
+    # text must compress well on average
+    avg = sum(r.compression_ratio for r in rows) / len(rows)
+    assert avg < 0.7
+
+
+def test_compression_ratio_orders_repetitive_below_random(spark):
+    import hashlib
+
+    from syllabus_sense_spark.queries.ext_text4 import text_compression_ratio
+
+    # planted: pure repetition vs a deterministic high-entropy string
+    # (md5 chain — ~4 bits/char, incompressible for zlib)
+    rep = "spark " * 200
+    rng = "".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [(1, rep, "s"), (2, rng, "s")], "doc_id long, text string, source string"
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        from syllabus_sense_spark.tables import load as _load  # cache-key by dir
+
+        rows = {
+            r.doc_id: r.compression_ratio
+            for r in text_compression_ratio(spark, td).collect()
+        }
+    assert rows[1] < 0.05
+    assert rows[2] > rows[1] * 5
