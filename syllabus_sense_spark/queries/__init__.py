@@ -35,14 +35,16 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-# The driver checks the first 50 registered queries per round. Rounds
-# 1-3 produced green rows for almost everything; round 4 front-loads
-# (a) every query whose last driver check failed and has since been
-# fixed, (b) the three queries that never got any row, and (c) queries
-# newly added this round. Remaining slots fall through to already-green
-# queries (harmless re-confirmation).
-_ROUND4_PRIORITY = [
-    # -- fixed this round, need a green re-check --
+# The driver checks the first 50 registered queries per round, so
+# registration order decides what earns CORRECTNESS evidence. The
+# order is self-maintaining: queries are front-loaded when (a) they
+# are force-listed below (code changed after their last green row, so
+# the old evidence is stale), (b) `prioritize()` marked them as new
+# this round, or (c) no past CORRECTNESS_r*.json shows them green.
+# Everything already green registers afterwards (harmless
+# re-confirmation when slots remain).
+_FORCE_RECHECK = [
+    # round-4 fixes invalidating earlier rows:
     "events_sessionize_gap30m",  # r03 err: TIMESTAMP_NTZ vs unix_micros
     "events_session_capped",  # r03 err: same
     "events_rollup_daily_from_hourly",  # r03 hash: SUM(BIGINT)->HUGEINT
@@ -51,19 +53,40 @@ _ROUND4_PRIORITY = [
     "pipeline_flagship_questions",  # r03 err: same
     "q12_priority_by_band",  # r01 hash: HUGEINT cast (fixed r02, unchecked)
     "pivot_status_counts",  # r01 hash: same
-    # -- never carried any CORRECTNESS row --
-    "agg_approx_sketches",
-    "ml_brp_lsh_neighbors",
-    "ml_tfidf_embeddings",
-    # -- new queries added in round 4 (registered below as built) --
 ]
+
+_NEW_THIS_ROUND: list[str] = []
 
 
 def prioritize(*names: str) -> None:
-    """Append round-4 additions to the front-of-line check list."""
+    """Mark queries added/changed this round for front-of-line checks."""
     for n in names:
-        if n not in _ROUND4_PRIORITY:
-            _ROUND4_PRIORITY.append(n)
+        if n not in _NEW_THIS_ROUND:
+            _NEW_THIS_ROUND.append(n)
+
+
+def _greens_from_past_rounds() -> set[str]:
+    """Names with green driver evidence in any CORRECTNESS_r*.json:
+    hash-green for oracle queries, rows-recorded for rows-only ones."""
+    import glob
+    import json
+    import os
+
+    green: set[str] = set()
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            data = json.load(open(path))
+        except Exception:
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                green.add(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows"):
+                green.add(name)
+    return green
 
 
 def load_all_queries() -> None:
@@ -119,9 +142,11 @@ def load_all_queries() -> None:
         relational3,
     )
 
-    order = [n for n in _ROUND4_PRIORITY if n in QUERIES] + [
-        n for n in QUERIES if n not in _ROUND4_PRIORITY
-    ]
+    green = _greens_from_past_rounds()
+    front = [n for n in _FORCE_RECHECK if n in QUERIES]
+    front += [n for n in _NEW_THIS_ROUND if n in QUERIES and n not in front]
+    front += [n for n in QUERIES if n not in green and n not in front]
+    order = front + [n for n in QUERIES if n not in front]
     for registry in (QUERIES, ORACLE):
         reordered = {n: registry[n] for n in order if n in registry}
         registry.clear()
