@@ -120,6 +120,7 @@ def load_all_queries() -> None:
         ext_training3,
         ext_dedup2,
         streaming_queries,
+        scalar_funcs3,
         agg_families3,
         events5,
         pipeline_queries,
