@@ -121,6 +121,7 @@ def load_all_queries() -> None:
         ext_dedup2,
         streaming_queries,
         scalar_funcs3,
+        events6,
         agg_families3,
         events5,
         pipeline_queries,
