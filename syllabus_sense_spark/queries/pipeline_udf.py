@@ -59,7 +59,69 @@ def pipeline_flagship_questions(spark, sf_dir):
     return _scalarize(run_flagship(spark, sf_dir))
 
 
-@register("text_lang_id_heuristic")  # rows-only: heuristic, engine-specific
+# DuckDB twin of functions/text.py lang_id_heuristic + quality_score.
+# Kept in expression-tree lockstep so every IEEE op matches: cue hit
+# counts sum left-to-right as ((c1+c2)+c3) (IEEE 0+x==x makes Python's
+# sum() start value a no-op); the argmax CASE chain reproduces the
+# strict-> loop (ties -> lexicographically first language); the
+# quality composite associates as ((d*0.4)+(l*0.4))+(t*0.2).
+_CUE_LANGS = ("de", "en", "es", "fr", "zh")
+_CUES_SQL = {
+    "en": ("the", "and", "ing"),
+    "es": ("los", "ado", "cio"),
+    "de": ("der", "sch", "ung"),
+    "fr": ("les", "ent", "ion"),
+    "zh": ("zh_", "shi", "de_"),
+}
+
+
+def _cue_score_sql(lang: str) -> str:
+    parts = [
+        f"(length(l) - length(replace(l, '{cue}', ''))) / {len(cue)}"
+        for cue in _CUES_SQL[lang]
+    ]
+    return f"(({parts[0]} + {parts[1]}) + {parts[2]})"
+
+
+_LANG_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, lang, text, lower(text) AS l,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, text, toks,
+         {", ".join(f"{_cue_score_sql(lg)} AS s_{lg}" for lg in _CUE_LANGS)}
+  FROM base
+),
+q AS (
+  SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+         CAST(len(list_distinct(toks)) AS DOUBLE)
+           / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS diversity,
+         least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS length_ok,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+           / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS avg_tok
+  FROM scored
+)
+SELECT
+  doc_id,
+  lang,
+  CASE
+    WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+    WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+    WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+    WHEN s_fr >= s_zh THEN 'fr'
+    ELSE 'zh'
+  END AS lang_guess,
+  round(((diversity * 0.4) + (length_ok * 0.4))
+        + (CASE WHEN avg_tok >= 2 AND avg_tok <= 12
+                THEN 1.0 ELSE 0.5 END * 0.2), 6) AS quality
+FROM q
+"""
+
+
+@register("text_lang_id_heuristic", _LANG_ORACLE)
 def text_lang_id_heuristic(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return d.select(
