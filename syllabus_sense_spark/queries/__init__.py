@@ -53,6 +53,8 @@ _FORCE_RECHECK = [
     "pipeline_flagship_questions",  # r03 err: same
     "q12_priority_by_band",  # r01 hash: HUGEINT cast (fixed r02, unchecked)
     "pivot_status_counts",  # r01 hash: same
+    "text_lang_id_heuristic",  # upgraded rows-only -> oracle in round 4
+    "pipeline_plan_questions",  # output scalarized in round 4
 ]
 
 _NEW_THIS_ROUND: list[str] = []
