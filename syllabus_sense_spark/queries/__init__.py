@@ -124,6 +124,7 @@ def load_all_queries() -> None:
         streaming_queries,
         scalar_funcs3,
         events6,
+        ext_training4,
         agg_families3,
         events5,
         pipeline_queries,
