@@ -14,9 +14,10 @@ Allowlisted (intentional by design, see docstrings):
   set with a non-equi predicate → BNLJ over the broadcast side;
 - q11_important_supply_value / mixture_resample_to_target /
   events_funnel_sequential / events_histogram_bins /
-  embedding_quantize_int8 / quality_unigram_lm_score: 1-row broadcast
-  scalar-aggregate cross join (the SQL scalar-subquery shape) — BNLJ
-  over a single broadcast row is the intended plan.
+  embedding_quantize_int8 / quality_unigram_lm_score /
+  batch_by_length_buckets: 1-row broadcast scalar-aggregate cross
+  join (the SQL scalar-subquery shape) — BNLJ over a single broadcast
+  row is the intended plan.
 
 Usage: python tools/plan_audit.py [sf_dir]
 """
@@ -45,6 +46,7 @@ ALLOW = {
     "events_histogram_bins": {"BNLJ"},
     "embedding_quantize_int8": {"BNLJ"},
     "quality_unigram_lm_score": {"BNLJ"},
+    "batch_by_length_buckets": {"BNLJ"},
 }
 
 
