@@ -82,41 +82,50 @@ def extract_subtopics(topics: DataFrame, subject: str = "chemistry") -> DataFram
 
 
 def plan_questions(subtopics: DataFrame, min_per_subtopic: int = 9) -> DataFrame:
-    """A9: grouped-map plan generation — one plan per topic, >=9
-    planned questions per subtopic (prompt contract
-    syllabus_ai_graph.py:112). Grouping by topic_title mirrors the
-    reference's per-topic plan; Spark runs every topic's plan in
-    parallel."""
+    """A9: plan generation — one plan per topic, >=9 planned questions
+    per subtopic (prompt contract syllabus_ai_graph.py:112).
 
-    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        srt = pdf.sort_values("subtopic_name")
-        for name, topic_title, key_concepts in zip(
-            srt["subtopic_name"].tolist(),
-            srt["topic_title"].tolist(),
-            srt["key_concepts"].tolist(),
-        ):
-            n_q = min_per_subtopic + _h(f"nq:{name}", 3)
-            concepts = list(key_concepts) if key_concepts is not None else []
-            if not concepts:
-                concepts = ["general"]
-            for i in range(n_q):
-                qid = hashlib.md5(
-                    f"{topic_title}|{name}|{i}".encode()
-                ).hexdigest()[:12]
-                out.append(
-                    {
-                        "question_id": f"q_{qid}",
-                        "topic": topic_title,
-                        "subtopic": name,
-                        "difficulty": DIFFICULTIES[_h(qid, 3)],
-                        "concept_area": concepts[i % len(concepts)],
-                        "status": "planned",
-                    }
-                )
-        return pd.DataFrame(out, columns=[f.name for f in PLANNED_QUESTION_SCHEMA.fields])
+    Implementation note: the reference plans per topic, but each
+    planned question is a pure function of its own subtopic row — so
+    this is ``mapInPandas`` over Arrow batches rather than
+    ``applyInPandas`` grouped by topic: the output SET is identical,
+    and dropping the group shuffle removes both an exchange and the
+    per-tiny-group Arrow conversion overhead (topics average a handful
+    of subtopics; partitions average thousands of rows). The same
+    optimization is documented on ``generate_questions``.
+    """
 
-    return subtopics.groupBy("topic_title").applyInPandas(gen, PLANNED_QUESTION_SCHEMA)
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for name, topic_title, key_concepts in zip(
+                pdf["subtopic_name"].tolist(),
+                pdf["topic_title"].tolist(),
+                pdf["key_concepts"].tolist(),
+            ):
+                n_q = min_per_subtopic + _h(f"nq:{name}", 3)
+                concepts = list(key_concepts) if key_concepts is not None else []
+                if not concepts:
+                    concepts = ["general"]
+                for i in range(n_q):
+                    qid = hashlib.md5(
+                        f"{topic_title}|{name}|{i}".encode()
+                    ).hexdigest()[:12]
+                    out.append(
+                        {
+                            "question_id": f"q_{qid}",
+                            "topic": topic_title,
+                            "subtopic": name,
+                            "difficulty": DIFFICULTIES[_h(qid, 3)],
+                            "concept_area": concepts[i % len(concepts)],
+                            "status": "planned",
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PLANNED_QUESTION_SCHEMA.fields]
+            )
+
+    return subtopics.mapInPandas(gen, PLANNED_QUESTION_SCHEMA)
 
 
 def generate_questions(batches: DataFrame) -> DataFrame:
