@@ -32,6 +32,10 @@ HEADLINE = [
     "curation_pipeline_summary",
     "pack_sequences_greedy",
     "dq_check_orders",
+    # round-4 additions (cheap, representative of the new surfaces)
+    "training_shuffle_shards",
+    "events_conversion_within_7d",
+    "bitmap_distinct_users",
 ]
 
 
