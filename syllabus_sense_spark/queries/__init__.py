@@ -125,6 +125,8 @@ def load_all_queries() -> None:
         scalar_funcs3,
         events6,
         ext_training4,
+        events7,
+        relational5,
         agg_families3,
         events5,
         pipeline_queries,

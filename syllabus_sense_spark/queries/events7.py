@@ -1,0 +1,81 @@
+"""Event analytics batch 7: daily-count anomaly detection by z-score
+against each event type's own history.
+
+Determinism discipline: a naive ``stddev`` over doubles is
+order-dependent; here the daily counts are exact integers, so the
+variance comes from exact integer moments — n, Σx, Σx² aggregate as
+bigints (counts are small enough that Σx² fits comfortably), and the
+z-score is computed in a fixed sequence of double ops on those exact
+integers: mean = Σx/n, var = (n·Σx² − (Σx)²) / n², z = (x − mean) /
+sqrt(var). Both engines execute the identical IEEE expression tree.
+
+Shape at scale: one tumbling aggregate (events → daily counts, the
+hypertable rollup), one tiny per-type moment aggregate broadcast back
+via an equi-join on the bounded type key, then a pure projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import prioritize, register
+
+_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+moments AS (
+  SELECT event_type,
+         COUNT(*) AS n_days,
+         CAST(SUM(n_events) AS BIGINT) AS sum_x,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS sum_x2
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, CAST(d.n_events AS BIGINT) AS n_events,
+       round(
+         (CAST(d.n_events AS DOUBLE) - (CAST(m.sum_x AS DOUBLE) / m.n_days))
+         / sqrt(((CAST(m.n_days AS DOUBLE) * m.sum_x2) - (CAST(m.sum_x AS DOUBLE) * m.sum_x))
+                / (CAST(m.n_days AS DOUBLE) * m.n_days)),
+         6) AS zscore
+FROM daily d JOIN moments m ON m.event_type = d.event_type
+WHERE abs(
+    (CAST(d.n_events AS DOUBLE) - (CAST(m.sum_x AS DOUBLE) / m.n_days))
+    / sqrt(((CAST(m.n_days AS DOUBLE) * m.sum_x2) - (CAST(m.sum_x AS DOUBLE) * m.sum_x))
+           / (CAST(m.n_days AS DOUBLE) * m.n_days))) >= 2.0
+"""
+
+
+@register("events_anomaly_zscore", _ANOMALY_ORACLE)
+def events_anomaly_zscore(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    moments = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").cast("bigint").alias("sum_x"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("sum_x2"),
+    )
+    j = daily.join(F.broadcast(moments), "event_type")
+    mean = F.col("sum_x").cast("double") / F.col("n_days")
+    var = (
+        (F.col("n_days").cast("double") * F.col("sum_x2"))
+        - (F.col("sum_x").cast("double") * F.col("sum_x"))
+    ) / (F.col("n_days").cast("double") * F.col("n_days"))
+    z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    return (
+        j.filter(F.abs(z) >= 2.0)
+        .select(
+            "event_type",
+            "day",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+prioritize("events_anomaly_zscore")
