@@ -127,6 +127,7 @@ def load_all_queries() -> None:
         ext_training4,
         events7,
         relational5,
+        ext_search,
         agg_families3,
         events5,
         pipeline_queries,

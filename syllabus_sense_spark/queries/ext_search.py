@@ -1,0 +1,86 @@
+"""[EXT] End-to-end semantic document retrieval — the RAG query: a
+query vector finds its nearest documents AND returns their text, i.e.
+the embeddings index joined back to the corpus store.
+
+Shape at scale: candidate scoring is the ANN problem (here the exact
+cosine baseline over a broadcast query set — swap in the IVF/PQ paths
+from ext_similarity/operators.pq for the approximate tier); the final
+hydration join fetches full text for only `k` hits per query — a
+broadcast of the (tiny) hit list against the corpus, never a shuffle
+of the text column through the scoring stage. Keeping text OUT of the
+scoring dataflow is the point: at 100 TB the index (ids + vectors) and
+the store (ids + text) are separate scans, and only hit ids bridge
+them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import prioritize, register
+from .ext_similarity import _SQL_COSINE, _dot_unrolled, _norm
+
+_SEARCH_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.vec_id AS doc_id,
+         {_SQL_COSINE.format(a="q.qv", b="c.cv")} AS sim
+  FROM q JOIN c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, doc_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT r.query_id, r.doc_id, r.rank, round(r.sim, 6) AS sim_r,
+       d.source, substr(d.text, 1, 40) AS snippet
+FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+WHERE r.rank <= 3
+"""
+
+
+@register("search_semantic_docs", _SEARCH_ORACLE)
+def search_semantic_docs(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).withColumn(
+        "sim", _dot_unrolled(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    hits = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", F.col("vec_id").alias("doc_id"), "rank", "sim")
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.substring("text", 1, 40).alias("snippet")
+    )
+    return (
+        F.broadcast(hits)
+        .join(docs, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            F.round("sim", 6).alias("sim_r"),
+            "source",
+            "snippet",
+        )
+    )
+
+
+prioritize("search_semantic_docs")
