@@ -102,3 +102,48 @@ def test_pq_rerank_distances_are_exact(spark, pq_parts):
     for r in pq_search(emb, codes, centroids, queries, dim=64, k=5).collect():
         expected = float(np.sum((vecs[r.query_id] - vecs[r.vec_id]) ** 2))
         assert r.dist == pytest.approx(expected, abs=2e-6)
+
+
+def test_subvectors_partition_the_vector(spark):
+    """Property: the 8 subvectors concatenated in j order reconstruct
+    the original vector exactly, for arbitrary float contents."""
+    from syllabus_sense_spark.operators.pq import subvectors
+
+    rows = [(i, [float(((i * 31 + j * 7) % 97) - 48) / 7.0 for j in range(64)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    subs = subvectors(df, dim=64).collect()
+    by_id: dict[int, dict[int, list[float]]] = {}
+    for r in subs:
+        by_id.setdefault(r.vec_id, {})[r.j] = list(r.sub)
+    for vec_id, emb in rows:
+        got = [x for j in range(8) for x in by_id[vec_id][j]]
+        assert got == emb
+
+
+def test_assign_codes_picks_nearest_centroid(spark):
+    """Property: every assigned code is the true argmin over the
+    centroid set (checked exhaustively against numpy)."""
+    from syllabus_sense_spark.operators.pq import (
+        assign_codes,
+        subvectors,
+        train_codebook,
+    )
+
+    rows = [(i, [float(((i * 13 + j * 5) % 89) - 44) / 9.0 for j in range(64)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    subs = subvectors(df, dim=64)
+    cents = train_codebook(subs)
+    codes = assign_codes(subs, cents)
+    cent_map = {(r.j, r.code): np.array(r.centroid) for r in cents.collect()}
+    sub_map = {(r.vec_id, r.j): np.array(r.sub) for r in subs.collect()}
+    for r in codes.collect():
+        s = sub_map[(r.vec_id, r.j)]
+        dists = {
+            code: float(np.sum((s - c) ** 2))
+            for (j, code), c in cent_map.items()
+            if j == r.j
+        }
+        best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        assert r.code == best
