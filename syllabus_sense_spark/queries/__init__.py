@@ -40,21 +40,23 @@ def register(name: str, oracle: str | None = None):
 # order is self-maintaining: queries are front-loaded when (a) they
 # are force-listed below (code changed after their last green row, so
 # the old evidence is stale), (b) `prioritize()` marked them as new
-# this round, or (c) no past CORRECTNESS_r*.json shows them green.
-# Everything already green registers afterwards (harmless
-# re-confirmation when slots remain).
+# this round, or (c) their *latest* CORRECTNESS row is not green.
+# Everything already green registers afterwards sorted by ascending
+# last-green round, so the oldest evidence rotates back into the
+# 50-slot window first and stale green rows get re-confirmed.
 _FORCE_RECHECK = [
-    # round-4 fixes invalidating earlier rows:
-    "events_sessionize_gap30m",  # r03 err: TIMESTAMP_NTZ vs unix_micros
-    "events_session_capped",  # r03 err: same
-    "events_rollup_daily_from_hourly",  # r03 hash: SUM(BIGINT)->HUGEINT
-    "q2_min_cost_supplier",  # r03 hash: decimal col Arrow metadata
-    "pipeline_extract_subtopics",  # r03 err: ndarray in driver canon
-    "pipeline_flagship_questions",  # r03 err: same
-    "q12_priority_by_band",  # r01 hash: HUGEINT cast (fixed r02, unchecked)
-    "pivot_status_counts",  # r01 hash: same
-    "text_lang_id_heuristic",  # upgraded rows-only -> oracle in round 4
-    "pipeline_plan_questions",  # output scalarized in round 4
+    # round-5 changes invalidating earlier green rows:
+    "text_lang_id_heuristic",  # round(…,6) col -> integer-scaled
+    "events_anomaly_zscore",  # same
+    "search_semantic_docs",  # sim_r -> integer-scaled
+    "dedup_minhash_lsh",  # shared session-persistent fingerprint table
+    "dedup_incremental_index",  # same
+    "similarity_ivf_cells",  # multi-probe (probe-2) + integer-scaled sim
+    "similarity_topk_bruteforce",  # sim_r -> integer-scaled
+    "similarity_cosine_blocked",  # same
+    "agg_percentiles_exact",  # p50/p90/p99 -> integer-scaled
+    "agg_covar_corr_exact",  # covar/corr/slope -> integer-scaled
+    "text_tfidf_top_term",  # tfidf_r -> integer-scaled
 ]
 
 _NEW_THIS_ROUND: list[str] = []
@@ -67,28 +69,39 @@ def prioritize(*names: str) -> None:
             _NEW_THIS_ROUND.append(n)
 
 
-def _greens_from_past_rounds() -> set[str]:
-    """Names with green driver evidence in any CORRECTNESS_r*.json:
-    hash-green for oracle queries, rows-recorded for rows-only ones."""
+def _evidence_from_past_rounds() -> dict[str, int]:
+    """Per-query last-green round from CORRECTNESS_r*.json, judged by
+    the *latest* row mentioning each query (a later failure evicts an
+    earlier green). Green = hash-match for oracle queries, rows
+    recorded for rows-only ones. Returns {name: last_green_round} for
+    names whose most recent row is green."""
     import glob
     import json
     import os
+    import re
 
-    green: set[str] = set()
+    latest: dict[str, tuple[int, bool]] = {}
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    paths = glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+
+    def _round_of(path: str) -> int:
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else 0
+
+    for path in sorted(paths, key=_round_of):
         try:
             data = json.load(open(path))
         except Exception:
             continue
+        rnd = _round_of(path)
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True:
-                green.add(name)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows"):
-                green.add(name)
-    return green
+            green = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and bool(row.get("spark_rows"))
+            )
+            latest[name] = (rnd, green)
+    return {name: rnd for name, (rnd, green) in latest.items() if green}
 
 
 def load_all_queries() -> None:
@@ -122,6 +135,7 @@ def load_all_queries() -> None:
         ext_training3,
         ext_dedup2,
         streaming_queries,
+        sink_queries,
         scalar_funcs3,
         events6,
         ext_training4,
@@ -150,11 +164,18 @@ def load_all_queries() -> None:
         relational3,
     )
 
-    green = _greens_from_past_rounds()
+    last_green = _evidence_from_past_rounds()
     front = [n for n in _FORCE_RECHECK if n in QUERIES]
     front += [n for n in _NEW_THIS_ROUND if n in QUERIES and n not in front]
-    front += [n for n in QUERIES if n not in green and n not in front]
-    order = front + [n for n in QUERIES if n not in front]
+    front += [n for n in QUERIES if n not in last_green and n not in front]
+    # Already-green tail, oldest evidence first, so the 50-slot window
+    # re-confirms round-1-vintage greens before recent ones. Ties keep
+    # registration order (stable sort).
+    tail = sorted(
+        (n for n in QUERIES if n not in front),
+        key=lambda n: last_green.get(n, 0),
+    )
+    order = front + tail
     for registry in (QUERIES, ORACLE):
         reordered = {n: registry[n] for n in order if n in registry}
         registry.clear()

@@ -92,17 +92,18 @@ WITH s AS (
 SELECT
   l_returnflag,
   n,
-  ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n, 4)
-    AS covar_pop_r,
-  ROUND(
+  CAST(floor(
+    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n
+    * 1e4) AS BIGINT) AS covar_pop_e4,
+  CAST(floor(
     (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
     / (SQRT(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-       * SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-    6) AS corr_r,
-  ROUND(
+       * SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+    * 1e6) AS BIGINT) AS corr_e6,
+  CAST(floor(
     (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
-    6) AS slope_r
+    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    * 1e6) AS BIGINT) AS slope_e6
 FROM s
 """
 
@@ -126,11 +127,17 @@ def agg_covar_corr_exact(spark, sf_dir):
     return s.select(
         "l_returnflag",
         "n",
-        F.round((sxy - sx * sy / n) / n, 4).alias("covar_pop_r"),
-        F.round(
+        F.floor(((sxy - sx * sy / n) / n) * F.lit(1e4))
+        .cast("bigint")
+        .alias("covar_pop_e4"),
+        F.floor(
             (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
-            6,
-        ).alias("corr_r"),
-        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("slope_r"),
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+            * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("corr_e6"),
+        F.floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * F.lit(1e6))
+        .cast("bigint")
+        .alias("slope_e6"),
     )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..tables import load
-from . import prioritize, register
+from . import register
 
 _PCT_ORACLE = """
 SELECT
@@ -103,4 +103,3 @@ def agg_max_by_min_by(spark, sf_dir):
     )
 
 
-prioritize("agg_percentile_disc", "agg_max_by_min_by")

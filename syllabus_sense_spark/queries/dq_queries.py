@@ -17,7 +17,7 @@ from ..operators.expectations import (
     run_expectations,
 )
 from ..tables import load
-from . import prioritize, register
+from . import register
 
 _DQ_ORACLE = """
 WITH agg AS (
@@ -66,34 +66,47 @@ def dq_check_orders(spark, sf_dir):
 # zero per FK is the pass condition, same contract as dq_check_orders.
 # --------------------------------------------------------------------------
 
+# NOT EXISTS, not NOT IN: a NULL FK value makes NOT IN three-valued
+# (the row silently drops out) while the Spark side's left_anti join
+# counts it as an orphan — NOT EXISTS matches left_anti exactly, so
+# the oracle agrees with the gate precisely when dirty (NULL-key)
+# data appears, which is what a DQ gate exists to catch.
 _FK_ORACLE = """
 SELECT 'orders.o_custkey -> customer' AS fk,
        CAST((SELECT COUNT(*) FROM orders o
-             WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
             AS BIGINT) AS n_orphans,
        (SELECT COUNT(*) FROM orders o
-        WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0 AS passed
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) = 0 AS passed
 UNION ALL
 SELECT 'lineitem.l_orderkey -> orders',
        CAST((SELECT COUNT(*) FROM lineitem l
-             WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
             AS BIGINT),
        (SELECT COUNT(*) FROM lineitem l
-        WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) = 0
 UNION ALL
 SELECT 'lineitem.l_partkey -> part',
        CAST((SELECT COUNT(*) FROM lineitem l
-             WHERE l.l_partkey NOT IN (SELECT p_partkey FROM part))
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
             AS BIGINT),
        (SELECT COUNT(*) FROM lineitem l
-        WHERE l.l_partkey NOT IN (SELECT p_partkey FROM part)) = 0
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey)) = 0
 UNION ALL
 SELECT 'lineitem.l_suppkey -> supplier',
        CAST((SELECT COUNT(*) FROM lineitem l
-             WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey))
             AS BIGINT),
        (SELECT COUNT(*) FROM lineitem l
-        WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier)) = 0
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey)) = 0
 """
 
 
@@ -146,4 +159,3 @@ def dq_check_fk_integrity(spark, sf_dir):
     return out
 
 
-prioritize("dq_check_fk_integrity")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..tables import load
-from . import prioritize, register
+from . import register
 
 _CONV_ORACLE = """
 WITH v AS (
@@ -93,4 +93,3 @@ def events_conversion_within_7d(spark, sf_dir):
     )
 
 
-prioritize("events_conversion_within_7d")

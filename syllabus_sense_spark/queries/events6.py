@@ -14,7 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..tables import load
-from . import prioritize, register
+from . import register
 
 _TRANSITION_ORACLE = """
 WITH ordered AS (
@@ -61,4 +61,3 @@ def events_transition_matrix(spark, sf_dir):
     )
 
 
-prioritize("events_transition_matrix")

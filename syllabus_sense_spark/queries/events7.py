@@ -7,7 +7,10 @@ variance comes from exact integer moments — n, Σx, Σx² aggregate as
 bigints (counts are small enough that Σx² fits comfortably), and the
 z-score is computed in a fixed sequence of double ops on those exact
 integers: mean = Σx/n, var = (n·Σx² − (Σx)²) / n², z = (x − mean) /
-sqrt(var). Both engines execute the identical IEEE expression tree.
+sqrt(var). Both engines execute the identical IEEE expression tree,
+and the output column is integer-scaled (floor(z·1e6) as bigint)
+rather than round(z, 6): floor of bit-identical doubles is identical
+everywhere, while round-half conventions differ between engines.
 
 Shape at scale: one tumbling aggregate (events → daily counts, the
 hypertable rollup), one tiny per-type moment aggregate broadcast back
@@ -19,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..tables import load
-from . import prioritize, register
+from . import register
 
 _ANOMALY_ORACLE = """
 WITH daily AS (
@@ -35,11 +38,11 @@ moments AS (
   FROM daily GROUP BY event_type
 )
 SELECT d.event_type, d.day, CAST(d.n_events AS BIGINT) AS n_events,
-       round(
+       CAST(floor(
          (CAST(d.n_events AS DOUBLE) - (CAST(m.sum_x AS DOUBLE) / m.n_days))
          / sqrt(((CAST(m.n_days AS DOUBLE) * m.sum_x2) - (CAST(m.sum_x AS DOUBLE) * m.sum_x))
-                / (CAST(m.n_days AS DOUBLE) * m.n_days)),
-         6) AS zscore
+                / (CAST(m.n_days AS DOUBLE) * m.n_days))
+         * 1e6) AS BIGINT) AS zscore_e6
 FROM daily d JOIN moments m ON m.event_type = d.event_type
 WHERE abs(
     (CAST(d.n_events AS DOUBLE) - (CAST(m.sum_x AS DOUBLE) / m.n_days))
@@ -73,9 +76,8 @@ def events_anomaly_zscore(spark, sf_dir):
             "event_type",
             "day",
             F.col("n_events").cast("bigint").alias("n_events"),
-            F.round(z, 6).alias("zscore"),
+            F.floor(z * F.lit(1e6)).cast("bigint").alias("zscore_e6"),
         )
     )
 
 
-prioritize("events_anomaly_zscore")

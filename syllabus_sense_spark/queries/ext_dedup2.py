@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..tables import load
-from . import prioritize, register
+from . import register
 from .ext_dedup import _SQL_SHINGLE_HASHES, shingle_hashes
 
 _SUFFIX = " incremental batch revision tokens"
@@ -99,4 +99,3 @@ def dedup_incremental_index(spark, sf_dir):
     )
 
 
-prioritize("dedup_incremental_index")

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.pq import assign_codes, pq_search, subvectors, train_codebook
 from ..tables import load
-from . import prioritize, register
+from . import register
 
 _N_QUERIES = 5
 _DIM = 64
@@ -31,4 +31,3 @@ def similarity_pq_adc(spark, sf_dir):
     return pq_search(emb, codes, centroids, queries, dim=_DIM, k=10)
 
 
-prioritize("similarity_pq_adc")

@@ -19,7 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..tables import load
-from . import prioritize, register
+from . import register
 from .ext_similarity import _SQL_COSINE, _dot_unrolled, _norm
 
 _SEARCH_ORACLE = f"""
@@ -38,7 +38,8 @@ ranked AS (
       PARTITION BY query_id ORDER BY sim DESC, doc_id) AS BIGINT) AS rank
   FROM scored
 )
-SELECT r.query_id, r.doc_id, r.rank, round(r.sim, 6) AS sim_r,
+SELECT r.query_id, r.doc_id, r.rank,
+       CAST(floor(r.sim * 1e6) AS BIGINT) AS sim_e6,
        d.source, substr(d.text, 1, 40) AS snippet
 FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
 WHERE r.rank <= 3
@@ -76,11 +77,10 @@ def search_semantic_docs(spark, sf_dir):
             "query_id",
             "doc_id",
             "rank",
-            F.round("sim", 6).alias("sim_r"),
+            F.floor(F.col("sim") * F.lit(1e6)).cast("bigint").alias("sim_e6"),
             "source",
             "snippet",
         )
     )
 
 
-prioritize("search_semantic_docs")

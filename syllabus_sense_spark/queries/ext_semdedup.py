@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..tables import load
-from . import prioritize, register
+from . import register
 from .ext_graph import connected_components
 from .ext_similarity import _SQL_COSINE, _dot_unrolled, _norm
 
@@ -151,4 +151,3 @@ def dedup_semantic_clusters(spark, sf_dir):
     )
 
 
-prioritize("dedup_semantic_clusters")

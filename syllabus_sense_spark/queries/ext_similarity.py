@@ -79,7 +79,8 @@ ranked AS (
          AS BIGINT) AS rank
   FROM scored
 )
-SELECT query_id, neighbor_id, neighbor_label, rank, round(sim, 6) AS sim_r
+SELECT query_id, neighbor_id, neighbor_label, rank,
+       CAST(floor(sim * 1e6) AS BIGINT) AS sim_e6
 FROM ranked WHERE rank <= 5
 """
 
@@ -117,7 +118,7 @@ def similarity_topk_bruteforce(spark, sf_dir):
             "neighbor_id",
             "neighbor_label",
             "rank",
-            F.round("sim", 6).alias("sim_r"),
+            F.floor(F.col("sim") * F.lit(1e6)).cast("bigint").alias("sim_e6"),
         )
     )
 
@@ -128,7 +129,7 @@ SELECT
   a.vec_id AS vec_a,
   b.vec_id AS vec_b,
   a.label,
-  round({_SQL_COSINE.format(a="a.v", b="b.v")}, 6) AS sim_r
+  CAST(floor({_SQL_COSINE.format(a="a.v", b="b.v")} * 1e6) AS BIGINT) AS sim_e6
 FROM e a
 JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_SQL_COSINE.format(a="a.v", b="b.v")} > 0.25
@@ -160,7 +161,7 @@ def similarity_cosine_blocked(spark, sf_dir):
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
-            F.round("sim", 6).alias("sim_r"),
+            F.floor(F.col("sim") * F.lit(1e6)).cast("bigint").alias("sim_e6"),
         )
     )
 
@@ -224,7 +225,7 @@ def similarity_ann_lsh(spark, sf_dir):
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "rank",
-            F.round("sim", 6).alias("sim_r"),
+            F.floor(F.col("sim") * F.lit(1e6)).cast("bigint").alias("sim_e6"),
         )
     )
 
@@ -232,15 +233,19 @@ def similarity_ann_lsh(spark, sf_dir):
 # --------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the production scale path: a coarse
 # quantizer assigns every vector to its nearest centroid cell; a query
-# probes only its own cell. Centroids here are the "iteration 0" of a
-# k-means: the 8 vectors with vec_id ≡ 0 (mod 251) — deterministic and
-# derivable in SQL, so unlike most ANN indexes this one is fully
-# oracle-checkable. At 100 TB: centroids come from a sampled k-means,
-# the assignment is one broadcast join + argmax, and the probe is an
-# equi-join on cell_id — never a cross join.
+# probes its 2 nearest cells (multi-probe, the standard recall lever —
+# same trick ext_semdedup uses for cross-cell duplicate pairs).
+# Centroids here are the "iteration 0" of a k-means: the 8 vectors
+# with vec_id ≡ 0 (mod 251) — deterministic and derivable in SQL, so
+# unlike most ANN indexes this one is fully oracle-checkable. At
+# 100 TB: centroids come from a sampled k-means, the assignment is one
+# broadcast join + argmax, and each probe is an equi-join on cell_id —
+# never a cross join; probe-2 doubles the scored candidates (still
+# n²/n_cells-bounded) and leaves the shuffle shape unchanged.
 # --------------------------------------------------------------------------
 
 _IVF_CENTROID_PRED = "vec_id % 251 = 0"
+_IVF_NPROBE = 2
 
 _IVF_ORACLE = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -256,7 +261,7 @@ assigned AS (
 cells AS (SELECT vec_id, label, v, cent_id FROM assigned WHERE cent_rank = 1),
 q AS (
   SELECT vec_id AS query_id, v AS qv, cent_id AS qcell
-  FROM cells WHERE vec_id % 100 = 0
+  FROM assigned WHERE vec_id % 100 = 0 AND cent_rank <= {_IVF_NPROBE}
 ),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -268,7 +273,7 @@ ranked AS (
       PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
   FROM scored
 )
-SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim_r
+SELECT query_id, neighbor_id, rank, CAST(floor(sim * 1e6) AS BIGINT) AS sim_e6
 FROM ranked WHERE rank <= 3
 """
 
@@ -290,13 +295,17 @@ def similarity_ivf_cells(spark, sf_dir):
     w_assign = Window.partitionBy("vec_id").orderBy(
         sim_to_cent.desc(), F.col("cent_id")
     )
-    cells = (
+    assigned = (
         e.crossJoin(F.broadcast(cent))
         .withColumn("cent_rank", F.row_number().over(w_assign))
-        .filter(F.col("cent_rank") == 1)
-        .select("vec_id", "label", "v", "nrm", "cent_id")
+        .select("vec_id", "label", "v", "nrm", "cent_id", "cent_rank")
     )
-    q = cells.filter(F.col("vec_id") % 100 == 0).select(
+    cells = assigned.filter(F.col("cent_rank") == 1).drop("cent_rank")
+    # Multi-probe: each query fans out to its 2 nearest cells; cells
+    # are disjoint, so the probe join yields each candidate pair once.
+    q = assigned.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("cent_rank") <= _IVF_NPROBE)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
@@ -316,6 +325,6 @@ def similarity_ivf_cells(spark, sf_dir):
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "rank",
-            F.round("sim", 6).alias("sim_r"),
+            F.floor(F.col("sim") * F.lit(1e6)).cast("bigint").alias("sim_e6"),
         )
     )

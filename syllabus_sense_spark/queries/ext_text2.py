@@ -18,8 +18,9 @@ from . import register
 
 # --- TF-IDF: top term per document ----------------------------------------
 # tf = in-doc count, idf = ln(N/df). Deterministic to the last bit
-# except ln(); one ln per term and a 6-dp round keeps both engines
-# aligned.
+# except ln(); one ln per term and an integer-scaled output
+# (floor(x*1e6) as bigint — no engine-specific round-half convention)
+# keeps both engines aligned.
 
 _TFIDF_ORACLE = """
 WITH toks AS (
@@ -39,7 +40,7 @@ ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
   FROM scored
 )
-SELECT doc_id, tok AS top_term, round(tfidf, 6) AS tfidf_r
+SELECT doc_id, tok AS top_term, CAST(floor(tfidf * 1e6) AS BIGINT) AS tfidf_e6
 FROM ranked WHERE rn = 1
 """
 
@@ -64,7 +65,11 @@ def text_tfidf_top_term(spark, sf_dir):
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("tok").alias("top_term"), F.round("tfidf", 6).alias("tfidf_r"))
+        .select(
+            "doc_id",
+            F.col("tok").alias("top_term"),
+            F.floor(F.col("tfidf") * F.lit(1e6)).cast("bigint").alias("tfidf_e6"),
+        )
     )
 
 

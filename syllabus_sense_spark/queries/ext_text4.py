@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from ..tables import load
-from . import prioritize, register
+from . import register
 from .ext_dedup import shingle_docs, sql_shingles
 
 # A shingle is "boilerplate" when it appears in at least this many
@@ -166,6 +166,3 @@ def text_compression_ratio(spark, sf_dir):
     )
 
 
-prioritize(
-    "text_boilerplate_fraction", "text_normalize_clean", "text_compression_ratio"
-)

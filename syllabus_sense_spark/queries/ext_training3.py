@@ -23,7 +23,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..tables import load
-from . import prioritize, register
+from . import register
 
 _N_SHARDS = 8
 _SEED = 17
@@ -71,4 +71,3 @@ def training_shuffle_shards(spark, sf_dir):
     )
 
 
-prioritize("training_shuffle_shards")

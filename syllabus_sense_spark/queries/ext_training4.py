@@ -24,7 +24,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..tables import load
-from . import prioritize, register
+from . import register
 
 _BATCH_SIZE = 16
 
@@ -142,4 +142,3 @@ def bpe_first_merge_pairs(spark, sf_dir):
     )
 
 
-prioritize("batch_by_length_buckets", "bpe_first_merge_pairs")

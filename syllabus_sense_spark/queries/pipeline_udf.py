@@ -64,7 +64,10 @@ def pipeline_flagship_questions(spark, sf_dir):
 # counts sum left-to-right as ((c1+c2)+c3) (IEEE 0+x==x makes Python's
 # sum() start value a no-op); the argmax CASE chain reproduces the
 # strict-> loop (ties -> lexicographically first language); the
-# quality composite associates as ((d*0.4)+(l*0.4))+(t*0.2).
+# quality composite associates as ((d*0.4)+(l*0.4))+(t*0.2); the
+# output is integer-scaled (floor(q*1e6) as bigint) because round-half
+# conventions differ between engines while floor of bit-identical
+# doubles does not.
 _CUE_LANGS = ("de", "en", "es", "fr", "zh")
 _CUES_SQL = {
     "en": ("the", "and", "ing"),
@@ -114,9 +117,9 @@ SELECT
     WHEN s_fr >= s_zh THEN 'fr'
     ELSE 'zh'
   END AS lang_guess,
-  round(((diversity * 0.4) + (length_ok * 0.4))
+  CAST(floor((((diversity * 0.4) + (length_ok * 0.4))
         + (CASE WHEN avg_tok >= 2 AND avg_tok <= 12
-                THEN 1.0 ELSE 0.5 END * 0.2), 6) AS quality
+                THEN 1.0 ELSE 0.5 END * 0.2)) * 1e6) AS BIGINT) AS quality_e6
 FROM q
 """
 
@@ -128,5 +131,7 @@ def text_lang_id_heuristic(spark, sf_dir):
         "doc_id",
         "lang",
         lang_id_heuristic(F.col("text")).alias("lang_guess"),
-        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        F.floor(quality_score(F.col("text")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("quality_e6"),
     )

@@ -396,9 +396,9 @@ def set_except_all_multiset(spark, sf_dir):
 _PCT_ORACLE = """
 SELECT
   o_orderstatus,
-  round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS p50,
-  round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90,
-  round(CAST(quantile_cont(o_totalprice, 0.99) AS DOUBLE), 4) AS p99
+  CAST(floor(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) * 1e4) AS BIGINT) AS p50_e4,
+  CAST(floor(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE) * 1e4) AS BIGINT) AS p90_e4,
+  CAST(floor(CAST(quantile_cont(o_totalprice, 0.99) AS DOUBLE) * 1e4) AS BIGINT) AS p99_e4
 FROM orders
 GROUP BY o_orderstatus
 """
@@ -408,9 +408,15 @@ GROUP BY o_orderstatus
 def agg_percentiles_exact(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        F.floor(F.percentile("o_totalprice", F.lit(0.5)) * F.lit(1e4))
+        .cast("bigint")
+        .alias("p50_e4"),
+        F.floor(F.percentile("o_totalprice", F.lit(0.9)) * F.lit(1e4))
+        .cast("bigint")
+        .alias("p90_e4"),
+        F.floor(F.percentile("o_totalprice", F.lit(0.99)) * F.lit(1e4))
+        .cast("bigint")
+        .alias("p99_e4"),
     )
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..tables import load
-from . import prioritize, register
+from . import register
 
 _BASKET_ORACLE = """
 WITH items AS (
@@ -57,4 +57,3 @@ def basket_part_pairs(spark, sf_dir):
     )
 
 
-prioritize("basket_part_pairs")

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..tables import load
-from . import prioritize, register
+from . import register
 
 _XML_ORACLE = """
 SELECT o_orderkey,
@@ -94,6 +94,3 @@ def bitmap_distinct_users(spark, sf_dir):
     )
 
 
-prioritize(
-    "xml_functions_roundtrip", "csv_functions_roundtrip", "bitmap_distinct_users"
-)

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from . import prioritize, register
+from . import register
 
 _HOURLY_ORACLE = """
 SELECT
@@ -33,7 +33,7 @@ def streaming_tumbling_hourly_drain(spark, sf_dir):
     from ..streaming import stream_hourly_counts
 
     q = stream_hourly_counts(spark, sf_dir, query_name="harness_hourly_drain")
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "availableNow stream drain timed out"
     return spark.sql("SELECT * FROM harness_hourly_drain")
 
 
@@ -51,7 +51,7 @@ def streaming_static_enrich_drain(spark, sf_dir):
     from ..streaming import stream_enrich_static_dim
 
     q = stream_enrich_static_dim(spark, sf_dir, query_name="harness_enrich_drain")
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "availableNow stream drain timed out"
     return spark.sql("SELECT * FROM harness_enrich_drain").select(
         "event_id", "user_id", "event_type", "ts", "customer_name", "nation_key"
     )
@@ -88,12 +88,7 @@ def streaming_session_windows_drain(spark, sf_dir):
     from ..streaming import stream_session_windows
 
     q = stream_session_windows(spark, sf_dir, query_name="harness_session_drain")
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "availableNow stream drain timed out"
     return spark.sql("SELECT * FROM harness_session_drain")
 
 
-prioritize(
-    "streaming_tumbling_hourly_drain",
-    "streaming_static_enrich_drain",
-    "streaming_session_windows_drain",
-)

@@ -24,8 +24,13 @@ EVENTS_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
+# ts is timestamp_ntz, not timestamp: the plain ``timestamp[us]``
+# parquet encoding (no tz annotation) surfaces as TIMESTAMP_NTZ from
+# the batch loader, and the stream source must type-match tables.load
+# exactly — an LTZ declaration is value-equal only while the session
+# timezone is UTC, a latent mismatch for stream/batch unions.
 EVENTS_SCHEMA_MICROS = (
-    "event_id long, ts timestamp, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -51,8 +56,22 @@ def _event_stream(spark: SparkSession, sf_dir: str):
         .parquet(sf_dir)
     )
     if ts_type == "bigint":
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # timestamp_micros yields LTZ; surface NTZ to match tables.load.
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
     return raw
+
+
+def _with_event_time(df, col: str = "ts"):
+    """Project the NTZ event-time column to TIMESTAMP (LTZ) at the
+    watermark boundary: Spark's event-time machinery (withWatermark,
+    window, session_window) requires LTZ and rejects NTZ. The session
+    timezone is pinned UTC, so the cast is value-preserving — the same
+    convention as queries/_util.epoch_us. Only stateful pipelines call
+    this; pass-through streams keep NTZ for exact type parity with the
+    batch loader."""
+    return df.withColumn(col, F.col(col).cast("timestamp"))
 
 
 def stream_hourly_counts(
@@ -60,7 +79,7 @@ def stream_hourly_counts(
 ):
     """Tumbling 1h window counts with a 2h watermark, drained with
     availableNow into a memory sink. Returns the StreamingQuery."""
-    events = _event_stream(spark, sf_dir)
+    events = _with_event_time(_event_stream(spark, sf_dir))
     agg = (
         events.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
@@ -92,7 +111,7 @@ def stream_session_windows(
     """Native streaming sessionization: ``F.session_window`` with a
     30-minute gap and a watermark bounding session state — the
     streaming twin of the batch `events_session_window_native` query."""
-    events = _event_stream(spark, sf_dir)
+    events = _with_event_time(_event_stream(spark, sf_dir))
     agg = (
         events.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
@@ -125,7 +144,7 @@ def stream_view_purchase_join(
     per-user-per-hour, sharded by the equi-key (user_id), and the
     range predicate bounds retention — no unbounded buffering.
     """
-    events = _event_stream(spark, sf_dir)
+    events = _with_event_time(_event_stream(spark, sf_dir))
     views = (
         events.filter(F.col("event_type") == "view")
         .select(
@@ -209,8 +228,12 @@ def stream_dedupe_within_watermark(
     i.e. the at-least-once delivery a real ingest bus exhibits; the
     output must equal the distinct input exactly.
     """
-    ev = _event_stream(spark, sf_dir).select("event_id", "user_id", "event_type", "ts")
-    at_least_once = ev.unionByName(_event_stream(spark, sf_dir).select(ev.columns))
+    ev = _with_event_time(_event_stream(spark, sf_dir)).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    at_least_once = ev.unionByName(
+        _with_event_time(_event_stream(spark, sf_dir)).select(ev.columns)
+    )
     deduped = at_least_once.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )

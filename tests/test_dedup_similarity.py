@@ -62,3 +62,24 @@ def test_simhash_finds_planted_dups(spark, sf_dir):
     recall = len(found & planted) / len(planted)
     assert recall >= 0.95, f"simhash recall {recall}"
     assert all(0 <= r.hamming <= 10 for r in out)
+
+
+def test_fingerprint_table_shared_across_dedup_queries(spark, sf_dir):
+    """The session-persistent fingerprint table is built once and
+    probed by both dedup queries: running dedup_minhash_lsh then
+    dedup_incremental_index must trigger no base-corpus shingle
+    recomputation (the production persisted-index posture)."""
+    from syllabus_sense_spark.queries import ext_dedup
+
+    ext_dedup._FP_CACHE.clear()
+    ext_dedup._FP_BUILDS = 0
+
+    QUERIES["dedup_minhash_lsh"](spark, sf_dir).count()
+    builds_after_first = ext_dedup._FP_BUILDS
+    assert builds_after_first == 2  # base + planted-dupe halves
+
+    QUERIES["dedup_incremental_index"](spark, sf_dir).count()
+    assert ext_dedup._FP_BUILDS == builds_after_first  # pure cache hit
+
+    base = ext_dedup.base_fingerprints(spark, sf_dir)
+    assert base.storageLevel.useMemory  # persisted, not re-derived

@@ -80,9 +80,17 @@ def main() -> None:
     t0 = time.time()
     rows = pq_rows()
     wall = time.time() - t0
-    got = {}
+    # k=6 covers a possible self-match; after dropping self, keep only
+    # the 5 best-ranked hits per query so the candidate budget matches
+    # the other variants' 5-candidate protocol (6 would inflate recall
+    # whenever the query's own vector misses its top-6).
+    by_query: dict[int, list] = {}
     for r in rows:
-        got.setdefault(r.query_id, set()).add(r.vec_id)
+        by_query.setdefault(r.query_id, []).append(r)
+    got = {}
+    for qid, rs in by_query.items():
+        rs.sort(key=lambda r: r.rank)
+        got[qid] = {r.vec_id for r in rs[:5]}
     recalls = [
         len(got.get(qid, set()) & nbrs) / len(nbrs) for qid, nbrs in exact.items()
     ]
