@@ -38,6 +38,21 @@ HEADLINE = [
     "bitmap_distinct_users",
 ]
 
+# Reported alongside but EXCLUDED from the headline total: availableNow
+# streaming drains pay real StreamingQuery startup (checkpoint dir,
+# micro-batch planning) on every run — a fixed cost that would swamp
+# the engine-work signal the total tracks. Timed once, fn() included,
+# since the drain runs inside the query function.
+STREAMING_EXTRA = [
+    "streaming_tumbling_hourly_drain",
+    "streaming_static_enrich_drain",
+    "streaming_session_windows_drain",
+]
+
+# Per-query iteration overrides: dq_check_orders showed a +16% swing
+# between rounds at min-of-3; n=5 pins its steady-state minimum.
+EXTRA_ITERS = {"dq_check_orders": 5}
+
 
 def main() -> None:
     from syllabus_sense_spark.session import get_spark
@@ -81,7 +96,7 @@ def main() -> None:
             continue
         best = float("inf")
         try:
-            for _ in range(iters):
+            for _ in range(EXTRA_ITERS.get(name, iters)):
                 df = fn(spark, sf_dir)
                 t0 = time.time()
                 df.write.format("noop").mode("overwrite").save()
@@ -92,6 +107,20 @@ def main() -> None:
             continue
         timings[name] = round(best, 3)
 
+    streaming: dict[str, float] = {}
+    for name in STREAMING_EXTRA:
+        fn = q.QUERIES.get(name)
+        if fn is None:
+            errors[name] = "not registered"
+            continue
+        try:
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            streaming[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -100,6 +129,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming_excluded_from_total": streaming,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **({"errors": errors} if errors else {}),
             }

@@ -31,3 +31,43 @@ def similarity_pq_adc(spark, sf_dir):
     return pq_search(emb, codes, centroids, queries, dim=_DIM, k=10)
 
 
+
+@register("search_semantic_docs_pq")  # rows-only: float-reduction training
+def search_semantic_docs_pq(spark, sf_dir):
+    """The RAG retrieval query (ext_search.search_semantic_docs) with
+    the exact scorer swapped for the PQ+ADC tier — the approximate
+    path a 100 TB corpus actually serves from. Same query set
+    (vec_id ≡ 0 mod 100), same k=3 hit list, same broadcast text
+    hydration; only the scoring dataflow changes: compressed-code ADC
+    shortlist, exact re-rank on the shortlist only. Recall@3 vs the
+    exact query is asserted in tests/test_pq.py.
+    """
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    subs = subvectors(emb, dim=_DIM)
+    centroids = train_codebook(subs)
+    codes = assign_codes(subs, centroids)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    # k=4 covers the query's own vector (dist 0); re-rank after the
+    # self-filter so ranks stay 1..3 — the protocol of the exact twin.
+    hits = pq_search(emb, codes, centroids, queries, dim=_DIM, k=4).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    hits = (
+        hits.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            "rank",
+            F.floor(F.col("dist") * F.lit(1e6)).cast("bigint").alias("dist_e6"),
+        )
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.substring("text", 1, 40).alias("snippet")
+    )
+    return F.broadcast(hits).join(docs, "doc_id").select(
+        "query_id", "doc_id", "rank", "dist_e6", "source", "snippet"
+    )

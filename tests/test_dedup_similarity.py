@@ -83,3 +83,22 @@ def test_fingerprint_table_shared_across_dedup_queries(spark, sf_dir):
 
     base = ext_dedup.base_fingerprints(spark, sf_dir)
     assert base.storageLevel.useMemory  # persisted, not re-derived
+
+
+def test_ivf_multiprobe_recall_vs_bruteforce(spark, sf_dir):
+    """Probe-2 IVF must recover ≥0.9 of the exact top-3 at the same
+    candidate budget (k=3 both sides) — the multi-probe upgrade's
+    acceptance bar; single-probe IVF sits well below this on cell-edge
+    queries."""
+    brute = QUERIES["similarity_topk_bruteforce"](spark, sf_dir).collect()
+    exact = {}
+    for r in brute:
+        if r.rank <= 3:
+            exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf = QUERIES["similarity_ivf_cells"](spark, sf_dir).collect()
+    got = {}
+    for r in ivf:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(got.get(k, set()) & v) / len(v) for k, v in exact.items()]
+    recall = sum(recalls) / len(recalls)
+    assert recall >= 0.9, f"ivf probe-2 recall@3 {recall}"

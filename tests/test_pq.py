@@ -147,3 +147,24 @@ def test_assign_codes_picks_nearest_centroid(spark):
         }
         best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))[0]
         assert r.code == best
+
+
+def test_search_semantic_docs_pq_recall_vs_exact(spark, sf_dir):
+    """The PQ-backed RAG query must recover ≥0.7 of the exact
+    retrieval's top-3 doc ids per query and return hydrated rows
+    (source + snippet) for every hit."""
+    from syllabus_sense_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    exact_rows = QUERIES["search_semantic_docs"](spark, sf_dir).collect()
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r.query_id, set()).add(r.doc_id)
+    pq_rows = QUERIES["search_semantic_docs_pq"](spark, sf_dir).collect()
+    got = {}
+    for r in pq_rows:
+        got.setdefault(r.query_id, set()).add(r.doc_id)
+        assert r.source is not None and r.snippet is not None
+    recalls = [len(got.get(k, set()) & v) / len(v) for k, v in exact.items()]
+    recall = sum(recalls) / len(recalls)
+    assert recall >= 0.7, f"pq rag recall@3 {recall}"
