@@ -156,6 +156,27 @@ def _planted_dupe_fingerprints(spark, sf_dir: str) -> DataFrame:
     return _persisted_fingerprints(spark, sf_dir, "planted_dupes", build)
 
 
+def planted_corpus_fingerprints(spark, sf_dir: str) -> DataFrame:
+    """(doc_id, h) for the full minhash corpus (base + planted dupes),
+    persisted as ONE table: repeated consumers (signatures, sizes, the
+    intersection join's two sides) then scan a single compact cache
+    instead of re-unioning the halves — the same steady-state profile
+    as a production persisted fingerprint artifact. Builds FROM the two
+    persisted halves, so shingling still happens once per half per
+    session; the union materialization is a cache scan, not a
+    recompute. Coalesced: fingerprint rows are 16 bytes, so fewer,
+    fuller partitions beat shuffle-width parallelism for cache scans."""
+
+    def build():
+        both = base_fingerprints(spark, sf_dir).unionByName(
+            _planted_dupe_fingerprints(spark, sf_dir)
+        )
+        n = max(both.sparkSession.sparkContext.defaultParallelism, 1)
+        return both.coalesce(n)
+
+    return _persisted_fingerprints(spark, sf_dir, "planted_all", build)
+
+
 def shingle_docs_raw(corpus: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) word n-grams, NOT deduplicated — pure
     built-ins.
@@ -325,9 +346,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     # fingerprint table instead of re-deriving it. Base and planted
     # halves have disjoint doc_ids and are distinct per doc, so their
     # union is the distinct fingerprint set of the planted corpus.
-    hashed = base_fingerprints(spark, sf_dir).unionByName(
-        _planted_dupe_fingerprints(spark, sf_dir)
-    )
+    hashed = planted_corpus_fingerprints(spark, sf_dir)
     # The signature table is k*8 bytes per doc; caching it keeps the
     # band self-join from running the min-hash aggregation twice.
     sigs = minhash_signatures(hashed).cache()

@@ -40,6 +40,10 @@ ALLOW = {
     "q21_waiting_suppliers": {"SMJ"},
     "similarity_topk_bruteforce": {"BNLJ"},
     "similarity_ivf_cells": {"BNLJ"},
+    # exact-baseline scorer of the RAG query: broadcast query set with
+    # the non-equi self-exclusion predicate — same intentional shape as
+    # similarity_topk_bruteforce (the scale tier is search_semantic_docs_pq)
+    "search_semantic_docs": {"BNLJ"},
     "q11_important_supply_value": {"BNLJ"},
     "mixture_resample_to_target": {"BNLJ"},
     "events_funnel_sequential": {"BNLJ"},
