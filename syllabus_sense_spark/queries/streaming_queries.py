@@ -92,3 +92,57 @@ def streaming_session_windows_drain(spark, sf_dir):
     return spark.sql("SELECT * FROM harness_session_drain")
 
 
+
+_DSV2_REPLAY_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(user_id AS BIGINT)) AS BIGINT) AS sum_user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("streaming_dsv2_replay_drain", _DSV2_REPLAY_ORACLE)
+def streaming_dsv2_replay_drain(spark, sf_dir):
+    """Drain the custom DSv2 streaming Python DataSource
+    (sources/events_stream_datasource.py): the events table replays in
+    5000-row offset-tracked micro-batches, each planned into row-range
+    partitions read executor-side via pyarrow; the running aggregate
+    must equal the batch table exactly — proving the offset model loses
+    and duplicates nothing across micro-batch boundaries. Not
+    availableNow (the Python API plans offsets per micro-batch), so
+    the drain loops processAllAvailable until the source stops
+    advancing.
+    """
+    import tempfile
+
+    from ..sources.events_stream_datasource import register_events_replay
+
+    register_events_replay(spark)
+    events = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("batchRows", "5000")
+        .load()
+    )
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("user_id").cast("bigint")).alias("sum_user_id"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+    name = "harness_dsv2_replay"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dsv2_replay_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
