@@ -36,6 +36,13 @@ HEADLINE = [
     "training_shuffle_shards",
     "events_conversion_within_7d",
     "bitmap_distinct_users",
+    # round-5 additions: passage-level dedup (n-gram explode+join),
+    # iterative integer PageRank (3 join+agg rounds), ordered funnel
+    # (chained keyed joins), temperature mixture sampling (2-pass)
+    "dedup_repeated_passages",
+    "graph_pagerank_trade",
+    "events_funnel_ordered",
+    "training_temperature_mixture",
 ]
 
 # Reported alongside but EXCLUDED from the headline total: availableNow

@@ -59,7 +59,15 @@ _FORCE_RECHECK = [
     "text_tfidf_top_term",  # tfidf_r -> integer-scaled
 ]
 
-_NEW_THIS_ROUND: list[str] = []
+_NEW_THIS_ROUND: list[str] = [
+    "dedup_repeated_passages",
+    "graph_pagerank_trade",
+    "events_funnel_ordered",
+    "training_temperature_mixture",
+    "streaming_interval_join_drain",
+    "events_retention_cohorts",
+    "dq_join_skew_profile",
+]
 
 
 def prioritize(*names: str) -> None:
@@ -136,6 +144,13 @@ def load_all_queries() -> None:
         ext_dedup2,
         streaming_queries,
         sink_queries,
+        ext_text5,
+        ext_graph2,
+        events8,
+        ext_training5,
+        streaming_queries2,
+        events9,
+        dq_queries2,
         scalar_funcs3,
         events6,
         ext_training4,

@@ -1,0 +1,112 @@
+"""[EXT] Temperature-scaled mixture sampling — the data-mixing step
+of LLM pretraining (sample source i with probability ∝ massᵢ^T,
+T = 0.5, the "square-root temperature" that up-weights small sources;
+the multilingual-sampling trick from the XLM-R / mT5 line of work).
+
+Deterministic end-to-end, which is the hard part: a production
+sampler must produce the *same* subset on re-run (resumable jobs,
+reproducible ablations), so nothing here uses engine RNG.
+
+1. source mass = Σ n_chars per source (exact BIGINT);
+2. weight = ⌊√mass⌋ — the only float op, a single correctly-rounded
+   IEEE sqrt on an exact integer, bit-identical in any engine;
+3. per-source acceptance rate in ppm by *integer* division:
+   rate = min(1e6, target · weight · 1e6 DIV (Σweights · count));
+4. per-doc accept test: (doc_id · 2654435761) mod 1e6 < rate — a
+   Knuth multiplicative hash on the stable doc_id, so membership is a
+   pure function of (doc_id, per-source rate), not of partitioning.
+
+Output = the per-source audit table (docs, mass, weight, rate,
+sampled count) — what a mixing job logs to prove the realized mixture
+matches the recipe. Everything BIGINT.
+
+Scale posture: stage 1 is one groupBy(source) partial-agg; stages
+2-3 are arithmetic on a source-count-sized table (broadcast back);
+stage 4 is a broadcast join + filter + one more groupBy(source).
+Two scans of documents metadata columns (never the text), no skew
+risk beyond source imbalance itself — which this operator exists to
+correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import register
+
+_TARGET_DIV = 2  # sample target = half the corpus
+_KNUTH = 2654435761
+
+_MIXTURE_ORACLE = f"""
+WITH stats AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS mass
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, mass,
+         CAST(FLOOR(SQRT(mass)) AS BIGINT) AS weight
+  FROM stats
+),
+tot AS (
+  SELECT CAST(SUM(weight) AS BIGINT) AS tot_w,
+         CAST(SUM(n_docs) AS BIGINT) // {_TARGET_DIV} AS target
+  FROM w
+),
+rates AS (
+  SELECT w.source, w.n_docs, w.mass, w.weight,
+         LEAST(1000000,
+               (tot.target * w.weight * 1000000) // (tot.tot_w * w.n_docs))
+           AS rate_ppm
+  FROM w, tot
+),
+picks AS (
+  SELECT d.source, COUNT(*) AS n_sampled
+  FROM documents d JOIN rates r ON r.source = d.source
+  WHERE (d.doc_id * {_KNUTH}) % 1000000 < r.rate_ppm
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.mass, r.weight, r.rate_ppm,
+       COALESCE(p.n_sampled, 0) AS n_sampled
+FROM rates r LEFT JOIN picks p ON p.source = r.source
+"""
+
+
+@register("training_temperature_mixture", _MIXTURE_ORACLE)
+def training_temperature_mixture(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    stats = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("mass"),
+    )
+    w = stats.withColumn("weight", F.floor(F.sqrt(F.col("mass"))))
+    tot = w.agg(
+        F.sum("weight").alias("tot_w"),
+        F.expr(f"sum(n_docs) DIV {_TARGET_DIV}").alias("target"),
+    )
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "mass",
+        "weight",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr("(target * weight * 1000000) DIV (tot_w * n_docs)"),
+        ).alias("rate_ppm"),
+    )
+    picks = (
+        d.join(F.broadcast(rates.select("source", "rate_ppm")), "source")
+        .filter(F.expr(f"(doc_id * {_KNUTH}) % 1000000") < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return rates.join(picks, "source", "left").select(
+        "source",
+        "n_docs",
+        "mass",
+        "weight",
+        "rate_ppm",
+        F.coalesce(F.col("n_sampled"), F.lit(0).cast("long")).alias("n_sampled"),
+    )

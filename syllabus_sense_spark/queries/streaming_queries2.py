@@ -1,0 +1,86 @@
+"""Driver-verifiable Structured Streaming, part 2: the stream-stream
+interval join — the one streaming surface the round-4 battery did not
+yet exercise as a CORRECTNESS row.
+
+Stream-stream joins are the hardest stateful shape Spark streaming
+offers: both sides buffer rows in state, and the time-range condition
+plus watermarks are what let the engine evict state (a view can only
+match purchases up to 1 hour later, so once the purchase-side
+watermark passes view_ts + 1h the buffered view row is droppable).
+Without the range condition the state would grow unboundedly — this
+query is the canonical demonstration that the join is
+production-safe at 100 TB/day event volumes.
+
+Sound for the harness for the same reason as streaming_queries.py:
+``availableNow`` over a static directory processes everything, inner
+join results emit on match (watermarks govern state eviction, not
+emission), so the drain equals the batch join exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import register
+
+_SS_JOIN_ORACLE = """
+SELECT v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       v.user_id,
+       v.ts AS view_ts,
+       p.ts AS purchase_ts
+FROM events v JOIN events p ON p.user_id = v.user_id
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("streaming_interval_join_drain", _SS_JOIN_ORACLE)
+def streaming_interval_join_drain(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.events import _event_stream, _with_event_time
+
+    views = (
+        _with_event_time(_event_stream(spark, sf_dir))
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        _with_event_time(_event_stream(spark, sf_dir))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts > view_ts
+            AND purchase_ts <= view_ts + INTERVAL 1 HOUR
+            """
+        ),
+    ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+    name = "harness_interval_join_drain"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ss_join_ckpt_")
+        )
+        .start()
+    )
+    assert q.awaitTermination(600), "availableNow stream drain timed out"
+    return spark.sql(f"SELECT * FROM {name}")
