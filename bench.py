@@ -37,11 +37,11 @@ HEADLINE = [
     "events_conversion_within_7d",
     "bitmap_distinct_users",
     # round-5 additions: passage-level dedup (n-gram explode+join),
-    # iterative integer PageRank (3 join+agg rounds), ordered funnel
-    # (chained keyed joins), temperature mixture sampling (2-pass)
+    # iterative integer PageRank (3 join+agg rounds), triangle census
+    # (ordered 3-way self-join), temperature mixture sampling (2-pass)
     "dedup_repeated_passages",
     "graph_pagerank_trade",
-    "events_funnel_ordered",
+    "graph_triangle_census",
     "training_temperature_mixture",
 ]
 
@@ -104,9 +104,14 @@ def main() -> None:
         best = float("inf")
         try:
             for _ in range(EXTRA_ITERS.get(name, iters)):
-                df = fn(spark, sf_dir)
+                # fn() is inside the timed region: iterative operators
+                # (PageRank, components, triangle census) do real work
+                # eagerly via localCheckpoint during construction, and
+                # timing only the final noop write would under-report
+                # them to near zero. For lazy queries construction is
+                # plan-building only (sub-ms) — the numbers don't move.
                 t0 = time.time()
-                df.write.format("noop").mode("overwrite").save()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
         except Exception as exc:  # noqa: BLE001 — one bad query must not zero the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]

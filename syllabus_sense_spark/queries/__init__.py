@@ -62,10 +62,9 @@ _FORCE_RECHECK = [
 _NEW_THIS_ROUND: list[str] = [
     "dedup_repeated_passages",
     "graph_pagerank_trade",
-    "events_funnel_ordered",
+    "graph_triangle_census",
     "training_temperature_mixture",
     "streaming_interval_join_drain",
-    "events_retention_cohorts",
     "dq_join_skew_profile",
 ]
 
@@ -146,10 +145,9 @@ def load_all_queries() -> None:
         sink_queries,
         ext_text5,
         ext_graph2,
-        events8,
+        ext_graph3,
         ext_training5,
         streaming_queries2,
-        events9,
         dq_queries2,
         scalar_funcs3,
         events6,

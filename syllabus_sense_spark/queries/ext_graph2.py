@@ -72,6 +72,9 @@ r{k} AS (
 def graph_pagerank_trade(spark, sf_dir):
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
+    # Materialized once: the distinct (cust, supp) trade pairs feed
+    # four consumers (two degree aggs + both edge directions) and the
+    # orders⋈lineitem⋈distinct subtree must not recompute per branch.
     edges = (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .select(
@@ -79,30 +82,52 @@ def graph_pagerank_trade(spark, sf_dir):
             F.col("l_suppkey").alias("supp"),
         )
         .distinct()
+        .localCheckpoint()
     )
-    und = edges.select(
+    # Out-degrees come from the *directed* edge list (the undirected
+    # doubling makes node out-degree = its edge count on either side):
+    # two per-node-count aggregates, each ≪ edges, broadcast back onto
+    # the edge list — so the degree attachment is map-side, never a
+    # shuffle join of the doubled edge table against itself. (At
+    # web-graph scale where even the node table outgrows broadcast,
+    # drop the hints: the joins fall back to a shuffle on the same
+    # keys and nothing else changes.)
+    cdeg = edges.groupBy("cust").agg(F.count(F.lit(1)).alias("od"))
+    sdeg = edges.groupBy("supp").agg(F.count(F.lit(1)).alias("od"))
+    fwd = edges.join(F.broadcast(cdeg), "cust").select(
         F.col("cust").alias("src"),
         (F.col("supp") + _SUPP_OFFSET).alias("dst"),
-    ).unionByName(
-        edges.select(
-            (F.col("supp") + _SUPP_OFFSET).alias("src"),
-            F.col("cust").alias("dst"),
-        )
+        "od",
     )
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    # Edge list with the sender's out-degree attached, materialized
-    # once — every iteration re-joins against this same table.
-    e2 = und.join(deg, "src").localCheckpoint()
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("r")
+    rev = edges.join(F.broadcast(sdeg), "supp").select(
+        (F.col("supp") + _SUPP_OFFSET).alias("src"),
+        F.col("cust").alias("dst"),
+        "od",
     )
+    # Edge list with the sender's out-degree attached. Left lazy on
+    # purpose: it appears once per iteration in the DAG, but its
+    # upstream is the *checkpointed* edge table plus two broadcast
+    # joins — re-deriving it per iteration is map-side-only work,
+    # cheaper than materializing a second 2|E|-row checkpoint.
+    e2 = fwd.unionByName(rev)
+    ranks = cdeg.select(F.col("cust").alias("node")).unionByName(
+        sdeg.select((F.col("supp") + _SUPP_OFFSET).alias("node"))
+    ).withColumn("r", F.lit(1_000_000).cast("long"))
+    # The iteration chain stays LAZY: rank(k) feeds rank(k+1) as a
+    # linear plan (no recomputation), so the whole fixed-point runs as
+    # one pipelined job — one shuffle per iteration (the groupBy), and
+    # the rank side enters each join as a broadcast (one row per node,
+    # ≪ edges; at web-graph scale drop the hint and AQE falls back to
+    # a shuffle join on the same keys). For convergence-style loops of
+    # unknown depth, per-iteration localCheckpoint + a changed-count
+    # action is the posture (see ext_graph.connected_components);
+    # a fixed 3-step unroll doesn't need it.
     for _ in range(_ITER):
         ranks = (
-            e2.join(ranks, e2.src == ranks.node)
+            e2.join(F.broadcast(ranks), e2.src == ranks.node)
             .select("dst", F.expr("(r * 17) DIV (20 * od)").alias("share"))
             .groupBy("dst")
             .agg((F.lit(150_000) + F.sum("share")).alias("r"))
             .select(F.col("dst").alias("node"), F.col("r"))
-            .localCheckpoint()
         )
     return ranks.select("node", F.col("r").alias("rank_micro"))

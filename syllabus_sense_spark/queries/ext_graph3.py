@@ -1,0 +1,106 @@
+"""[EXT] Triangle census over the co-purchase graph — the classic
+distributed-graph benchmark operator (multi-way self-join), rounding
+out the graph family: connected components (ext_graph.py), fixed-point
+ranking (ext_graph2.py), and now motif counting.
+
+Graph: parts are nodes; an edge connects two parts co-purchased in at
+least 2 distinct orders (the support threshold that keeps the
+projected graph sparse — projecting a bipartite order×part relation
+without a threshold densifies quadratically). Edges are canonically
+oriented (part_a < part_b), so each triangle {a<b<c} is enumerated
+exactly once by the ordered 3-way join
+
+    e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c)
+
+— the standard MapReduce/Spark triangle algorithm: every stage is an
+equi-join on node keys (never a cross product), the first join fans
+out to open wedges (a<b<c paths), and the second closes them against
+the edge list. At 100 TB the edge list is pre-partitioned once by its
+join key and reused by both joins; the degree-ordered orientation is
+also the classic skew-bound (each wedge is generated at its
+lowest-id corner).
+
+Output: per-node triangle participation (how many triangles each part
+sits in) — the local clustering signal used for recommendation /
+anomaly features. Exact integers end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import register
+
+_MIN_SUPPORT = 2
+
+_TRIANGLE_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_MIN_SUPPORT}
+),
+tri AS (
+  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.pa = e1.pb
+  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+nodes AS (
+  SELECT a AS part_key FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT part_key, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY part_key
+"""
+
+
+@register("graph_triangle_census", _TRIANGLE_ORACLE)
+def graph_triangle_census(spark, sf_dir):
+    items = (
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _MIN_SUPPORT)
+        .select("pa", "pb")
+        # materialized once; both triangle joins probe this same table
+        .localCheckpoint()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("a"),
+            F.col("e1.pb").alias("b"),
+            F.col("e2.pb").alias("c"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("part_key"))
+        .unionByName(tri.select(F.col("b").alias("part_key")))
+        .unionByName(tri.select(F.col("c").alias("part_key")))
+    )
+    return nodes.groupBy("part_key").agg(F.count(F.lit(1)).alias("n_triangles"))

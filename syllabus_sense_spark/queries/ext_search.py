@@ -50,7 +50,7 @@ WHERE r.rank <= 3
 def search_semantic_docs(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("nrm", _norm(F.col("v")))
+    ).withColumn("nrm", _norm("v"))
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -59,7 +59,7 @@ def search_semantic_docs(spark, sf_dir):
     scored = e.join(
         F.broadcast(q), F.col("vec_id") != F.col("query_id")
     ).withColumn(
-        "sim", _dot_unrolled(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+        "sim", _dot_unrolled("qv", "v") / (F.col("qn") * F.col("nrm"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     hits = (

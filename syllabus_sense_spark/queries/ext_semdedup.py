@@ -104,7 +104,7 @@ def _corpus_vec(spark, sf_dir):
 
 @register("dedup_semantic_clusters", _SEMDEDUP_ORACLE)
 def dedup_semantic_clusters(spark, sf_dir):
-    corpus = _corpus_vec(spark, sf_dir).withColumn("nrm", _norm(F.col("v")))
+    corpus = _corpus_vec(spark, sf_dir).withColumn("nrm", _norm("v"))
     cent = corpus.filter(F.expr(_CENTROID_PRED)).select(
         F.col("vec_id").alias("cent_id"),
         F.col("v").alias("cv"),
@@ -112,7 +112,7 @@ def dedup_semantic_clusters(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    sim_to_cent = _dot_unrolled(F.col("v"), F.col("cv")) / (
+    sim_to_cent = _dot_unrolled("v", "cv") / (
         F.col("nrm") * F.col("cnrm")
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
@@ -126,7 +126,7 @@ def dedup_semantic_clusters(spark, sf_dir):
     )
     a = cells.alias("a")
     b = cells.alias("b")
-    sim = _dot_unrolled(F.col("a.v"), F.col("b.v")) / (
+    sim = _dot_unrolled("a.v", "b.v") / (
         F.col("a.nrm") * F.col("b.nrm")
     )
     pairs = (

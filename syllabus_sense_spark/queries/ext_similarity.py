@@ -35,11 +35,26 @@ def _dot(a, b):
     )
 
 
+def _dot_sql(a: str, b: str, dim: int = DIM) -> str:
+    return " + ".join(
+        f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1)
+    )
+
+
 def _dot_unrolled(a, b, dim: int = DIM):
     """Dot product as a statically-unrolled sum of products — stays
     inside whole-stage codegen instead of the interpreted higher-order
     aggregate. Left-associated addition, so the result is bit-identical
-    to the ``F.aggregate`` fold (IEEE: 0.0 + x == x)."""
+    to the ``F.aggregate`` fold (IEEE: 0.0 + x == x).
+
+    Pass column NAMES (plain or alias-qualified) where possible: the
+    whole sum is then ONE ``F.expr`` parse JVM-side instead of ~3·dim
+    py4j round trips — with dim=64 and three dots per query, the
+    Column-by-Column build costs ~0.5 s of driver time per plan
+    construction, which is pure waste for a resident pipeline.
+    Column inputs (e.g. literal hyperplane arrays) keep the loop."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b, dim))
     out = F.element_at(a, 1) * F.element_at(b, 1)
     for i in range(2, dim + 1):
         out = out + F.element_at(a, i) * F.element_at(b, i)
@@ -47,6 +62,8 @@ def _dot_unrolled(a, b, dim: int = DIM):
 
 
 def _norm(v, dim: int = DIM):
+    if isinstance(v, str):
+        return F.expr(f"sqrt({_dot_sql(v, v, dim)})")
     return F.sqrt(_dot_unrolled(v, v, dim))
 
 
@@ -94,17 +111,17 @@ def similarity_topk_bruteforce(spark, sf_dir):
     q = e.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
-    ).withColumn("qn", _norm(F.col("qv")))
+    ).withColumn("qn", _norm("qv"))
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").cast("array<double>").alias("cv"),
-    ).withColumn("cn", _norm(F.col("cv")))
+    ).withColumn("cn", _norm("cv"))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "sim",
-            _dot_unrolled(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            _dot_unrolled("qv", "cv") / (F.col("qn") * F.col("cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -143,10 +160,10 @@ def similarity_cosine_blocked(spark, sf_dir):
     cross join); at scale the block key is an IVF centroid id."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("nrm", _norm(F.col("v")))
+    ).withColumn("nrm", _norm("v"))
     a = e.alias("a")
     b = e.alias("b")
-    sim = _dot_unrolled(F.col("a.v"), F.col("b.v")) / (
+    sim = _dot_unrolled("a.v", "b.v") / (
         F.col("a.nrm") * F.col("b.nrm")
     )
     return (
@@ -196,7 +213,7 @@ def similarity_ann_lsh(spark, sf_dir):
         return out
 
     bucketed = e.withColumn("bucket", bucket(F.col("v"))).withColumn(
-        "nrm", _norm(F.col("v"))
+        "nrm", _norm("v")
     )
     q = bucketed.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -212,7 +229,7 @@ def similarity_ann_lsh(spark, sf_dir):
         )
         .withColumn(
             "sim",
-            _dot_unrolled(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")),
+            _dot_unrolled("qv", "v") / (F.col("qn") * F.col("nrm")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -282,14 +299,14 @@ FROM ranked WHERE rank <= 3
 def similarity_ivf_cells(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("nrm", _norm(F.col("v")))
+    ).withColumn("nrm", _norm("v"))
     cent = e.filter(F.expr(_IVF_CENTROID_PRED)).select(
         F.col("vec_id").alias("cent_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
     )
     # Coarse quantization: argmax cosine over the broadcast centroid set.
-    sim_to_cent = _dot_unrolled(F.col("v"), F.col("cv")) / (
+    sim_to_cent = _dot_unrolled("v", "cv") / (
         F.col("nrm") * F.col("cnrm")
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
@@ -315,7 +332,7 @@ def similarity_ivf_cells(spark, sf_dir):
         F.broadcast(q),
         (F.col("cent_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
     ).withColumn(
-        "sim", _dot_unrolled(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+        "sim", _dot_unrolled("qv", "v") / (F.col("qn") * F.col("nrm"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (

@@ -5,7 +5,12 @@ shape, Lee et al. 2021, at word-8-gram granularity).
 Exact-duplicate *documents* are caught by `dedup_exact_hash`;
 near-duplicates by MinHash/SimHash. What those miss is the repeated
 *passage*: boilerplate paragraphs, license headers, templated intros
-that recur across otherwise-distinct documents. The production
+that recur across otherwise-distinct documents. (Distinct from
+`text_boilerplate_fraction`, which rolls a distinct-5-gram
+document-frequency signal up to a per-*source* quality score — this
+operator keeps gram *positions* so the per-*document* coverage is
+exact, which is what a passage-cutting pass needs: it tells you how
+much of THIS document is removable, not how templated the source is.) The production
 treatment (suffix arrays) is sequential; the distributed re-expression
 is positional n-gram fingerprinting:
 

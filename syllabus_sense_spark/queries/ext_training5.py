@@ -3,6 +3,12 @@ of LLM pretraining (sample source i with probability ∝ massᵢ^T,
 T = 0.5, the "square-root temperature" that up-weights small sources;
 the multilingual-sampling trick from the XLM-R / mT5 line of work).
 
+Complements `mixture_resample_to_target` (ext_training2.py): that one
+resamples toward a *uniform* mixture under a token budget; this one
+implements the *temperature* family — the recipe is a parameterized
+weight exponent, and the two ship as the two standard presets (T=1
+uniform-target vs T=0.5 flattened-proportional).
+
 Deterministic end-to-end, which is the hard part: a production
 sampler must produce the *same* subset on re-run (resumable jobs,
 reproducible ablations), so nothing here uses engine RNG.
@@ -102,7 +108,7 @@ def training_temperature_mixture(spark, sf_dir):
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
-    return rates.join(picks, "source", "left").select(
+    return rates.join(F.broadcast(picks), "source", "left").select(
         "source",
         "n_docs",
         "mass",

@@ -72,12 +72,18 @@ def test_pagerank_integer_laws(spark, sf_dir):
     assert again == {r.node: r.rank_micro for r in rows}
 
 
-def test_funnel_monotone(spark, sf_dir):
-    from syllabus_sense_spark.queries.events8 import events_funnel_ordered
+def test_triangle_census_laws(spark, sf_dir):
+    from syllabus_sense_spark.queries.ext_graph3 import graph_triangle_census
 
-    [r] = events_funnel_ordered(spark, sf_dir).collect()
-    assert r.step1_view >= r.step2_click >= r.step3_purchase >= 0
-    assert r.step1_view > 0
+    rows = graph_triangle_census(spark, sf_dir).collect()
+    # total participation is 3 per triangle, so it divides by 3
+    total = sum(r.n_triangles for r in rows)
+    assert total % 3 == 0
+    for r in rows:
+        assert r.n_triangles >= 1
+    # deterministic on rerun
+    again = sorted(map(tuple, graph_triangle_census(spark, sf_dir).collect()))
+    assert again == sorted(map(tuple, rows))
 
 
 def test_temperature_mixture_laws(spark, sf_dir):
@@ -140,25 +146,6 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == batch
-
-
-def test_retention_cohort_laws(spark, sf_dir):
-    from syllabus_sense_spark.queries.events9 import events_retention_cohorts
-    from syllabus_sense_spark.tables import load
-
-    rows = events_retention_cohorts(spark, sf_dir).collect()
-    assert rows
-    by_cohort: dict = {}
-    for r in rows:
-        assert r.day_offset >= 0
-        assert r.n_users > 0
-        by_cohort.setdefault(r.cohort_day, {})[r.day_offset] = r.n_users
-    # every user is active on their first-touch day, so offset 0 exists
-    # for every cohort and dominates every later offset's count
-    n_users_total = load(spark, sf_dir, "events").select("user_id").distinct().count()
-    assert sum(c[0] for c in by_cohort.values()) == n_users_total
-    for offsets in by_cohort.values():
-        assert all(n <= offsets[0] for n in offsets.values())
 
 
 def test_skew_profile_partitions_rows_and_keys(spark, sf_dir):

@@ -38,6 +38,9 @@ ALLOW = {
     "join_cross_matrix": {"BNLJ", "CARTESIAN"},
     "join_range_bands": {"BNLJ"},
     "q21_waiting_suppliers": {"SMJ"},
+    # pair-generation self-join (items x items on l_orderkey) is
+    # fact x fact — SMJ is the intended plan, as in q21
+    "graph_triangle_census": {"SMJ"},
     "similarity_topk_bruteforce": {"BNLJ"},
     "similarity_ivf_cells": {"BNLJ"},
     # exact-baseline scorer of the RAG query: broadcast query set with
@@ -46,6 +49,9 @@ ALLOW = {
     "search_semantic_docs": {"BNLJ"},
     "q11_important_supply_value": {"BNLJ"},
     "mixture_resample_to_target": {"BNLJ"},
+    # same 1-row scalar-aggregate broadcast cross join (the tot/target
+    # table) as mixture_resample_to_target
+    "training_temperature_mixture": {"BNLJ"},
     "events_funnel_sequential": {"BNLJ"},
     "events_histogram_bins": {"BNLJ"},
     "embedding_quantize_int8": {"BNLJ"},
