@@ -66,6 +66,7 @@ _NEW_THIS_ROUND: list[str] = [
     "training_temperature_mixture",
     "streaming_interval_join_drain",
     "dq_join_skew_profile",
+    "pandas_udaf_median_value",
 ]
 
 
@@ -149,6 +150,7 @@ def load_all_queries() -> None:
         ext_training5,
         streaming_queries2,
         dq_queries2,
+        ext_udaf,
         scalar_funcs3,
         events6,
         ext_training4,

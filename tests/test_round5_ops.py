@@ -148,6 +148,38 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir):
     assert got == batch
 
 
+def test_grouped_agg_udaf_median_laws(spark, sf_dir):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from syllabus_sense_spark.queries.ext_udaf import pandas_udaf_median_value
+    from syllabus_sense_spark.tables import load
+
+    rows = {r.event_type: r for r in pandas_udaf_median_value(spark, sf_dir).collect()}
+    ref = {
+        r.event_type: r
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.expr("percentile(value, 0.5)") * F.lit(1e6))
+            .cast("bigint")
+            .alias("med_e6"),
+        )
+        .collect()
+    }
+    assert rows.keys() == ref.keys()
+    for et, r in rows.items():
+        assert r.n_events == ref[et].n
+        # JVM percentile(0.5) is the same two-middle average
+        assert r.median_value_e6 == ref[et].med_e6
+    # order-independence: same result under a different partitioning
+    repart = {
+        r.event_type: r.median_value_e6
+        for r in pandas_udaf_median_value(spark, sf_dir).collect()
+    }
+    assert repart == {et: r.median_value_e6 for et, r in rows.items()}
+
+
 def test_skew_profile_partitions_rows_and_keys(spark, sf_dir):
     from syllabus_sense_spark.queries.dq_queries2 import dq_join_skew_profile
     from syllabus_sense_spark.tables import load
