@@ -57,6 +57,11 @@ _FORCE_RECHECK = [
     "agg_percentiles_exact",  # p50/p90/p99 -> integer-scaled
     "agg_covar_corr_exact",  # covar/corr/slope -> integer-scaled
     "text_tfidf_top_term",  # tfidf_r -> integer-scaled
+    # round-5 dot-product expr refactor (_dot_unrolled/_norm string
+    # form) also flows through these; their last green predates it:
+    "dedup_semantic_clusters",
+    "similarity_ivf_kmeans",  # rows-only; rerun confirms it executes
+    "similarity_ann_lsh",  # rows-only; same
 ]
 
 _NEW_THIS_ROUND: list[str] = [
