@@ -54,6 +54,7 @@ STREAMING_EXTRA = [
     "streaming_tumbling_hourly_drain",
     "streaming_static_enrich_drain",
     "streaming_session_windows_drain",
+    "streaming_interval_join_drain",
 ]
 
 # Per-query iteration overrides: dq_check_orders showed a +16% swing
