@@ -143,6 +143,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "streaming_excluded_from_total": streaming,
+                # r5 methodology change: construction+execution timed
+                # together (write-only timing under-reported eager
+                # iterative operators); compare r4 per-query numbers
+                # accordingly
+                "timing": "min over warm iters of fn()+noop-write",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **({"errors": errors} if errors else {}),
             }
