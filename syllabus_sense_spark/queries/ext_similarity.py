@@ -186,9 +186,14 @@ def similarity_cosine_blocked(spark, sf_dir):
 @register("similarity_ann_lsh")  # rows-only: LSH bucketing is engine-specific
 def similarity_ann_lsh(spark, sf_dir):
     """Sign-random-projection ANN: 8 seeded hyperplanes → 8-bit bucket;
-    top-k within bucket only. The scale path: candidate generation is
-    an equi-join on the bucket id. Recall vs brute force is asserted
-    in tests/test_similarity.py."""
+    top-k within the probed buckets. Multi-probe: each query probes
+    its own bucket plus the 8 buckets at Hamming distance 1 (the SRP
+    property: a near neighbor differs in few sign bits, so the
+    adjacent buckets are exactly where boundary-straddling neighbors
+    land) — 9/256 of the corpus scored per query instead of 1/256,
+    still pure equi-joins on the bucket id (buckets are disjoint, so
+    no candidate dedup is needed). Recall vs brute force is asserted
+    in tests/test_dedup_similarity.py."""
     import numpy as np
 
     rng = np.random.default_rng(42)
@@ -215,16 +220,28 @@ def similarity_ann_lsh(spark, sf_dir):
     bucketed = e.withColumn("bucket", bucket(F.col("v"))).withColumn(
         "nrm", _norm("v")
     )
-    q = bucketed.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("bucket").alias("qbucket"),
-        F.col("nrm").alias("qn"),
+    probe_arr = "array(qbucket, " + ", ".join(
+        f"qbucket ^ {1 << i}" for i in range(8)
+    ) + ")"
+    q = (
+        bucketed.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("bucket").alias("qbucket"),
+            F.col("nrm").alias("qn"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            F.explode(F.expr(probe_arr)).alias("pbucket"),
+        )
     )
     scored = (
         bucketed.join(
             F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket"))
+            (F.col("bucket") == F.col("pbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
         .withColumn(

@@ -46,11 +46,12 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
         total += 1
         if r.neighbor_id in brute_sets.get(r.query_id, set()):
             hits += 1
-    # 8-bit SRP buckets over random 64-d vectors: candidates are a
-    # ~1/256 sample, so matching any exact top-5 neighbor is rare; the
-    # assertion is that the ANN path produces ranked, non-empty output
-    # with valid ids (the scale-path plumbing), not high recall on
-    # unclustered data.
+    # 8-bit SRP buckets with Hamming-1 multi-probe (9/256 of the
+    # corpus scored per query): recall on weakly-clustered harness
+    # vectors is measured by tools/ann_eval.py (0.24 at sf0.01 —
+    # 6x the single-probe figure); at this test's tiny sf the buckets
+    # are nearly empty, so the assertion here is that the ANN path
+    # produces ranked output with valid ids (the scale-path plumbing).
     assert total > 0
     assert all(1 <= r.rank <= 5 for r in ann)
 
