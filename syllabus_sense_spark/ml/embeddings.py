@@ -141,6 +141,7 @@ def kmeans_ivf_neighbors(
     queries: DataFrame,
     k: int = 5,
     n_cells: int = 8,
+    n_probes: int = 2,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, sim) — IVF ANN with LEARNED
     centroids: the production upgrade of the deterministic-seed IVF in
@@ -149,8 +150,11 @@ def kmeans_ivf_neighbors(
     Fit: sampled k-means (here the full table — at 100 TB a ~0.1%
     sample; the model is centroids only, broadcast-sized regardless of
     corpus size). Assign: ``model.transform`` is a narrow map (argmin
-    over broadcast centroids). Probe: queries search ONLY their own
-    cell — an equi-join on cell id, never a cross join.
+    over broadcast centroids). Probe: queries search their
+    ``n_probes`` nearest cells (Euclidean, matching the quantizer's
+    own metric) — the standard multi-probe recall lever; candidate
+    generation stays an equi-join on cell id (cells are disjoint, so
+    each candidate pair appears once), never a cross join.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.sql import Window
@@ -163,12 +167,27 @@ def kmeans_ivf_neighbors(
     cells = model.transform(base).select(
         "vec_id", "arr", F.col("prediction").alias("cell_id")
     )
-    q = cells.join(
-        queries.select("vec_id"), "vec_id", "left_semi"
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("arr").alias("qarr"),
-        F.col("cell_id").alias("qcell"),
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "pcell int, cv array<double>",
+    )
+    # Query-side multi-probe assignment: rank all centroids by the
+    # quantizer's Euclidean metric, keep the n_probes nearest.
+    d2 = F.aggregate(
+        F.zip_with("qarr", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("d2"), F.col("pcell"))
+    q = (
+        cells.join(queries.select("vec_id"), "vec_id", "left_semi")
+        .select(F.col("vec_id").alias("query_id"), F.col("arr").alias("qarr"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("d2", d2)
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .filter(F.col("probe_rank") <= n_probes)
+        .select("query_id", "qarr", "pcell")
     )
     dot = F.aggregate(
         F.zip_with("qarr", "arr", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
@@ -178,7 +197,7 @@ def kmeans_ivf_neighbors(
     )
     scored = cells.join(
         F.broadcast(q),
-        (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+        (F.col("cell_id") == F.col("pcell")) & (F.col("vec_id") != F.col("query_id")),
     ).withColumn("sim", dot / (nrm("qarr") * nrm("arr")))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
