@@ -72,6 +72,7 @@ _NEW_THIS_ROUND: list[str] = [
     "streaming_interval_join_drain",
     "dq_join_skew_profile",
     "pandas_udaf_median_value",
+    "incremental_rollup_daily",
 ]
 
 
@@ -156,6 +157,7 @@ def load_all_queries() -> None:
         streaming_queries2,
         dq_queries2,
         ext_udaf,
+        incremental_queries,
         scalar_funcs3,
         events6,
         ext_training4,

@@ -180,6 +180,35 @@ def test_grouped_agg_udaf_median_laws(spark, sf_dir):
     assert repart == {et: r.median_value_e6 for et, r in rows.items()}
 
 
+def test_incremental_rollup_query_equals_direct(spark, sf_dir):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from syllabus_sense_spark.queries.incremental_queries import (
+        incremental_rollup_daily,
+    )
+    from syllabus_sense_spark.tables import load
+
+    got = {
+        (r.day, r.event_type): (r.n_events, r.total_value)
+        for r in incremental_rollup_daily(spark, sf_dir).collect()
+    }
+    direct = {
+        (r.day, r.event_type): (r.n, r.tv)
+        for r in load(spark, sf_dir, "events")
+        .groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("tv"),
+        )
+        .collect()
+    }
+    assert got == direct
+
+
 def test_skew_profile_partitions_rows_and_keys(spark, sf_dir):
     from syllabus_sense_spark.queries.dq_queries2 import dq_join_skew_profile
     from syllabus_sense_spark.tables import load
