@@ -73,6 +73,7 @@ _NEW_THIS_ROUND: list[str] = [
     "dq_join_skew_profile",
     "pandas_udaf_median_value",
     "incremental_rollup_daily",
+    "sink_snapshot_timetravel",
 ]
 
 

@@ -113,3 +113,53 @@ def jsonl_quarantine_stats(spark, sf_dir):
         F.lit(None).cast("bigint").alias("sum_chars"),
     )
     return clean_stats.unionByName(quarantine_row)
+
+
+# Snapshot sink: the oracle derives both versions' summaries straight
+# from the source table — a hash match proves (a) the append created
+# v2 = v1 ∪ batch2 and (b) reading v1 AFTER v2 was published still
+# returns exactly v1's rows (time travel / reader isolation).
+_SNAPSHOT_ORACLE = """
+SELECT CAST(1 AS BIGINT) AS version, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM events WHERE event_id % 3 = 0 GROUP BY event_type
+UNION ALL
+SELECT CAST(2 AS BIGINT), event_type,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(event_id) AS BIGINT)
+FROM events WHERE event_id % 3 IN (0, 1) GROUP BY event_type
+"""
+
+
+@register("sink_snapshot_timetravel", _SNAPSHOT_ORACLE)
+def sink_snapshot_timetravel(spark, sf_dir):
+    """Publish two snapshot versions of the events table (v1 = ids
+    ≡ 0 mod 3; v2 = v1 plus ids ≡ 1 mod 3 via append), then read BOTH
+    through the manifest — v1 pinned after v2 exists — and emit
+    per-version aggregates (sinks/snapshots.py)."""
+    from ..sinks.snapshots import read_snapshot, write_snapshot
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type")
+    table = tempfile.mkdtemp(prefix="snap_table_")
+    v1 = write_snapshot(e.filter(F.col("event_id") % 3 == 0), table)
+    v2 = write_snapshot(e.filter(F.col("event_id") % 3 == 1), table, mode="append")
+    assert (v1, v2) == (1, 2), (v1, v2)
+
+    def summary(version):
+        return (
+            read_snapshot(spark, table, version=version)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("event_id").alias("sum_event_id"),
+            )
+            .select(
+                F.lit(version).cast("long").alias("version"),
+                "event_type",
+                "n_events",
+                "sum_event_id",
+            )
+        )
+
+    return summary(1).unionByName(summary(2))
