@@ -74,6 +74,7 @@ _NEW_THIS_ROUND: list[str] = [
     "pandas_udaf_median_value",
     "incremental_rollup_daily",
     "sink_snapshot_timetravel",
+    "source_schema_evolution",
 ]
 
 
@@ -159,6 +160,7 @@ def load_all_queries() -> None:
         dq_queries2,
         ext_udaf,
         incremental_queries,
+        evolution_queries,
         scalar_funcs3,
         events6,
         ext_training4,

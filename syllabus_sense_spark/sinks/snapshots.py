@@ -148,3 +148,38 @@ def read_snapshot(
     files = _load_manifest(table_path, v)["files"]
     data_dir = os.path.join(table_path, _DATA_DIR)
     return spark.read.parquet(*[os.path.join(data_dir, f) for f in files])
+
+
+def vacuum(table_path: str, keep_last: int = 1) -> dict:
+    """Retire history: keep the newest ``keep_last`` versions, delete
+    older manifests and every data file no kept version references.
+
+    The deletion order is the safe one — manifests first (the moment a
+    version's manifest is gone, no reader can resolve it), then the
+    now-unreferenced data files — so a reader holding an already-
+    resolved file list is the only race, the same contract as Delta's
+    VACUUM retention window. Returns counts for audit logging.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = list_versions(table_path)
+    keep = set(versions[-keep_last:])
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_load_manifest(table_path, v)["files"])
+    dropped_manifests = 0
+    for v in versions:
+        if v not in keep:
+            os.remove(_manifest_path(table_path, v))
+            dropped_manifests += 1
+    data_dir = os.path.join(table_path, _DATA_DIR)
+    dropped_files = 0
+    for f in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
+        if f.endswith(".parquet") and f not in referenced:
+            os.remove(os.path.join(data_dir, f))
+            dropped_files += 1
+    return {
+        "kept_versions": sorted(keep),
+        "dropped_manifests": dropped_manifests,
+        "dropped_files": dropped_files,
+    }

@@ -49,6 +49,29 @@ def test_read_errors(spark, tmp_path):
         read_snapshot(spark, table, version=9)
 
 
+def test_vacuum_retires_history_keeps_latest(spark, tmp_path):
+    from syllabus_sense_spark.sinks.snapshots import vacuum
+
+    table = str(tmp_path / "t5")
+    write_snapshot(spark.range(0, 4), table)
+    write_snapshot(spark.range(100, 102), table, mode="overwrite")
+    stats = vacuum(table, keep_last=1)
+    assert stats["kept_versions"] == [2]
+    assert stats["dropped_manifests"] == 1
+    assert stats["dropped_files"] >= 1  # v1's now-unreferenced files
+    # latest unaffected; retired version no longer resolvable
+    assert _ids(read_snapshot(spark, table)) == [100, 101]
+    with pytest.raises(InvalidOutputDirectoryError):
+        read_snapshot(spark, table, version=1)
+    # append files shared across versions survive a vacuum that keeps
+    # the referencing version
+    table2 = str(tmp_path / "t6")
+    write_snapshot(spark.range(0, 3), table2)
+    write_snapshot(spark.range(3, 5), table2, mode="append")
+    vacuum(table2, keep_last=1)
+    assert _ids(read_snapshot(spark, table2)) == list(range(5))
+
+
 def test_concurrent_publish_retries_past_winner(spark, tmp_path):
     """If another writer wins the version race, the loser must retry
     on top of the winner's manifest instead of clobbering it."""
