@@ -75,6 +75,9 @@ _NEW_THIS_ROUND: list[str] = [
     "incremental_rollup_daily",
     "sink_snapshot_timetravel",
     "source_schema_evolution",
+    "sink_upsert_cdc",
+    "sink_compaction_roundtrip",
+    "sink_zorder_box_query",
 ]
 
 
@@ -161,6 +164,7 @@ def load_all_queries() -> None:
         ext_udaf,
         incremental_queries,
         evolution_queries,
+        sink_queries2,
         scalar_funcs3,
         events6,
         ext_training4,
