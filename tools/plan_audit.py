@@ -43,6 +43,9 @@ ALLOW = {
     "graph_triangle_census": {"SMJ"},
     "similarity_topk_bruteforce": {"BNLJ"},
     "similarity_ivf_cells": {"BNLJ"},
+    # probe-2 assignment: query set x broadcast 8-row centroid table —
+    # the same intentional broadcast-tiny-side shape as ivf_cells
+    "similarity_ivf_kmeans": {"BNLJ"},
     # exact-baseline scorer of the RAG query: broadcast query set with
     # the non-equi self-exclusion predicate — same intentional shape as
     # similarity_topk_bruteforce (the scale tier is search_semantic_docs_pq)
