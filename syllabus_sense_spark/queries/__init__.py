@@ -78,6 +78,9 @@ _NEW_THIS_ROUND: list[str] = [
     "sink_upsert_cdc",
     "sink_compaction_roundtrip",
     "sink_zorder_box_query",
+    "streaming_dedup_drain",
+    "match_fuzzy_parts",
+    "sample_weighted_bernoulli",
 ]
 
 
@@ -158,6 +161,7 @@ def load_all_queries() -> None:
         ext_text5,
         ext_graph2,
         ext_graph3,
+        ext_match,
         ext_training5,
         streaming_queries2,
         dq_queries2,

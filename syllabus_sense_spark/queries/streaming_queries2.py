@@ -84,3 +84,35 @@ def streaming_interval_join_drain(spark, sf_dir):
     )
     assert q.awaitTermination(600), "availableNow stream drain timed out"
     return spark.sql(f"SELECT * FROM {name}")
+
+
+_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type, ts
+FROM events
+"""
+
+
+@register("streaming_dedup_drain", _DEDUP_ORACLE)
+def streaming_dedup_drain(spark, sf_dir):
+    """Drain the bounded-state streaming dedup
+    (streaming/events.py:stream_dedupe_within_watermark): the source
+    unions the events stream with itself — the at-least-once delivery
+    a real ingest bus exhibits — and
+    ``dropDuplicatesWithinWatermark(event_id)`` must restore
+    exactly-once output. State is bounded (keys are evictable once
+    the watermark passes their event time), so at 100 TB/day the
+    dedup holds a sliding window of keys, not the full history.
+
+    event_id is unique in the source table, so the oracle is simply
+    the table itself: every row exactly once, zero duplicates
+    surviving, zero rows lost.
+    """
+    from ..streaming.events import stream_dedupe_within_watermark
+
+    q = stream_dedupe_within_watermark(
+        spark, sf_dir, query_name="harness_dedup_drain"
+    )
+    assert q.awaitTermination(600), "availableNow stream drain timed out"
+    return spark.sql(
+        "SELECT event_id, user_id, event_type, ts FROM harness_dedup_drain"
+    )

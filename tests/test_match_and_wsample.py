@@ -1,0 +1,112 @@
+"""Property checks for the entity-match and weighted-sample operators
+(queries/ext_match.py) against pure-Python references.
+
+The fuzzy-match check validates the whole operator — blocking,
+ordered pair generation, and the Levenshtein verify — against a
+from-scratch DP edit distance, so Spark's ``levenshtein`` semantics
+(classic unit-cost edit distance) are pinned by the test, not
+assumed. The sampler checks are laws: inclusion is decided per-row
+by the seeded hash (rerun-stable), and zero-weight rows can never
+be selected.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections import Counter
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _spark():
+    from syllabus_sense_spark.session import get_spark
+
+    return get_spark("match-property")
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+_WORDS = ["rose", "rosy", "ruse", "mint", "mist", "plum", "plume", "sage"]
+
+_names = st.lists(
+    st.tuples(
+        st.sampled_from(["BrandA", "BrandB"]),
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=4),
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(parts=_names)
+def test_fuzzy_match_equals_python_reference(parts):
+    from syllabus_sense_spark.queries.ext_match import _EDIT_MAX, match_fuzzy_parts
+
+    spark = _spark()
+    rows = [
+        (i + 1, brand, " ".join(ws)) for i, (brand, ws) in enumerate(parts)
+    ]
+    with tempfile.TemporaryDirectory(prefix="sfmatch_") as tmp:
+        pd.DataFrame(
+            rows, columns=["p_partkey", "p_brand", "p_name"]
+        ).to_parquet(os.path.join(tmp, "part.parquet"), index=False)
+        got = Counter(
+            (r.a_partkey, r.b_partkey, r.p_brand, r.edit_dist)
+            for r in match_fuzzy_parts(spark, tmp).collect()
+        )
+    want = Counter()
+    for ka, brand_a, name_a in rows:
+        for kb, brand_b, name_b in rows:
+            if ka >= kb or brand_a != brand_b:
+                continue
+            if name_a.split(" ")[0] != name_b.split(" ")[0]:
+                continue
+            d = _levenshtein(name_a, name_b)
+            if d <= _EDIT_MAX:
+                want[(ka, kb, brand_a, d)] += 1
+    assert got == want
+
+
+def test_weighted_sample_laws(tmp_path):
+    from syllabus_sense_spark.queries.ext_match import sample_weighted_bernoulli
+
+    spark = _spark()
+    n = 400
+    # doc 0 has empty text (weight 0 — must never be sampled); the
+    # rest ramp linearly so selectivity should grow with weight.
+    texts = [""] + ["x" * (5 * i) for i in range(1, n)]
+    pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "source": ["synthetic"] * n,
+            "text": texts,
+        }
+    ).to_parquet(os.path.join(tmp_path, "documents.parquet"), index=False)
+
+    first = {r.doc_id for r in sample_weighted_bernoulli(spark, str(tmp_path)).collect()}
+    again = {r.doc_id for r in sample_weighted_bernoulli(spark, str(tmp_path)).collect()}
+    assert first == again, "seeded-hash sampling must be rerun-stable"
+    assert 0 not in first, "zero-weight rows can never be selected"
+    # Monotone-in-expectation law, coarse-grained: the long half of the
+    # corpus must be sampled at a strictly higher rate than the short
+    # half (weights there are 5..1000 chars vs 1000+ capped — by
+    # construction the long half has ~2x the average weight or more).
+    short = sum(1 for d in first if 0 < d < n // 2)
+    long_ = sum(1 for d in first if d >= n // 2)
+    assert long_ > short
