@@ -81,6 +81,9 @@ _NEW_THIS_ROUND: list[str] = [
     "streaming_dedup_drain",
     "match_fuzzy_parts",
     "sample_weighted_bernoulli",
+    # single-shuffle basket pairing refactor (ext_graph3.copurchase_pairs)
+    "graph_triangle_census",
+    "basket_part_pairs",
 ]
 
 

@@ -27,12 +27,47 @@ anomaly features. Exact integers end-to-end.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
 
 _MIN_SUPPORT = 2
+
+
+def copurchase_pairs(spark, sf_dir: str) -> DataFrame:
+    """Ordered co-purchase part pairs, one row per (order, pa < pb).
+
+    ONE shuffle: groupBy(l_orderkey) + collect_set both dedups and
+    groups the basket, then the ordered pairs are generated map-side
+    from the sorted array (sort_array makes ps[i] < ps[j] for i < j,
+    so the suffix slice enumerates each unordered pair exactly once,
+    already canonically oriented). The alternative — distinct() then
+    a self-equi-join on l_orderkey — computes the same pairs but pays
+    two extra shuffles of the item list. Pairing is two chained
+    codegen'd Generate operators (posexplode the sorted basket, then
+    explode its suffix) rather than nested ``transform`` lambdas:
+    higher-order-function lambdas evaluate interpreted per element,
+    measurably slower at per-row millions. Baskets are bounded (a
+    purchase order holds a handful of parts), so the k² map-side pair
+    fan-out is small and skew-free; for unbounded baskets cap with
+    ``slice`` before pairing.
+    """
+    baskets = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    opened = baskets.select("ps", F.posexplode("ps").alias("i", "pa"))
+    return opened.select(
+        "pa",
+        F.explode(
+            F.slice(
+                "ps", F.col("i") + F.lit(2), F.size("ps") - F.col("i") - F.lit(1)
+            )
+        ).alias("pb"),
+    )
 
 _TRIANGLE_ORACLE = f"""
 WITH items AS (
@@ -62,20 +97,9 @@ FROM nodes GROUP BY part_key
 
 @register("graph_triangle_census", _TRIANGLE_ORACLE)
 def graph_triangle_census(spark, sf_dir):
-    items = (
-        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    )
-    a = items.alias("a")
-    b = items.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        copurchase_pairs(spark, sf_dir)
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= _MIN_SUPPORT)
         .select("pa", "pb")

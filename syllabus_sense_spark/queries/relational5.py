@@ -1,12 +1,13 @@
 """Relational batch 5: market-basket co-occurrence — which part pairs
 appear in the same order (the co-purchase/association-rule input).
 
-Shape at scale: the pair generation is a self-equi-join on the order
-key, NOT a corpus cross join — per-order item counts are bounded
-(TPC-H ~7), so pairs per order are ~k², and the join streams per
-orderkey after one shuffle of each side on the natural key. The final
-count aggregates on the bounded (part_a, part_b) key space; top-k
-with a total tiebreak order keeps the output deterministic.
+Shape at scale: pair generation is the shared single-shuffle basket
+pairing (ext_graph3.copurchase_pairs — collect_set groups and dedups
+the basket in one shuffle, ordered pairs are generated map-side from
+the sorted array), NOT a corpus cross join; per-order item counts are
+bounded so the k² fan-out is small and skew-free. The final count
+aggregates on the bounded (part_a, part_b) key space; top-k with a
+total tiebreak order keeps the output deterministic.
 """
 
 from __future__ import annotations
@@ -35,17 +36,10 @@ LIMIT 25
 
 @register("basket_part_pairs", _BASKET_ORACLE)
 def basket_part_pairs(spark, sf_dir):
-    items = (
-        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    )
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    from .ext_graph3 import copurchase_pairs
+
+    pairs = copurchase_pairs(spark, sf_dir).select(
+        F.col("pa").alias("part_a"), F.col("pb").alias("part_b")
     )
     return (
         pairs.groupBy("part_a", "part_b")
