@@ -43,6 +43,9 @@ HEADLINE = [
     "graph_pagerank_trade",
     "graph_triangle_census",
     "training_temperature_mixture",
+    # late round-5: exact prefix-filtered set-similarity join (the
+    # no-sketch counterpart to dedup_minhash_lsh, same fingerprints)
+    "dedup_prefix_filter",
 ]
 
 # Reported alongside but EXCLUDED from the headline total: availableNow

@@ -84,6 +84,7 @@ _NEW_THIS_ROUND: list[str] = [
     # single-shuffle basket pairing refactor (ext_graph3.copurchase_pairs)
     "graph_triangle_census",
     "basket_part_pairs",
+    "dedup_prefix_filter",
 ]
 
 
@@ -164,6 +165,7 @@ def load_all_queries() -> None:
         ext_text5,
         ext_graph2,
         ext_graph3,
+        ext_dedup3,
         ext_match,
         ext_training5,
         streaming_queries2,

@@ -1,0 +1,150 @@
+"""[EXT] Exact set-similarity self-join with prefix filtering — the
+All-Pairs / PPJoin family (Bayardo et al. WWW'07, Xiao et al.
+WWW'08), the *exact* counterpart to MinHash LSH (ext_dedup.py): zero
+false negatives at the same candidates-only join discipline, no hash
+family to tune.
+
+Set elements are the repo-standard word-3-gram 48-bit fingerprints
+(session-persisted table shared with dedup_minhash_lsh /
+dedup_incremental_index — unigram token sets are degenerate on a
+small-vocabulary corpus, where almost every doc pair clears a Jaccard
+threshold; shingle sequences are what distinguish documents).
+
+The filter: order every document's fingerprint set by ascending
+global document frequency (rarest first, fingerprint value as the
+total tiebreak); for Jaccard threshold τ a document with s elements
+keeps a prefix of p = s − ⌈τ·s⌉ + 1. Two sets with J ≥ τ MUST share
+an element inside both prefixes, so the candidate join keys only on
+prefix elements — and because prefixes hold each document's RAREST
+shingles, per-key candidate lists are short by construction (the
+frequency ordering is the skew bound: a boilerplate shingle never
+lands in a prefix). Verify computes exact overlap for candidates
+only.
+
+Everything is integer-exact and engine-portable: prefix length via
+the integer identity ⌈3s/5⌉ = (3s+4) DIV 5, and the τ = 3/5 verify
+predicate ``overlap/(s_a+s_b−overlap) ≥ 3/5`` clears its denominator
+to ``8·overlap ≥ 3·(s_a+s_b)`` — no float ever computed.
+
+Scale: the df table is one row per distinct fingerprint with count
+> 1 relevance (broadcastable after a frequency floor; here plain
+joins); the per-doc ranking window partitions by doc_id (bounded by
+document length, never a global sort); candidate and verify joins
+are equi-joins on fingerprint / doc keys. No n² stage exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import register
+from .ext_dedup import (
+    _SQL_CORPUS,
+    _SQL_SHINGLE_HASHES,
+    planted_corpus_fingerprints,
+)
+
+# τ = 3/5: prefix p = s − ⌈τs⌉ + 1; verify 8·ov ≥ 3·(sa+sb).
+_TAU_NUM, _TAU_DEN = 3, 5
+
+_PREFIX_ORACLE = f"""
+WITH corpus AS ({_SQL_CORPUS}),
+tok AS ({_SQL_SHINGLE_HASHES}),
+sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY doc_id),
+df AS (SELECT h, COUNT(*) AS df FROM tok GROUP BY h),
+ranked AS (
+  SELECT tok.doc_id, tok.h, sz.s,
+         ROW_NUMBER() OVER (PARTITION BY tok.doc_id
+                            ORDER BY df.df, tok.h) AS rk
+  FROM tok JOIN df USING (h) JOIN sz USING (doc_id)
+),
+prefix AS (
+  SELECT doc_id, h FROM ranked
+  WHERE rk <= s - ({_TAU_NUM} * s + {_TAU_DEN - 1}) // {_TAU_DEN} + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+  FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+ov AS (
+  SELECT c.a_doc, c.b_doc, COUNT(*) AS overlap
+  FROM cand c
+  JOIN tok ta ON ta.doc_id = c.a_doc
+  JOIN tok tb ON tb.doc_id = c.b_doc AND tb.h = ta.h
+  GROUP BY c.a_doc, c.b_doc
+)
+SELECT ov.a_doc, ov.b_doc,
+       CAST(ov.overlap AS BIGINT) AS overlap,
+       CAST(sa.s + sb.s - ov.overlap AS BIGINT) AS union_size
+FROM ov
+JOIN sz sa ON sa.doc_id = ov.a_doc
+JOIN sz sb ON sb.doc_id = ov.b_doc
+WHERE {_TAU_DEN + _TAU_NUM} * ov.overlap >= {_TAU_NUM} * (sa.s + sb.s)
+"""
+
+
+@register("dedup_prefix_filter", _PREFIX_ORACLE)
+def dedup_prefix_filter(spark, sf_dir):
+    tok = planted_corpus_fingerprints(spark, sf_dir)
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    df = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(df, "h")
+        .join(F.broadcast(sz), "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "h")
+            ),
+        )
+    )
+    # Integer ceil: ⌈τ·s⌉ = (3s+4) DIV 5 — DIV, never float division.
+    p = (
+        F.col("s")
+        - F.expr(f"({_TAU_NUM} * s + {_TAU_DEN - 1}) DIV {_TAU_DEN}")
+        + 1
+    )
+    prefix = ranked.filter(F.col("rk") <= p).select("doc_id", "h")
+    a = prefix.select(F.col("doc_id").alias("a_doc"), "h")
+    b = prefix.select(F.col("doc_id").alias("b_doc"), "h")
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("a_doc") < F.col("b_doc"))
+        .select("a_doc", "b_doc")
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("a_doc"), "h")
+    tb = tok.select(F.col("doc_id").alias("b_doc"), "h")
+    ov = (
+        cand.join(ta, "a_doc")
+        .join(tb, ["b_doc", "h"])
+        .groupBy("a_doc", "b_doc")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        ov.join(
+            F.broadcast(
+                sz.select(F.col("doc_id").alias("a_doc"), F.col("s").alias("sa"))
+            ),
+            "a_doc",
+        )
+        .join(
+            F.broadcast(
+                sz.select(F.col("doc_id").alias("b_doc"), F.col("s").alias("sb"))
+            ),
+            "b_doc",
+        )
+        .filter(
+            (_TAU_DEN + _TAU_NUM) * F.col("overlap")
+            >= _TAU_NUM * (F.col("sa") + F.col("sb"))
+        )
+        .select(
+            "a_doc",
+            "b_doc",
+            F.col("overlap").cast("bigint").alias("overlap"),
+            (F.col("sa") + F.col("sb") - F.col("overlap"))
+            .cast("bigint")
+            .alias("union_size"),
+        )
+    )
