@@ -83,3 +83,33 @@ def test_prefix_filter_equals_bruteforce(docs):
         if _TAU_DEN * ov >= _TAU_NUM * (len(sa) + len(sb) - ov):
             want.add((a, b, ov, len(sa) + len(sb) - ov))
     assert got == want
+
+
+def test_prefix_filter_supersedes_lsh_pairs():
+    """Cross-operator law: the exact prefix-filtered join can never
+    miss a pair the MinHash LSH sketch found (at the prefix filter's
+    own τ). LSH may drop true pairs (probabilistic recall); the
+    All-Pairs filter is exact, so its result at τ = 3/5 must be a
+    superset of the LSH-verified pairs with jaccard ≥ 3/5 — on the
+    same planted corpus, same fingerprint table."""
+    from syllabus_sense_spark.queries.ext_dedup import dedup_minhash_lsh
+    from syllabus_sense_spark.queries.ext_dedup3 import (
+        _TAU_DEN,
+        _TAU_NUM,
+        dedup_prefix_filter,
+    )
+
+    spark = _spark()
+    sf_dir = "/root/testdata/sf0.001"
+    exact = {
+        (r.a_doc, r.b_doc) for r in dedup_prefix_filter(spark, sf_dir).collect()
+    }
+    lsh_rows = dedup_minhash_lsh(spark, sf_dir).collect()
+    lsh_above_tau = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+        for r in lsh_rows
+        if r.jaccard * _TAU_DEN >= _TAU_NUM
+    }
+    assert lsh_above_tau, "planted corpus must yield LSH pairs"
+    missing = lsh_above_tau - exact
+    assert not missing, f"exact join missed LSH-found pairs: {missing}"
