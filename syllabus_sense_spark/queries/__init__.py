@@ -85,6 +85,13 @@ _NEW_THIS_ROUND: list[str] = [
     "graph_triangle_census",
     "basket_part_pairs",
     "dedup_prefix_filter",
+    # factored pair-count rewrite (quadratic blow-up removed)
+    "join_null_safe_eq",
+    # Arrow cosine verify + connected_components edge checkpoint
+    "dedup_semantic_clusters",
+    "similarity_cosine_blocked",
+    "dedup_components",
+    "dedup_canonical_keep",
 ]
 
 

@@ -42,6 +42,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     action); returns the converged label table, localCheckpoint-ed so
     downstream consumers see a flat plan.
     """
+    # Materialize the edge input ONCE before deriving both directions:
+    # the union's two branches each contain the caller's (possibly
+    # expensive — semdedup's pair search) edge subtree, so without the
+    # checkpoint the first action computes it twice.
+    edges = edges.localCheckpoint()
     fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     und = fwd.unionByName(rev).distinct().localCheckpoint()

@@ -163,8 +163,16 @@ def similarity_cosine_blocked(spark, sf_dir):
     ).withColumn("nrm", _norm("v"))
     a = e.alias("a")
     b = e.alias("b")
-    sim = _dot_unrolled("a.v", "b.v") / (
-        F.col("a.nrm") * F.col("b.nrm")
+    # Arrow-batched, not the unrolled JVM dot: the sim filter
+    # references both join sides, so Catalyst would push the unrolled
+    # expression into the join condition where it evaluates via the
+    # interpreted Predicate path; the Pandas-UDF form provably runs
+    # after the join in one vectorized operator, bit-identical
+    # (functions/vectors.cosine_sim_arrow).
+    from ..functions.vectors import cosine_sim_arrow
+
+    sim = cosine_sim_arrow(
+        F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
     )
     return (
         a.join(

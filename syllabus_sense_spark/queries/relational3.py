@@ -530,10 +530,20 @@ def join_null_safe_eq(spark, sf_dir):
         .otherwise(F.col("o_orderpriority"))
         .alias("k"),
     )
+    # The join key has ~6 distinct values, so materializing the pair
+    # blow-up before counting is quadratic (≈300M rows at sf0.1, and
+    # hopeless at 100 TB). The scalable form of a pair COUNT over a
+    # low-cardinality key: aggregate each side first, null-safe-join
+    # the per-key counts (still `eqNullSafe` — the operator under
+    # test), multiply. Identical output, linear cost.
+    lc = l.groupBy("k").agg(F.count(F.lit(1)).alias("n_l"))
+    rc = r.groupBy("k").agg(F.count(F.lit(1)).alias("n_r"))
     return (
-        l.join(r, l["k"].eqNullSafe(r["k"]))
-        .groupBy(F.coalesce(l["k"], F.lit("<null>")).alias("key_val"))
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        lc.join(rc, lc["k"].eqNullSafe(rc["k"]))
+        .select(
+            F.coalesce(lc["k"], F.lit("<null>")).alias("key_val"),
+            (F.col("n_l") * F.col("n_r")).alias("n_pairs"),
+        )
     )
 
 
