@@ -92,6 +92,8 @@ _NEW_THIS_ROUND: list[str] = [
     "similarity_cosine_blocked",
     "dedup_components",
     "dedup_canonical_keep",
+    # 56-bit fingerprint + 7-bit bands + materialization barriers
+    "dedup_simhash",
 ]
 
 

@@ -1,12 +1,18 @@
 """[EXT] SimHash near-duplicate detection.
 
-32-bit SimHash over word-bigram features: each feature hashes to 32
-bits; per document, each bit position accumulates +1/-1 votes across
-features; the sign vector is the fingerprint. Near-duplicates differ
-in few bits (small Hamming distance), so candidate generation blocks
-on exact-match 8-bit bands of the fingerprint (any of 4 bands equal →
-candidate), then filters on bit_count(xor) — both equi-joins and
-integer ops, no pairwise scan.
+56-bit SimHash over word-bigram features: each feature hashes to 56
+bits (14 md5 hex digits); per document, each bit position accumulates
++1/-1 votes across features; the sign vector is the fingerprint.
+Near-duplicates differ in few bits (small Hamming distance), so
+candidate generation blocks on exact-match 7-bit bands of the
+fingerprint (any of 8 bands equal → candidate), then filters on
+bit_count(xor) — both equi-joins and integer ops, no pairwise scan.
+
+Band width is the candidate-volume lever: 4-bit bands (the earlier
+32-bit form) give only 16 buckets per band, ~8M candidate pairs at
+sf0.1; 7-bit bands give 128, cutting candidates ~8× at identical
+recall structure (the pigeonhole guarantee below is band-COUNT
+bound, not band-width bound).
 
 Cross-engine determinism: the 32 feature-hash bits are derived from
 md5 hex digits with pure integer arithmetic (instr on the hex
@@ -26,15 +32,15 @@ from pyspark.sql import functions as F
 from . import register
 from .ext_dedup import _SQL_CORPUS, _corpus, shingle_docs, sql_shingles
 
-# 8 bands x 4 bits: the pigeonhole guarantee finds every pair with
-# hamming < 8 (7 flipped bits cannot touch all 8 bands); pairs at
-# hamming 8-10 are still found with high probability. At production
-# scale the same structure widens to 64-bit fingerprints with 8-bit
-# bands to keep band collisions rare on billions of docs.
-N_BITS = 32
+# 8 bands x 7 bits: the pigeonhole guarantee finds every pair with
+# hamming < 8 (7 flipped bits cannot touch all 8 bands); pairs up to
+# MAX_HAMMING are still found with high probability. 56 bits, not 64:
+# the fingerprint is a SUM of 2^j terms and 2^63 would overflow
+# signed 64-bit in both engines; 56 also hex-aligns (14 md5 digits).
+N_BITS = 56
 N_BANDS = 8
 BAND_BITS = N_BITS // N_BANDS
-MAX_HAMMING = 10
+MAX_HAMMING = 17  # same ~0.31 relative threshold as 10/32
 
 _HEX = "0123456789abcdef"
 
@@ -107,8 +113,18 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {MAX_HAMMING}
 @register("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark, sf_dir):
     corpus = _corpus(spark, sf_dir)
-    shingled = shingle_docs(corpus, n=2)
-    fp = simhash_fingerprints(shingled)
+    # Both checkpoints are load-bearing, measured at sf0.1:
+    # - shingled: left lazy, the 56 vote expressions collapse into the
+    #   un-materialized explode+distinct pipeline and the md5 is
+    #   re-evaluated per vote column (~13 s); on a materialized input
+    #   the same projection runs codegen'd with subexpression
+    #   elimination in ~0.2 s.
+    # - fp: one compact row per doc; left lazy it would recompute on
+    #   both sides of the band self-join and inline the 56-term
+    #   fingerprint expression into the band-val join keys and the
+    #   hamming join-condition filter (interpreted Predicate path).
+    shingled = shingle_docs(corpus, n=2).localCheckpoint()
+    fp = simhash_fingerprints(shingled).localCheckpoint()
     bands = fp.select(
         "doc_id",
         "simhash",

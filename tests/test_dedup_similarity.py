@@ -57,12 +57,14 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
 
 
 def test_simhash_finds_planted_dups(spark, sf_dir):
+    from syllabus_sense_spark.queries.ext_simhash import MAX_HAMMING
+
     out = QUERIES["dedup_simhash"](spark, sf_dir).collect()
     found = {(r.doc_a, r.doc_b) for r in out}
     planted = {(i, i + 2000000) for i in range(0, 500, 7)}
     recall = len(found & planted) / len(planted)
     assert recall >= 0.95, f"simhash recall {recall}"
-    assert all(0 <= r.hamming <= 10 for r in out)
+    assert all(0 <= r.hamming <= MAX_HAMMING for r in out)
 
 
 def test_fingerprint_table_shared_across_dedup_queries(spark, sf_dir):
