@@ -225,8 +225,15 @@ def similarity_ann_lsh(spark, sf_dir):
             out = out + b
         return out
 
-    bucketed = e.withColumn("bucket", bucket(F.col("v"))).withColumn(
-        "nrm", _norm("v")
+    # Materialized: the bucket column is ~8×64 unrolled dot terms;
+    # left lazy it recomputes on both consumers (query side + corpus
+    # side) and inlines into the probe-join key, where the interpreted
+    # Predicate path evaluates it per candidate row (measured ~2.5 s
+    # extra at sf0.1).
+    bucketed = (
+        e.withColumn("bucket", bucket(F.col("v")))
+        .withColumn("nrm", _norm("v"))
+        .localCheckpoint()
     )
     probe_arr = "array(qbucket, " + ", ".join(
         f"qbucket ^ {1 << i}" for i in range(8)
