@@ -44,8 +44,12 @@ HEADLINE = [
     "graph_triangle_census",
     "training_temperature_mixture",
     # late round-5: exact prefix-filtered set-similarity join (the
-    # no-sketch counterpart to dedup_minhash_lsh, same fingerprints)
+    # no-sketch counterpart to dedup_minhash_lsh, same fingerprints),
+    # plus the two dedup flagships whose scale fixes this round made
+    # bench-worthy (Arrow cosine verify; 56-bit/7-bit-band SimHash)
     "dedup_prefix_filter",
+    "dedup_simhash",
+    "dedup_semantic_clusters",
 ]
 
 # Reported alongside but EXCLUDED from the headline total: availableNow
