@@ -94,6 +94,8 @@ _NEW_THIS_ROUND: list[str] = [
     "dedup_canonical_keep",
     # 56-bit fingerprint + 7-bit bands + materialization barriers
     "dedup_simhash",
+    # new: sequential path mining
+    "events_top_paths",
 ]
 
 

@@ -81,3 +81,66 @@ def events_anomaly_zscore(spark, sf_dir):
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# Sequential pattern mining: top-k 3-event user-journey paths — the
+# ordered-sequence complement of events_transition_matrix (which sees
+# only pairwise hops, losing path context).
+#
+# Scale shape: one groupBy(user_id) collects each user's ordered
+# event sequence (bounded by per-user activity; at web scale cap with
+# ``slice`` exactly like copurchase baskets), the 3-gram paths
+# explode map-side from the sorted array, and the count aggregates on
+# a key space bounded by |event_types|³ — never by corpus size. The
+# final top-k carries a total tiebreak (count desc, path asc) so the
+# LIMIT is deterministic in both engines. Ordering inside a user is
+# (ts, event_id): event_id is unique, so array_sort on the struct and
+# the oracle's ORDER BY agree on a total order.
+# --------------------------------------------------------------------------
+
+_TOP_PATHS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+),
+grams AS (
+  SELECT g.path FROM seq,
+  UNNEST(CASE WHEN len(s) >= 3
+     THEN list_transform(range(len(s)-2),
+                         i -> s[i+1] || '>' || s[i+2] || '>' || s[i+3])
+     ELSE [] END) AS g(path)
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_journeys
+FROM grams GROUP BY path
+ORDER BY n_journeys DESC, path
+LIMIT 10
+"""
+
+
+@register("events_top_paths", _TOP_PATHS_ORACLE)
+def events_top_paths(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("es")
+    )
+    grams = seq.select(
+        F.explode(
+            F.when(
+                F.size("es") >= 3,
+                F.expr(
+                    "transform(sequence(1, size(es) - 2),"
+                    " i -> concat(es[i-1].event_type, '>',"
+                    " es[i].event_type, '>', es[i+1].event_type))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("path")
+    )
+    return (
+        grams.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_journeys"))
+        .orderBy(F.col("n_journeys").desc(), F.col("path"))
+        .limit(10)
+    )

@@ -110,3 +110,40 @@ def test_weighted_sample_laws(tmp_path):
     short = sum(1 for d in first if 0 < d < n // 2)
     long_ = sum(1 for d in first if d >= n // 2)
     assert long_ > short
+
+
+def test_top_paths_matches_python(tmp_path):
+    """events_top_paths equals a from-scratch Python computation of
+    the same definition (per-user (ts, event_id)-ordered 3-gram paths,
+    global top-10 with count-desc/path-asc tiebreak) on a generated
+    mini events table with deliberate ts ties across users."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from syllabus_sense_spark.queries.events7 import events_top_paths
+
+    spark = _spark()
+    types = ["view", "click", "buy"]
+    rows = []
+    eid = 0
+    for u in range(1, 13):
+        for k in range(u % 5 + 2):  # 2..6 events per user
+            rows.append(
+                (eid, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=(k * 7) % 11),
+                 u, types[(u * 3 + k) % 3], 1.0, "{}")
+            )
+            eid += 1
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got = [(r.path, r.n_journeys) for r in events_top_paths(spark, str(tmp_path)).collect()]
+
+    counts = Counter()
+    for u, g in df.groupby("user_id"):
+        seq = list(g.sort_values(["ts", "event_id"])["event_type"])
+        for i in range(len(seq) - 2):
+            counts[">".join(seq[i : i + 3])] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == want
