@@ -94,8 +94,9 @@ _NEW_THIS_ROUND: list[str] = [
     "dedup_canonical_keep",
     # 56-bit fingerprint + 7-bit bands + materialization barriers
     "dedup_simhash",
-    # new: sequential path mining
+    # new: sequential path mining, RFM segmentation
     "events_top_paths",
+    "customer_rfm_segments",
 ]
 
 

@@ -51,3 +51,76 @@ def basket_part_pairs(spark, sf_dir):
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation — the classic marketing-analytics shape:
+# per customer, Recency (days since last order, against the corpus
+# max date so the metric is closed over the dataset), Frequency
+# (order count), Monetary (exact-decimal total spend), each cut into
+# NTILE(4) quartiles over a totally-ordered ranking (metric +
+# custkey tiebreak → the quartile assignment is deterministic in
+# both engines even at equal metric values).
+#
+# Scale shape: one groupBy(custkey) over orders (map-side combined),
+# the corpus max date is a 1-row broadcast scalar, and the three
+# ntile windows order the CUSTOMER-level table (one row per
+# customer, ≪ orders). At 1000× the customer table still windows in
+# one pass; only the orders aggregate scales with data volume.
+# --------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH maxd AS (SELECT MAX(o_orderdate) AS d FROM orders),
+cust AS (
+  SELECT o_custkey AS custkey,
+         CAST(date_diff('day', MAX(o_orderdate), (SELECT d FROM maxd)) AS BIGINT)
+           AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, recency_days, frequency, monetary,
+       CAST(NTILE(4) OVER (ORDER BY recency_days, custkey) AS BIGINT) AS r_quartile,
+       CAST(NTILE(4) OVER (ORDER BY frequency DESC, custkey) AS BIGINT) AS f_quartile,
+       CAST(NTILE(4) OVER (ORDER BY monetary DESC, custkey) AS BIGINT) AS m_quartile
+FROM cust
+"""
+
+
+@register("customer_rfm_segments", _RFM_ORACLE)
+def customer_rfm_segments(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ._util import dec2
+
+    o = load(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("d"))
+    cust = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "custkey",
+            F.datediff(F.col("d"), F.col("last_order"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = Window.orderBy("recency_days", "custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "custkey")
+    return cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).cast("long").alias("r_quartile"),
+        F.ntile(4).over(wf).cast("long").alias("f_quartile"),
+        F.ntile(4).over(wm).cast("long").alias("m_quartile"),
+    )

@@ -60,6 +60,9 @@ ALLOW = {
     "embedding_quantize_int8": {"BNLJ"},
     "quality_unigram_lm_score": {"BNLJ"},
     "batch_by_length_buckets": {"BNLJ"},
+    # 1-row corpus-max-date scalar broadcast onto the customer table —
+    # the same scalar-aggregate cross-join shape as mixture_resample
+    "customer_rfm_segments": {"BNLJ"},
 }
 
 
