@@ -127,7 +127,6 @@ def dedup_simhash(spark, sf_dir):
     fp = simhash_fingerprints(shingled).localCheckpoint()
     bands = fp.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.array(
                 *[
@@ -143,12 +142,15 @@ def dedup_simhash(spark, sf_dir):
         ).alias("band"),
     ).select(
         "doc_id",
-        "simhash",
         F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_val").alias("band_val"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
+    # The band join and the pair DISTINCT carry doc ids ONLY — the
+    # fingerprints re-attach afterwards from the broadcast-sized fp
+    # table, so the widest stage (multi-band duplicate candidates)
+    # shuffles 16-byte pairs, not 32-byte pair+signature rows.
     cand = (
         a.join(
             b,
@@ -159,14 +161,16 @@ def dedup_simhash(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
         )
         .distinct()
     )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
     hamming = F.bit_count(F.expr("sim_a ^ sim_b")).cast("long")
     return (
-        cand.withColumn("hamming", hamming)
+        cand.join(F.broadcast(fa), "doc_a")
+        .join(F.broadcast(fb), "doc_b")
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )

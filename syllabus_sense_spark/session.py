@@ -22,10 +22,17 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Coalesce post-shuffle partitions by target size, not local
-    # parallelism: tiny shuffles collapse to one task instead of 32,
-    # and at cluster scale reducers get full 64MB-targeted partitions.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # Keep Spark's default parallelism-first AQE coalescing: with
+    # size-first ("false") a small-by-bytes but CPU-heavy shuffle
+    # output (297k shingle rows ≈ 20 MB < the 64 MB advisory) collapses
+    # to ONE task and the whole downstream stage runs single-threaded —
+    # measured 2-2.5× slowdowns on the dedup family at sf0.1
+    # (dedup_simhash 12.8→5.2 s, dedup_prefix_filter 5.9→3.1 s,
+    # graph_triangle_census 2.6→1.5 s). At cluster scale this flag only
+    # governs shuffles smaller than cores×minPartitionSize; the 100 TB
+    # reducer sizing comes from advisoryPartitionSizeInBytes in
+    # CLUSTER_CONF either way.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # The harness events.parquet stores TIMESTAMP(NANOS), which the
     # vectorized reader rejects; read as long and convert in the loader.
