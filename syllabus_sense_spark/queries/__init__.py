@@ -94,9 +94,10 @@ _NEW_THIS_ROUND: list[str] = [
     "dedup_canonical_keep",
     # 56-bit fingerprint + 7-bit bands + materialization barriers
     "dedup_simhash",
-    # new: sequential path mining, RFM segmentation
+    # new: sequential path mining, RFM segmentation, foreachBatch sink
     "events_top_paths",
     "customer_rfm_segments",
+    "streaming_foreachbatch_sink_drain",
 ]
 
 

@@ -116,3 +116,46 @@ def streaming_dedup_drain(spark, sf_dir):
     return spark.sql(
         "SELECT event_id, user_id, event_type, ts FROM harness_dedup_drain"
     )
+
+
+_FB_SINK_ORACLE = """
+SELECT event_id, user_id, event_type, ts
+FROM events
+"""
+
+
+@register("streaming_foreachbatch_sink_drain", _FB_SINK_ORACLE)
+def streaming_foreachbatch_sink_drain(spark, sf_dir):
+    """Drain the exactly-once ``foreachBatch`` parquet sink
+    (streaming/exactly_once.py): events stream → idempotent batch
+    writer (per-batch dynamic partition overwrite + commit ledger) →
+    read the table back. foreachBatch is at-least-once, so the sink's
+    idempotence is what makes the read-back equal the source table
+    exactly — replayed batches overwrite their own partition instead
+    of appending a second copy (crash-replay is exercised directly in
+    tests/test_exactly_once.py; here the committed steady state is
+    hash-checked against the batch table).
+    """
+    import tempfile
+
+    from ..streaming.events import _event_stream, _with_event_time
+    from ..streaming.exactly_once import (
+        idempotent_batch_writer,
+        read_exactly_once_output,
+    )
+
+    out = tempfile.mkdtemp(prefix="fb_sink_out_")
+    ledger = tempfile.mkdtemp(prefix="fb_sink_ledger_")
+    ev = _with_event_time(_event_stream(spark, sf_dir)).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    q = (
+        ev.writeStream.foreachBatch(idempotent_batch_writer(out, ledger))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fb_sink_ckpt_"))
+        .start()
+    )
+    assert q.awaitTermination(600), "availableNow stream drain timed out"
+    return read_exactly_once_output(spark, out).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
