@@ -98,6 +98,7 @@ _NEW_THIS_ROUND: list[str] = [
     "events_top_paths",
     "customer_rfm_segments",
     "streaming_foreachbatch_sink_drain",
+    "bucketed_join_roundtrip",
 ]
 
 

@@ -167,3 +167,58 @@ def sink_zorder_box_query(spark, sf_dir):
         F.sum("event_id").alias("sum_event_id"),
         F.sum("user_id").alias("sum_user_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located fact×fact join as a CORRECTNESS row: write both
+# fact tables bucketed+sorted on the join key, join them, and assert
+# IN-QUERY that the executed plan contains no Exchange on either side
+# (the structural guarantee the oracle cannot see — a shuffle would
+# fail the row, not pass silently). The returned aggregate
+# hash-matches a plain-join oracle, certifying that bucket
+# co-location changes the PLAN, never the RESULT. The broadcast
+# threshold is disabled around planning to force the large×large
+# regime — at test scale Spark would broadcast the small side, which
+# bypasses bucketed scans entirely; at 100 TB neither side fits.
+# --------------------------------------------------------------------------
+
+_BUCKETED_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("bucketed_join_roundtrip", _BUCKETED_ORACLE)
+def bucketed_join_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from ..operators.bucketing import bucketed_join, write_bucketed
+    from ._util import dec2
+
+    tmp = tempfile.mkdtemp(prefix="bucketed_rt_")
+    lt, rt = "harness_b_orders", "harness_b_lineitem"
+    spark.sql(f"DROP TABLE IF EXISTS {lt}")
+    spark.sql(f"DROP TABLE IF EXISTS {rt}")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    lineitem = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+    )
+    write_bucketed(orders, lt, f"{tmp}/o", "o_orderkey", 8)
+    write_bucketed(lineitem, rt, f"{tmp}/l", "o_orderkey", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, lt, rt, on="o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
+    assert "Bucketed: true" in plan, "scan must use bucketed layout"
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(dec2("l_quantity")).cast("double").alias("total_qty"),
+    )
