@@ -99,6 +99,7 @@ _NEW_THIS_ROUND: list[str] = [
     "customer_rfm_segments",
     "streaming_foreachbatch_sink_drain",
     "bucketed_join_roundtrip",
+    "text_winnow_fingerprints",
 ]
 
 
@@ -181,6 +182,7 @@ def load_all_queries() -> None:
         ext_graph3,
         ext_dedup3,
         ext_match,
+        ext_text6,
         ext_training5,
         streaming_queries2,
         dq_queries2,
