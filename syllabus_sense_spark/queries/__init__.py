@@ -100,6 +100,16 @@ _NEW_THIS_ROUND: list[str] = [
     "streaming_foreachbatch_sink_drain",
     "bucketed_join_roundtrip",
     "text_winnow_fingerprints",
+    # round 6. NOTE: CORRECTNESS_r05 never landed (no round-5 driver
+    # artifacts), so every round-5 name above still awaits its first
+    # driver row and stays front-listed; prune only names whose
+    # latest CORRECTNESS_r* row is green.
+    "training_bpe_merges",
+    "sketch_countmin_heavy_hitters",
+    "dedup_bloom_prefilter",
+    "source_orc_roundtrip",
+    "source_text_lines",
+    "sample_reservoir_per_group",
 ]
 
 
@@ -184,6 +194,11 @@ def load_all_queries() -> None:
         ext_match,
         ext_text6,
         ext_training5,
+        ext_training6,
+        ext_sketches2,
+        ext_dedup4,
+        source_queries,
+        ext_training7,
         streaming_queries2,
         dq_queries2,
         ext_udaf,

@@ -1,0 +1,166 @@
+"""[EXT] BPE vocabulary induction — distributed tokenizer training.
+
+The missing member of the training-ops family: `bpe_pair_counts`
+(ext_training4.py) counts symbol pairs once; this operator runs the
+actual *iterative* merge loop (Sennrich et al. 2016): count adjacent
+symbol pairs over the word-type table, merge the most frequent pair
+everywhere, repeat. Three unrolled iterations, like
+`graph_pagerank_trade` — an inherently iterative algorithm made
+hash-checkable because every step is exact integer/string work.
+
+Determinism is the engineering content:
+
+1. word-type table: tokenize the corpus (split on space), group to
+   (word, freq) — map-side-combined, the only pass over the corpus;
+2. initial symbolization: characters joined by single spaces
+   (`regexp_replace(word, '(.)', '$1 ')` + trim) — no end-of-word
+   marker, documented simplification;
+3. pair counting: adjacent symbol pairs weighted by word freq —
+   explode + groupBy, partial aggregation does the heavy lifting;
+4. argmax with a TOTAL tiebreak (count DESC, left symbol ASC, right
+   symbol ASC) so the chosen merge is engine-independent;
+5. the merge itself is pure string algebra, identical in any SQL
+   engine: double every separator, replace the single-space-bounded
+   pattern ``' a  b '`` with ``' ab '`` (doubling makes adjacent
+   pair occurrences non-overlapping, so replace-all scans left to
+   right exactly like greedy BPE), then collapse doubles and trim.
+
+Output = the merge table itself — (iteration, pair, merged symbol,
+weighted count) — what a tokenizer-training job persists as its
+artifact. The DuckDB oracle unrolls the same three iterations as
+CTEs and must match bit-for-bit.
+
+Scale posture (the real thing is this loop run 30k times): the
+corpus is touched ONCE (stage 1); every iteration after that runs on
+the word-TYPE table (≪ corpus, Zipf), kept as a localCheckpoint so
+lineage doesn't deepen with the merge count; the argmax is a tiny
+all-to-one TakeOrdered; the chosen pair broadcasts back as a 1-row
+dimension. No stage shuffles anything larger than the type table.
+
+Reference parity: the reference has no tokenizer, but its pipeline
+feeds an LLM (syllabus_ai_graph.py:260); vocabulary induction is the
+canonical pretraining-side counterpart of that seam.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import register
+
+_N_MERGES = 3
+
+# One iteration of the oracle, templated on the round number.
+_ITER_CTE = r"""
+s{k} AS (SELECT string_split(seq, ' ') AS sym, freq FROM w{k}),
+p{k} AS (
+  SELECT sym[i] AS a, sym[i+1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM s{k}, UNNEST(range(1, len(sym))) AS r(i)
+  GROUP BY 1, 2
+),
+b{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1),
+w{next} AS (
+  SELECT trim(replace(replace(
+           ' ' || replace(w{k}.seq, ' ', '  ') || ' ',
+           ' ' || x.a || '  ' || x.b || ' ',
+           ' ' || x.a || x.b || ' '), '  ', ' ')) AS seq,
+         w{k}.freq AS freq
+  FROM w{k}, b{k} x
+)"""
+
+_BPE_ORACLE = (
+    r"""
+WITH tokens AS (
+  SELECT t.word AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(word)
+  WHERE t.word <> ''
+  GROUP BY t.word
+),
+w1 AS (
+  SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seq, freq
+  FROM tokens
+),"""
+    + ",".join(_ITER_CTE.format(k=k, next=k + 1) for k in range(1, _N_MERGES + 1))
+    + "".join(
+        f"""
+SELECT CAST({k} AS BIGINT) AS iter, a AS pair_left, b AS pair_right,
+       a || b AS merged, cnt AS pair_count
+FROM b{k}
+{"UNION ALL" if k < _N_MERGES else ""}"""
+        for k in range(1, _N_MERGES + 1)
+    )
+)
+
+
+def _pair_counts(words):
+    """(a, b, cnt): adjacent symbol pairs weighted by word freq."""
+    return (
+        words.select(F.split("seq", " ").alias("sym"), "freq")
+        .filter(F.size("sym") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(sym)-2),"
+                    " i -> struct(sym[i] AS a, sym[i+1] AS b))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _merge_best(words, best):
+    """Apply the 1-row broadcast merge to every word sequence."""
+    return words.crossJoin(F.broadcast(best)).select(
+        F.expr(
+            "trim(replace(replace("
+            " ' ' || replace(seq, ' ', '  ') || ' ',"
+            " ' ' || a || '  ' || b || ' ',"
+            " ' ' || a || b || ' '), '  ', ' '))"
+        ).alias("seq"),
+        "freq",
+    )
+
+
+@register("training_bpe_merges", _BPE_ORACLE)
+def training_bpe_merges(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+            "freq",
+        )
+    )
+    # The type table is the loop state: checkpoint it so iteration k's
+    # plan doesn't re-tokenize the corpus or re-run merges 1..k-1.
+    words = words.localCheckpoint()
+    merge_rows = []
+    for k in range(1, _N_MERGES + 1):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .localCheckpoint()
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(k).cast("bigint").alias("iter"),
+                F.col("a").alias("pair_left"),
+                F.col("b").alias("pair_right"),
+                F.concat("a", "b").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        if k < _N_MERGES:
+            words = _merge_best(words, best).localCheckpoint()
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out

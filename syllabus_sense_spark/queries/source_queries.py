@@ -1,0 +1,96 @@
+"""Driver-visible format-coverage roundtrips: ORC and line-oriented
+text.
+
+Parquet, JSONL (quarantine), and CSV (nested-type bridge) already
+carry CORRECTNESS rows; these add the remaining formats the engine
+ships without extra jars. Same contract as sink_queries.py: the
+query performs the real write-then-read-back inside the harness and
+emits an aggregate the DuckDB oracle computes straight from the
+source table, so a hash match certifies the format roundtrip
+(type fidelity, row preservation) end-to-end.
+
+- ORC: the other columnar format a lakehouse ingests from; written
+  with zlib (the default), read back through the vectorized ORC
+  reader. Certifies BIGINT/VARCHAR/TIMESTAMP fidelity.
+- text: `spark.read.text` — the rawest corpus ingestion path (one
+  line = one record), which is how a 100 TB web-text drop actually
+  arrives before it has schema. Certifies line preservation
+  (count + char mass) through write.text → read.text.
+
+Scale posture: both writes are task-parallel appends to a fresh dir;
+neither query shuffles anything except the final small aggregate.
+Avro stays gated out: the spark-avro jar is absent from this image
+(SURVEY "gated/stretch" note).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import register
+
+_ORC_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+       CAST(SUM(CAST(epoch_us(ts) AS BIGINT)) AS BIGINT) AS sum_ts_us
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("source_orc_roundtrip", _ORC_ORACLE)
+def source_orc_roundtrip(spark, sf_dir):
+    """events → ORC → read back → per-type aggregate. The temp dir
+    must outlive the returned lazy DataFrame (tmpfs-sized)."""
+    from ._util import epoch_us
+
+    tmp = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    ev.write.mode("overwrite").orc(tmp)
+    back = spark.read.orc(tmp)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.sum("user_id").alias("sum_user_id"),
+        F.sum(epoch_us(F.col("ts"))).alias("sum_ts_us"),
+    )
+
+
+_TEXT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(length(text) * (doc_id % 97)) AS BIGINT) AS weighted_chars
+FROM documents
+"""
+
+
+@register("source_text_lines", _TEXT_ORACLE)
+def source_text_lines(spark, sf_dir):
+    """documents.text → write.text (one line per doc) → read.text.
+    Line identity is certified by char mass plus a position-free
+    weighted checksum recomputed from a doc_id prefix embedded in
+    each line (lines come back in arbitrary order; the checksum is
+    order-insensitive)."""
+    tmp = tempfile.mkdtemp(prefix="text_lines_")
+    d = load(spark, sf_dir, "documents").select(
+        F.concat(
+            (F.col("doc_id") % 97).cast("string"), F.lit("\t"), F.col("text")
+        ).alias("value")
+    )
+    d.write.mode("overwrite").text(tmp)
+    back = spark.read.text(tmp).select(
+        F.split("value", "\t", 2).alias("parts")
+    ).select(
+        F.col("parts")[0].cast("bigint").alias("w"),
+        F.length(F.col("parts")[1]).cast("bigint").alias("n_chars"),
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.col("n_chars") * F.col("w")).alias("weighted_chars"),
+    )

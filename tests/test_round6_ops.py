@@ -1,0 +1,156 @@
+"""Law tests for the round-6 operators (each also oracle-checked via
+the harness): pure-Python reference implementations for the
+iterative/sketch algorithms, plus the structural invariants the
+value hash can't express (Bloom no-false-negatives, reservoir
+bottom-k threshold)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+
+def _word_freqs(spark, sf_dir):
+    from syllabus_sense_spark.tables import load
+
+    texts = [r.text for r in load(spark, sf_dir, "documents").select("text").collect()]
+    freqs = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                freqs[w] += 1
+    return freqs
+
+
+def _ref_bpe(freqs: Counter, n_merges: int):
+    """Reference Sennrich BPE: greedy left-to-right merge over word
+    types, argmax with (count desc, pair asc) tiebreak."""
+    words = {tuple(w): f for w, f in freqs.items()}
+    out = []
+    for it in range(1, n_merges + 1):
+        pairs = Counter()
+        for seq, f in words.items():
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] += f
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((it, a, b, a + b, cnt))
+        merged = {}
+        for seq, f in words.items():
+            new, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(seq[i])
+                    i += 1
+            merged[tuple(new)] = merged.get(tuple(new), 0) + f
+        words = merged
+    return out
+
+
+def test_bpe_merges_match_reference(spark, sf_dir):
+    from syllabus_sense_spark.queries.ext_training6 import (
+        _N_MERGES,
+        training_bpe_merges,
+    )
+
+    got = sorted(
+        (r.iter, r.pair_left, r.pair_right, r.merged, r.pair_count)
+        for r in training_bpe_merges(spark, sf_dir).collect()
+    )
+    want = _ref_bpe(_word_freqs(spark, sf_dir), _N_MERGES)
+    assert got == want
+
+
+def test_countmin_laws_and_reference(spark, sf_dir):
+    from syllabus_sense_spark.queries.ext_sketches2 import (
+        _P,
+        _ROWS,
+        _TOPK,
+        _W,
+        sketch_countmin_heavy_hitters,
+    )
+    from syllabus_sense_spark.tables import load
+
+    rows = sketch_countmin_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == _TOPK
+    # CM guarantee: never underestimates
+    for r in rows:
+        assert r.cm_estimate >= r.true_cnt
+    # exact reference sketch from the true per-key counts
+    cnt = Counter(
+        r.l_partkey
+        for r in load(spark, sf_dir, "lineitem").select("l_partkey").collect()
+    )
+    cells = [Counter() for _ in _ROWS]
+    for key, c in cnt.items():
+        for i, (a, b) in enumerate(_ROWS):
+            cells[i][((a * key + b) % _P) % _W] += c
+    for r in rows:
+        assert cnt[r.l_partkey] == r.true_cnt
+        est = min(
+            cells[i][((a * r.l_partkey + b) % _P) % _W]
+            for i, (a, b) in enumerate(_ROWS)
+        )
+        assert est == r.cm_estimate
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    from syllabus_sense_spark.queries.ext_dedup4 import dedup_bloom_prefilter
+    from syllabus_sense_spark.tables import load
+
+    rows = dedup_bloom_prefilter(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    probe_ids = {r.doc_id for r in docs if r.doc_id % 2 == 1}
+    assert {r.doc_id for r in rows} == probe_ids and len(rows) == len(probe_ids)
+    # the Bloom contract: a true duplicate is NEVER filtered out
+    for r in rows:
+        if r.is_dup:
+            assert r.bloom_pos == 1
+    # ground truth from md5 prefixes
+    fp = {
+        r.doc_id: int(hashlib.md5(r.text.encode()).hexdigest()[:12], 16) for r in docs
+    }
+    index_fps = {fp[i] for i in fp if i % 2 == 0}
+    for r in rows:
+        assert r.is_dup == (1 if fp[r.doc_id] in index_fps else 0)
+    # non-vacuity: the dup flag must fire exactly when the corpus has
+    # cross-parity duplicates (it does at sf0.01; sf0.001's planted
+    # dups may land on one parity, in which case zero is correct)
+    n_cross = sum(1 for i in fp if i % 2 == 1 and fp[i] in index_fps)
+    assert sum(r.is_dup for r in rows) == n_cross
+    # and the filter itself is non-trivially selective: some probes
+    # are rejected (all-positive would mean the bit set saturated)
+    assert any(r.bloom_pos == 0 for r in rows)
+
+
+def test_reservoir_bottom_k_threshold(spark, sf_dir):
+    from syllabus_sense_spark.queries.ext_training7 import (
+        _K,
+        _KNUTH,
+        _MOD,
+        sample_reservoir_per_group,
+    )
+    from syllabus_sense_spark.tables import load
+
+    rows = {r.source: r for r in sample_reservoir_per_group(spark, sf_dir).collect()}
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id").collect()
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    assert set(rows) == set(by_src)
+    for src, ids in by_src.items():
+        ranked = sorted(ids, key=lambda d: ((d * _KNUTH) % _MOD, d))
+        kept = ranked[:_K]
+        r = rows[src]
+        assert r.n_sampled == min(_K, len(ids))
+        assert r.sum_doc_id == sum(kept)
+        # the persisted ceiling admits exactly the kept set: every
+        # excluded doc's hash is strictly above it (ties broken by id
+        # cannot straddle the boundary with distinct hashes)
+        assert r.hash_ceiling == max((d * _KNUTH) % _MOD for d in kept)
+        if len(ids) > _K:
+            assert (ranked[_K] * _KNUTH) % _MOD >= r.hash_ceiling
