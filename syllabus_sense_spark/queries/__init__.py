@@ -110,6 +110,9 @@ _NEW_THIS_ROUND: list[str] = [
     "source_orc_roundtrip",
     "source_text_lines",
     "sample_reservoir_per_group",
+    "training_bpe_encode",
+    "graph_label_propagation",
+    "agg_weighted_median",
 ]
 
 
@@ -195,6 +198,8 @@ def load_all_queries() -> None:
         ext_text6,
         ext_training5,
         ext_training6,
+        ext_graph4,
+        agg_families4,
         ext_sketches2,
         ext_dedup4,
         source_queries,

@@ -1,0 +1,120 @@
+"""[EXT] Label propagation community detection — the fourth graph
+operator family member (components → fixed-point ranking → motif
+census → now community structure).
+
+Classic LPA (Raghavan et al. 2007) is nondeterministic twice over:
+random update order and random tiebreak. This is the deterministic
+synchronous variant a data pipeline can actually re-run: every node
+starts as its own label, and each round every node simultaneously
+adopts the MAJORITY label among its neighbors with a TOTAL tiebreak
+(count DESC, label ASC) — making an inherently heuristic algorithm
+hash-checkable, the same move as `graph_pagerank_trade`. Three
+unrolled rounds; the DuckDB oracle replays them as CTEs with the
+identical window argmax.
+
+Graph: the support-thresholded co-purchase projection
+(ext_graph3.copurchase_pairs, support ≥ 2), symmetrized — LPA is an
+undirected-graph algorithm.
+
+Output: (part_key, community label after 3 rounds). Communities here
+are the "products bought together" clusters used for curriculum
+bucketing / recommendation candidate pools.
+
+Scale posture: each round is ONE shuffle of (edge ⋈ label) on the
+node key — the same join+argmax shape as distributed LPA in
+GraphX/Pregel, with the label table ≪ edges and localCheckpoint
+keeping lineage flat. The window argmax runs on the post-aggregation
+(node, label, cnt) table, partitioned by node — co-partitioned with
+the groupBy that produced it, so AQE plans no extra exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import register
+from .ext_graph3 import _MIN_SUPPORT, copurchase_pairs
+
+_N_ROUNDS = 3
+
+_ITER_CTE = """
+v{k} AS (
+  SELECT a.node, l.label, COUNT(*) AS cnt
+  FROM adj a JOIN l{prev} l ON l.node = a.nbr
+  GROUP BY a.node, l.label
+),
+l{k} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (
+             PARTITION BY node ORDER BY cnt DESC, label ASC
+           ) AS rn
+    FROM v{k}
+  ) WHERE rn = 1
+)"""
+
+_LPA_ORACLE = (
+    f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_MIN_SUPPORT}
+),
+adj AS (
+  SELECT pa AS node, pb AS nbr FROM e
+  UNION ALL
+  SELECT pb AS node, pa AS nbr FROM e
+),
+l0 AS (
+  SELECT DISTINCT node, node AS label FROM adj
+),"""
+    + ",".join(_ITER_CTE.format(k=k, prev=k - 1) for k in range(1, _N_ROUNDS + 1))
+    + f"""
+SELECT node AS part_key, CAST(label AS BIGINT) AS community
+FROM l{_N_ROUNDS}
+"""
+)
+
+
+@register("graph_label_propagation", _LPA_ORACLE)
+def graph_label_propagation(spark, sf_dir):
+    edges = (
+        copurchase_pairs(spark, sf_dir)
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    adj = edges.select(
+        F.col("pa").alias("node"), F.col("pb").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+    ).localCheckpoint()
+
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint()
+
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(_N_ROUNDS):
+        votes = (
+            adj.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("node").alias("part_key"), F.col("label").cast("bigint").alias("community")
+    )

@@ -25,10 +25,17 @@ Determinism is the engineering content:
    pair occurrences non-overlapping, so replace-all scans left to
    right exactly like greedy BPE), then collapse doubles and trim.
 
-Output = the merge table itself — (iteration, pair, merged symbol,
-weighted count) — what a tokenizer-training job persists as its
-artifact. The DuckDB oracle unrolls the same three iterations as
-CTEs and must match bit-for-bit.
+Two registered queries share the loop:
+- `training_bpe_merges` — the merge table itself (iteration, pair,
+  merged symbol, weighted count): the artifact a tokenizer-training
+  job persists;
+- `training_bpe_encode` — the ENCODE side: corpus token mass before
+  vs after applying the learned merges (what the token-budget /
+  packing operators consume, and the compression the training run
+  reports).
+
+The DuckDB oracles unroll the same iterations as CTEs and must match
+bit-for-bit.
 
 Scale posture (the real thing is this loop run 30k times): the
 corpus is touched ONCE (stage 1); every iteration after that runs on
@@ -69,7 +76,8 @@ w{next} AS (
   FROM w{k}, b{k} x
 )"""
 
-_BPE_ORACLE = (
+# Shared CTE chain: tokens → w1 → (p1,b1,w2) → … → w{N+1}
+_CTES = (
     r"""
 WITH tokens AS (
   SELECT t.word AS word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -82,14 +90,28 @@ w1 AS (
   FROM tokens
 ),"""
     + ",".join(_ITER_CTE.format(k=k, next=k + 1) for k in range(1, _N_MERGES + 1))
-    + "".join(
-        f"""
+)
+
+_BPE_ORACLE = _CTES + "".join(
+    f"""
 SELECT CAST({k} AS BIGINT) AS iter, a AS pair_left, b AS pair_right,
        a || b AS merged, cnt AS pair_count
 FROM b{k}
 {"UNION ALL" if k < _N_MERGES else ""}"""
-        for k in range(1, _N_MERGES + 1)
-    )
+    for k in range(1, _N_MERGES + 1)
+)
+
+_ENCODE_ORACLE = (
+    _CTES
+    + f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_word_types,
+       CAST(SUM(freq) AS BIGINT) AS n_words,
+       CAST(SUM(freq * len(string_split(seq, ' '))) AS BIGINT)
+         AS tokens_before,
+       CAST((SELECT SUM(freq * len(string_split(seq, ' ')))
+             FROM w{_N_MERGES + 1}) AS BIGINT) AS tokens_after
+FROM w1
+"""
 )
 
 
@@ -125,8 +147,9 @@ def _merge_best(words, best):
     )
 
 
-@register("training_bpe_merges", _BPE_ORACLE)
-def training_bpe_merges(spark, sf_dir):
+def _run_merges(spark, sf_dir):
+    """Shared loop. Returns (per-iteration best rows, initial word
+    table w1, final word table w{N+1})."""
     docs = load(spark, sf_dir, "documents").select("text")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -140,7 +163,8 @@ def training_bpe_merges(spark, sf_dir):
     )
     # The type table is the loop state: checkpoint it so iteration k's
     # plan doesn't re-tokenize the corpus or re-run merges 1..k-1.
-    words = words.localCheckpoint()
+    initial = words.localCheckpoint()
+    words = initial
     merge_rows = []
     for k in range(1, _N_MERGES + 1):
         best = (
@@ -158,9 +182,32 @@ def training_bpe_merges(spark, sf_dir):
                 F.col("cnt").alias("pair_count"),
             )
         )
-        if k < _N_MERGES:
-            words = _merge_best(words, best).localCheckpoint()
+        words = _merge_best(words, best).localCheckpoint()
+    return merge_rows, initial, words
+
+
+@register("training_bpe_merges", _BPE_ORACLE)
+def training_bpe_merges(spark, sf_dir):
+    merge_rows, _, _ = _run_merges(spark, sf_dir)
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionAll(m)
     return out
+
+
+@register("training_bpe_encode", _ENCODE_ORACLE)
+def training_bpe_encode(spark, sf_dir):
+    _, initial, final = _run_merges(spark, sf_dir)
+    before = initial.agg(
+        F.count(F.lit(1)).alias("n_word_types"),
+        F.sum("freq").alias("n_words"),
+        F.sum(F.col("freq") * F.size(F.split("seq", " ")))
+        .cast("bigint")
+        .alias("tokens_before"),
+    )
+    after = final.agg(
+        F.sum(F.col("freq") * F.size(F.split("seq", " ")))
+        .cast("bigint")
+        .alias("tokens_after")
+    )
+    return before.crossJoin(F.broadcast(after))

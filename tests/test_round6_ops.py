@@ -154,3 +154,78 @@ def test_reservoir_bottom_k_threshold(spark, sf_dir):
         assert r.hash_ceiling == max((d * _KNUTH) % _MOD for d in kept)
         if len(ids) > _K:
             assert (ranked[_K] * _KNUTH) % _MOD >= r.hash_ceiling
+
+
+def test_bpe_encode_merge_mass_law(spark, sf_dir):
+    """Each merge of a pair occurring c times (weighted) shrinks the
+    corpus token mass by exactly c — so the encode output must tie
+    out against the merge table: after = before − Σ pair_count."""
+    from syllabus_sense_spark.queries.ext_training6 import (
+        training_bpe_encode,
+        training_bpe_merges,
+    )
+
+    merges = training_bpe_merges(spark, sf_dir).collect()
+    enc = training_bpe_encode(spark, sf_dir).collect()[0]
+    assert enc.tokens_after == enc.tokens_before - sum(m.pair_count for m in merges)
+    freqs = _word_freqs(spark, sf_dir)
+    assert enc.n_word_types == len(freqs)
+    assert enc.n_words == sum(freqs.values())
+    assert enc.tokens_before == sum(len(w) * f for w, f in freqs.items())
+
+
+def test_label_propagation_matches_reference(spark, sf_dir):
+    from syllabus_sense_spark.queries.ext_graph3 import (
+        _MIN_SUPPORT,
+        copurchase_pairs,
+    )
+    from syllabus_sense_spark.queries.ext_graph4 import (
+        _N_ROUNDS,
+        graph_label_propagation,
+    )
+
+    pair_rows = Counter(
+        (r.pa, r.pb) for r in copurchase_pairs(spark, sf_dir).collect()
+    )
+    edges = {p for p, n in pair_rows.items() if n >= _MIN_SUPPORT}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {n: n for n in adj}
+    for _ in range(_N_ROUNDS):
+        nxt = {}
+        for n, nbrs in adj.items():
+            votes = Counter(labels[m] for m in nbrs)
+            nxt[n] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = nxt
+    got = {r.part_key: r.community for r in graph_label_propagation(spark, sf_dir).collect()}
+    assert got == labels
+    # communities actually form: strictly fewer labels than nodes
+    assert len(set(got.values())) < len(got)
+
+
+def test_weighted_median_matches_reference(spark, sf_dir):
+    from syllabus_sense_spark.queries.agg_families4 import agg_weighted_median
+    from syllabus_sense_spark.tables import load
+
+    rows = {r.l_returnflag: r for r in agg_weighted_median(spark, sf_dir).collect()}
+    data = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    by_flag = {}
+    for r in data:
+        by_flag.setdefault(r.l_returnflag, []).append(
+            (round(r.l_extendedprice, 2), int(r.l_quantity))
+        )
+    assert set(rows) == set(by_flag)
+    for flag, vw in by_flag.items():
+        vw.sort()
+        tot = sum(w for _, w in vw)
+        cum = 0
+        for v, w in vw:
+            cum += w
+            if 2 * cum >= tot:
+                break
+        assert rows[flag].weighted_median_price == v
+        assert rows[flag].total_weight == tot
