@@ -50,6 +50,13 @@ HEADLINE = [
     "dedup_prefix_filter",
     "dedup_simhash",
     "dedup_semantic_clusters",
+    # round-6 additions: iterative BPE vocabulary induction (eager
+    # 3-merge loop — construction-inclusive timing captures it),
+    # deterministic label-propagation communities (3 join+argmax
+    # rounds), Count-Min heavy hitters (sketch build + probe)
+    "training_bpe_merges",
+    "graph_label_propagation",
+    "sketch_countmin_heavy_hitters",
 ]
 
 # Reported alongside but EXCLUDED from the headline total: availableNow

@@ -113,6 +113,7 @@ _NEW_THIS_ROUND: list[str] = [
     "training_bpe_encode",
     "graph_label_propagation",
     "agg_weighted_median",
+    "search_hybrid_rrf",
 ]
 
 
@@ -216,6 +217,7 @@ def load_all_queries() -> None:
         events7,
         relational5,
         ext_search,
+        ext_search2,
         agg_families3,
         events5,
         pipeline_queries,

@@ -37,7 +37,8 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
        CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
-       CAST(SUM(CAST(epoch_us(ts) AS BIGINT)) AS BIGINT) AS sum_ts_us
+       CAST(SUM(CAST(epoch_us(ts) AS BIGINT) % 1000000007) AS BIGINT)
+         AS sum_ts_mod
 FROM events
 GROUP BY event_type
 """
@@ -57,7 +58,8 @@ def source_orc_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum("event_id").alias("sum_event_id"),
         F.sum("user_id").alias("sum_user_id"),
-        F.sum(epoch_us(F.col("ts"))).alias("sum_ts_us"),
+        # modular residue keeps the checksum inside BIGINT at any scale
+        F.sum(epoch_us(F.col("ts")) % 1_000_000_007).alias("sum_ts_mod"),
     )
 
 

@@ -229,3 +229,32 @@ def test_weighted_median_matches_reference(spark, sf_dir):
                 break
         assert rows[flag].weighted_median_price == v
         assert rows[flag].total_weight == tot
+
+
+def test_hybrid_rrf_output_laws(spark, sf_dir):
+    from syllabus_sense_spark.queries.ext_search2 import (
+        _K_RRF,
+        _TOPK,
+        search_hybrid_rrf,
+    )
+    import math
+
+    rows = search_hybrid_rrf(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert 1 <= len(rs) <= _TOPK
+        # the reported score must tie out against the reported ranks
+        # (rank 0 = absent from that ranker's shortlist → no term)
+        for r in rs:
+            want = 0.0
+            if r.kw_rank:
+                want += 1.0 / (_K_RRF + r.kw_rank)
+            if r.sem_rank:
+                want += 1.0 / (_K_RRF + r.sem_rank)
+            assert r.rrf_e9 == math.floor(want * 1e9)
+            assert r.kw_rank or r.sem_rank
+        fused = sorted((x.rrf_e9 for x in rs), reverse=True)
+        assert fused == [x.rrf_e9 for x in sorted(rs, key=lambda y: (-y.rrf_e9, y.doc_id))]

@@ -63,6 +63,8 @@ ALLOW = {
     # 1-row corpus-max-date scalar broadcast onto the customer table —
     # the same scalar-aggregate cross-join shape as mixture_resample
     "customer_rfm_segments": {"BNLJ"},
+    # before-stats (1 row) x after-stats (1 row) broadcast cross join
+    "training_bpe_encode": {"BNLJ"},
 }
 
 
