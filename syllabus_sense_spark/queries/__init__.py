@@ -114,6 +114,9 @@ _NEW_THIS_ROUND: list[str] = [
     "graph_label_propagation",
     "agg_weighted_median",
     "search_hybrid_rrf",
+    "sink_pyds_jsonl_roundtrip",
+    "dq_reconcile_orders_lineitem",
+    "dq_distribution_drift",
 ]
 
 
@@ -207,6 +210,7 @@ def load_all_queries() -> None:
         ext_training7,
         streaming_queries2,
         dq_queries2,
+        dq_queries3,
         ext_udaf,
         incremental_queries,
         evolution_queries,

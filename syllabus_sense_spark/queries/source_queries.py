@@ -96,3 +96,42 @@ def source_text_lines(spark, sf_dir):
         F.sum("n_chars").alias("sum_chars"),
         F.sum(F.col("n_chars") * F.col("w")).alias("weighted_chars"),
     )
+
+
+_PYDS_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("sink_pyds_jsonl_roundtrip", _PYDS_ORACLE)
+def sink_pyds_jsonl_roundtrip(spark, sf_dir):
+    """documents → custom Python DataSource JSONL sink (two-phase
+    task-commit protocol, sources/jsonl_datasource.py) → read back →
+    per-lang aggregate. A hash match certifies the writer publishes
+    exactly the successful tasks' rows: a lost/duplicated shard or a
+    visible temp file diverges immediately."""
+    from pyspark.sql.types import StructType
+
+    from ..sources.jsonl_datasource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    tmp = tempfile.mkdtemp(prefix="pyds_jsonl_")
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d.write.format("jsonl_sink").option("path", tmp).mode("append").save()
+    schema = (
+        StructType()
+        .add("doc_id", "long")
+        .add("lang", "string")
+        .add("n_chars", "long")
+    )
+    back = spark.read.schema(schema).json(tmp + "/*.jsonl")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

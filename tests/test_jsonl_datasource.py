@@ -1,0 +1,78 @@
+"""Commit-protocol tests for the Python DataSource JSONL sink: temp
+files are invisible, abort publishes nothing, commit publishes
+exactly the successful tasks' shards."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+
+
+def _write(spark, path, n=100, parts=4):
+    df = spark.range(n).selectExpr("id", "id * 2 AS dbl").repartition(parts)
+    from syllabus_sense_spark.sources.jsonl_datasource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    df.write.format("jsonl_sink").option("path", path).mode("append").save()
+
+
+def test_roundtrip_and_shard_layout(spark):
+    tmp = tempfile.mkdtemp(prefix="jsonl_sink_t_")
+    _write(spark, tmp, n=100, parts=4)
+    names = sorted(os.listdir(tmp))
+    assert len(names) == 4
+    assert all(n.startswith("part-") and n.endswith(".jsonl") for n in names)
+    assert not any(n.startswith(".tmp-") for n in names)
+    rows = []
+    for n in names:
+        with open(os.path.join(tmp, n)) as f:
+            rows += [json.loads(line) for line in f]
+    assert sorted(r["id"] for r in rows) == list(range(100))
+    assert all(r["dbl"] == r["id"] * 2 for r in rows)
+
+
+def test_task_failure_publishes_nothing(spark):
+    """A job whose task fails must abort: no visible output files."""
+    from syllabus_sense_spark.sources.jsonl_datasource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    tmp = tempfile.mkdtemp(prefix="jsonl_sink_f_")
+
+    from pyspark.sql import functions as F
+
+    @F.udf("long")
+    def boom(x):
+        raise ValueError("planted failure")
+
+    df = spark.range(10).select(boom("id").alias("id"))
+    with pytest.raises(Exception):
+        df.write.format("jsonl_sink").option("path", tmp).mode("append").save()
+    leftover = [n for n in os.listdir(tmp) if not n.startswith(".")]
+    assert leftover == []
+    # temps may survive the abort sweep (in-flight tasks can drop a
+    # temp after the driver aborts) — they stay INVISIBLE, and the
+    # next successful job's commit sweeps them:
+    import time
+
+    time.sleep(1.0)  # let the killed job's task threads drain
+    _write(spark, tmp, n=5, parts=2)
+    assert [n for n in os.listdir(tmp) if n.startswith(".tmp-")] == []
+    rows = []
+    for n in os.listdir(tmp):
+        if not n.startswith("."):
+            with open(os.path.join(tmp, n)) as f:
+                rows += [json.loads(line) for line in f]
+    assert sorted(r["id"] for r in rows) == list(range(5))
+
+
+def test_empty_partitions_still_commit(spark):
+    tmp = tempfile.mkdtemp(prefix="jsonl_sink_e_")
+    _write(spark, tmp, n=2, parts=8)
+    rows = []
+    for n in os.listdir(tmp):
+        with open(os.path.join(tmp, n)) as f:
+            rows += [json.loads(line) for line in f]
+    assert sorted(r["id"] for r in rows) == [0, 1]

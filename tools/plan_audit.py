@@ -65,6 +65,11 @@ ALLOW = {
     "customer_rfm_segments": {"BNLJ"},
     # before-stats (1 row) x after-stats (1 row) broadcast cross join
     "training_bpe_encode": {"BNLJ"},
+    # dense tier = the same broadcast-query-set non-equi scorer as
+    # search_semantic_docs (BNLJ over the broadcast side); the RRF
+    # fusion is a FULL OUTER join of two rank-k-per-query lists —
+    # full outer cannot broadcast, SMJ on tiny inputs is the plan
+    "search_hybrid_rrf": {"BNLJ", "SMJ"},
 }
 
 
