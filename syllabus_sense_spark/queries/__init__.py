@@ -117,6 +117,8 @@ _NEW_THIS_ROUND: list[str] = [
     "sink_pyds_jsonl_roundtrip",
     "dq_reconcile_orders_lineitem",
     "dq_distribution_drift",
+    "sink_snapshot_diff",
+    "events_debounce_5m",
 ]
 
 
@@ -217,6 +219,8 @@ def load_all_queries() -> None:
         sink_queries2,
         scalar_funcs3,
         events6,
+        events8,
+        sink_queries3,
         ext_training4,
         events7,
         relational5,
