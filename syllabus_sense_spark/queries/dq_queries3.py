@@ -115,14 +115,15 @@ shares AS (
   SELECT c.bin, c.cohort, (c.n * 1000000) // t.t AS ppm
   FROM counts c JOIN tot t ON t.cohort = c.cohort
 )
-SELECT b.bin,
-       CAST(COALESCE(a.ppm, 0) AS BIGINT) AS share_a_ppm,
-       CAST(COALESCE(bb.ppm, 0) AS BIGINT) AS share_b_ppm,
-       CAST(ABS(COALESCE(a.ppm, 0) - COALESCE(bb.ppm, 0)) AS BIGINT)
-         AS drift_ppm
-FROM (SELECT DISTINCT bin FROM shares) b
-LEFT JOIN shares a ON a.bin = b.bin AND a.cohort = 0
-LEFT JOIN shares bb ON bb.bin = b.bin AND bb.cohort = 1
+SELECT bin,
+       CAST(COALESCE(SUM(CASE WHEN cohort = 0 THEN ppm END), 0) AS BIGINT)
+         AS share_a_ppm,
+       CAST(COALESCE(SUM(CASE WHEN cohort = 1 THEN ppm END), 0) AS BIGINT)
+         AS share_b_ppm,
+       CAST(ABS(COALESCE(SUM(CASE WHEN cohort = 0 THEN ppm END), 0)
+                - COALESCE(SUM(CASE WHEN cohort = 1 THEN ppm END), 0))
+            AS BIGINT) AS drift_ppm
+FROM shares GROUP BY bin
 """
 
 
@@ -142,16 +143,12 @@ def dq_distribution_drift(spark, sf_dir):
     shares = counts.join(F.broadcast(tot), "cohort").select(
         "bin", "cohort", F.expr("(n * 1000000) DIV t").alias("ppm")
     )
-    a = shares.filter(F.col("cohort") == 0).select("bin", F.col("ppm").alias("pa"))
-    b = shares.filter(F.col("cohort") == 1).select("bin", F.col("ppm").alias("pb"))
-    return (
-        a.join(b, "bin", "full_outer")
-        .select(
-            "bin",
-            F.coalesce("pa", F.lit(0)).cast("bigint").alias("share_a_ppm"),
-            F.coalesce("pb", F.lit(0)).cast("bigint").alias("share_b_ppm"),
-            F.abs(F.coalesce("pa", F.lit(0)) - F.coalesce("pb", F.lit(0)))
-            .cast("bigint")
-            .alias("drift_ppm"),
-        )
+    # conditional aggregation instead of a cohort self-join: one
+    # groupBy(bin) pass emits both shares and the |Δ|
+    pa = F.coalesce(F.sum(F.when(F.col("cohort") == 0, F.col("ppm"))), F.lit(0))
+    pb = F.coalesce(F.sum(F.when(F.col("cohort") == 1, F.col("ppm"))), F.lit(0))
+    return shares.groupBy("bin").agg(
+        pa.cast("bigint").alias("share_a_ppm"),
+        pb.cast("bigint").alias("share_b_ppm"),
+        F.abs(pa - pb).cast("bigint").alias("drift_ppm"),
     )
