@@ -119,6 +119,8 @@ _NEW_THIS_ROUND: list[str] = [
     "dq_distribution_drift",
     "sink_snapshot_diff",
     "events_debounce_5m",
+    "arrow_udf_doc_stats",
+    "sql_lateral_topn",
 ]
 
 
@@ -185,6 +187,7 @@ def load_all_queries() -> None:
         ext_web,
         ext_similarity2,
         spark4_features,
+        spark4_features2,
         dq_queries,
         agg_families,
         agg_families2,
