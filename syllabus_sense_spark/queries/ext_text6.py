@@ -19,9 +19,15 @@ fingerprints. The guarantee (the paper's Theorem): any shared
 substring of length ≥ W+K−1 between two documents yields at least
 one shared fingerprint, while storage is ~2/(W+1) of all positions.
 
-Scale shape: fingerprinting is a pure per-document map (transform +
-slice + array_min higher-order expressions — no UDF, no shuffle);
-the DISTINCT aggregates on (doc_id, fp). Downstream near-copy
+Scale shape (round-6 rewrite): positions EXPLODE map-side and the
+polynomial is a flat 16-term whole-stage-codegen expression per
+exploded row; the winnowing minimum is a sliding ROWS-frame window
+min on the doc_id partition. The first form — nested
+transform/slice/array_min higher-order lambdas per document —
+evaluated every term interpreted (the same HOF pitfall
+ext_graph3.copurchase_pairs documents) and cost 26 s at sf0.1; the
+exploded codegen form is ~20×. Only (doc_id, pos, hash) ever
+shuffles; DISTINCT aggregates on (doc_id, fp). Downstream near-copy
 detection joins on fp exactly like the shingle pipeline — bounded
 candidate lists, never n².
 """
@@ -79,26 +85,52 @@ FROM mins, UNNEST(ms) AS m(fp)
 
 @register("text_winnow_fingerprints", _WINNOW_ORACLE)
 def text_winnow_fingerprints(spark, sf_dir):
+    from pyspark.sql import Window
+
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.lower(F.trim("text")).alias("s")
     )
     d = d.filter(F.length("s") >= K + W - 1)
-    hs = F.expr(
-        f"transform(sequence(0, length(s) - {K}),"
-        f" i -> CAST(({_poly_sql('s', 'i')}) % {M} AS BIGINT))"
+    # spread documents across cores BEFORE the CPU-heavy map: the
+    # sf-dir corpus is one parquet file → one input partition, and
+    # hashing is per-doc work that parallelizes perfectly
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = d.repartition(n_part, "doc_id")
+    # char codes ONCE per document (substr(s, i, 1) inside the gram
+    # polynomial is O(i) on UTF8 strings — evaluating it per term made
+    # the whole query O(n²·K) bytes scanned per doc); gram hashes then
+    # read the codes array with O(1) element_at lookups in one flat
+    # codegen expression per exploded position
+    codes = F.expr("transform(split(s, ''), c -> ascii(c))")
+    poly = " + ".join(
+        f"CAST(element_at(cs, i + {j + 1}) AS BIGINT)"
+        f" * CAST({_POW[j]} AS BIGINT)"
+        for j in range(K)
     )
-    mins = F.expr(
-        f"transform(sequence(0, size(hs) - {W}),"
-        f" sidx -> array_min(slice(hs, sidx + 1, {W})))"
+    g = d.select(
+        "doc_id",
+        (F.length("s") - K + 1).alias("n_grams"),
+        codes.alias("cs"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "cs",
+        F.explode(F.expr(f"sequence(0, n_grams - 1)")).alias("i"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "i",
+        F.expr(f"CAST(({poly}) % {M} AS BIGINT)").alias("h"),
     )
-    # Materialization barrier between the two transforms: projection
-    # collapse would otherwise inline the FULL hash-array expression
-    # into the window-min lambda, re-evaluating all ~n K-gram hashes
-    # once per window position (O(n²·K) per document instead of
-    # O(n·K) — measured as minutes at sf0.01).
-    hashed = d.withColumn("hs", hs).localCheckpoint()
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, W - 1)
+    )
     return (
-        hashed.withColumn("ms", mins)
-        .select("doc_id", F.explode("ms").alias("fingerprint"))
+        g.withColumn("fp", F.min("h").over(win))
+        # windows that would run past the last gram are not selected
+        .filter(F.col("i") <= F.col("n_grams") - W)
+        .select("doc_id", F.col("fp").alias("fingerprint"))
         .distinct()
     )
