@@ -252,9 +252,23 @@ def load_all_queries() -> None:
     )
 
     last_green = _evidence_from_past_rounds()
-    front = [n for n in _FORCE_RECHECK if n in QUERIES]
-    front += [n for n in _NEW_THIS_ROUND if n in QUERIES and n not in front]
-    front += [n for n in QUERIES if n not in last_green and n not in front]
+    # Never-checked queries outrank stale-green re-checks: a query
+    # with NO driver row ever is a bigger evidence hole than one
+    # whose old green predates a shared-code change. With the front
+    # section larger than the driver's 50-slot window (rounds 5+6
+    # both landed unchecked), this ordering decides who gets a first
+    # row this round.
+    front = [
+        n for n in _NEW_THIS_ROUND if n in QUERIES and n not in last_green
+    ]
+    front += [
+        n for n in QUERIES if n not in last_green and n not in front
+    ]
+    front += [
+        n
+        for n in _FORCE_RECHECK + _NEW_THIS_ROUND
+        if n in QUERIES and n not in front
+    ]
     # Already-green tail, oldest evidence first, so the 50-slot window
     # re-confirms round-1-vintage greens before recent ones. Ties keep
     # registration order (stable sort).
