@@ -121,6 +121,11 @@ _NEW_THIS_ROUND: list[str] = [
     "events_debounce_5m",
     "arrow_udf_doc_stats",
     "sql_lateral_topn",
+    "events_sessionize_native",
+    "crypto_roundtrip_pii",
+    "catalog_managed_table_roundtrip",
+    # round-6 O(n^2)->O(n) winnowing rewrite (same hash, new plan)
+    "text_winnow_fingerprints",
 ]
 
 
@@ -223,6 +228,9 @@ def load_all_queries() -> None:
         scalar_funcs3,
         events6,
         events8,
+        events9,
+        scalar_funcs4,
+        catalog_queries,
         sink_queries3,
         ext_training4,
         events7,
