@@ -57,6 +57,9 @@ HEADLINE = [
     "training_bpe_merges",
     "graph_label_propagation",
     "sketch_countmin_heavy_hitters",
+    # winnowing fingerprints joined the headline after the round-6
+    # O(n²)→O(n) rewrite (26 s → 0.8 s warm at sf0.1)
+    "text_winnow_fingerprints",
 ]
 
 # Reported alongside but EXCLUDED from the headline total: availableNow

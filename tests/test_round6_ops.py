@@ -258,3 +258,59 @@ def test_hybrid_rrf_output_laws(spark, sf_dir):
             assert r.kw_rank or r.sem_rank
         fused = sorted((x.rrf_e9 for x in rs), reverse=True)
         assert fused == [x.rrf_e9 for x in sorted(rs, key=lambda y: (-y.rrf_e9, y.doc_id))]
+
+
+def test_native_session_window_conservation(spark, sf_dir):
+    from syllabus_sense_spark.queries.events9 import (
+        _GAP_US,
+        events_sessionize_native,
+    )
+    from syllabus_sense_spark.tables import load
+
+    rows = events_sessionize_native(spark, sf_dir).collect()
+    n_events = load(spark, sf_dir, "events").count()
+    # every event lands in exactly one session
+    assert sum(r.n_events for r in rows) == n_events
+    for r in rows:
+        # end = last event + gap → span is always ≥ the gap itself
+        assert r.session_end_us - r.session_start_us >= _GAP_US
+        assert r.n_events >= 1
+
+
+def test_crypto_gcm_nondeterministic_but_roundtrips(spark):
+    from pyspark.sql import functions as F
+
+    from syllabus_sense_spark.queries.scalar_funcs4 import _KEY
+
+    df = spark.range(1).select(
+        F.expr(f"aes_encrypt('same plaintext', '{_KEY}')").alias("c1"),
+        F.expr(f"aes_encrypt('same plaintext', '{_KEY}')").alias("c2"),
+    ).select(
+        (F.col("c1") == F.col("c2")).alias("same_ct"),
+        F.expr(f"CAST(aes_decrypt(c1, '{_KEY}') AS STRING)").alias("p1"),
+        F.expr(f"CAST(aes_decrypt(c2, '{_KEY}') AS STRING)").alias("p2"),
+    )
+    r = df.collect()[0]
+    assert not r.same_ct  # GCM: fresh IV per call
+    assert r.p1 == r.p2 == "same plaintext"
+
+
+def test_catalog_table_registered_and_partitioned(spark, sf_dir):
+    from syllabus_sense_spark.queries.catalog_queries import (
+        catalog_managed_table_roundtrip,
+    )
+
+    before = {t.name for t in spark.catalog.listTables()}
+    df = catalog_managed_table_roundtrip(spark, sf_dir)
+    new = [
+        t.name
+        for t in spark.catalog.listTables()
+        # the _batch2 temp view is scaffolding, not the managed table
+        if t.name.startswith("events_cat_")
+        and not t.name.endswith("_batch2")
+        and t.name not in before
+    ]
+    assert len(new) == 1 and not df.isEmpty()
+    cols = {c.name: c.isPartition for c in spark.catalog.listColumns(new[0])}
+    assert cols.get("event_type") is True
+    spark.sql(f"DROP TABLE {new[0]}")
