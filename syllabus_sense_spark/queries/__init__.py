@@ -124,6 +124,7 @@ _NEW_THIS_ROUND: list[str] = [
     "events_sessionize_native",
     "crypto_roundtrip_pii",
     "catalog_managed_table_roundtrip",
+    "sketch_kmv_distinct",
     # round-6 O(n^2)->O(n) winnowing rewrite (same hash, new plan)
     "text_winnow_fingerprints",
 ]
@@ -215,6 +216,7 @@ def load_all_queries() -> None:
         ext_graph4,
         agg_families4,
         ext_sketches2,
+        ext_sketches3,
         ext_dedup4,
         source_queries,
         ext_training7,

@@ -314,3 +314,35 @@ def test_catalog_table_registered_and_partitioned(spark, sf_dir):
     cols = {c.name: c.isPartition for c in spark.catalog.listColumns(new[0])}
     assert cols.get("event_type") is True
     spark.sql(f"DROP TABLE {new[0]}")
+
+
+def test_kmv_sketch_laws(spark, sf_dir):
+    from syllabus_sense_spark.queries.ext_sketches3 import (
+        _K,
+        _KNUTH,
+        _M,
+        sketch_kmv_distinct,
+    )
+    from syllabus_sense_spark.tables import load
+
+    rows = {r.event_type: r for r in sketch_kmv_distinct(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id").collect()
+    by_type = {}
+    all_h = set()
+    for r in ev:
+        h = (r.user_id * _KNUTH) % _M
+        by_type.setdefault(r.event_type, set()).add(h)
+        all_h.add(h)
+    assert set(rows) == set(by_type) | {"__all__"}
+    for t, hs in list(by_type.items()) + [("__all__", all_h)]:
+        r = rows[t]
+        assert r.n_exact == len(hs)
+        assert r.n_kept == min(_K, len(hs))
+        kept = sorted(hs)[: _K]
+        assert r.kth_hash == max(kept)
+        if len(hs) < _K:
+            assert r.kmv_estimate == len(hs)  # sketch IS the set
+        else:
+            assert r.kmv_estimate == (_K - 1) * _M // max(kept)
+            # estimator sanity at k=64 (SE ~ 1/8): within 50% of truth
+            assert 0.5 * len(hs) <= r.kmv_estimate <= 1.5 * len(hs)
