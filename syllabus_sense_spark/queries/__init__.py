@@ -125,6 +125,7 @@ _NEW_THIS_ROUND: list[str] = [
     "crypto_roundtrip_pii",
     "catalog_managed_table_roundtrip",
     "sketch_kmv_distinct",
+    "events_lag_features",
     # round-6 O(n^2)->O(n) winnowing rewrite (same hash, new plan)
     "text_winnow_fingerprints",
 ]
@@ -231,6 +232,7 @@ def load_all_queries() -> None:
         events6,
         events8,
         events9,
+        events10,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,
