@@ -126,6 +126,7 @@ _NEW_THIS_ROUND: list[str] = [
     "catalog_managed_table_roundtrip",
     "sketch_kmv_distinct",
     "events_lag_features",
+    "documents_data_card",
     # round-6 O(n^2)->O(n) winnowing rewrite (same hash, new plan)
     "text_winnow_fingerprints",
 ]
@@ -218,6 +219,7 @@ def load_all_queries() -> None:
         agg_families4,
         ext_sketches2,
         ext_sketches3,
+        ext_datacard,
         ext_dedup4,
         source_queries,
         ext_training7,
