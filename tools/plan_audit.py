@@ -70,6 +70,9 @@ ALLOW = {
     # fusion is a FULL OUTER join of two rank-k-per-query lists —
     # full outer cannot broadcast, SMJ on tiny inputs is the plan
     "search_hybrid_rrf": {"BNLJ", "SMJ"},
+    # merged-sketch row: bottom-k survivors (≤ 64·types rows) cross
+    # joined with the 1-row exact-count scalar aggregate
+    "sketch_kmv_distinct": {"BNLJ"},
 }
 
 
