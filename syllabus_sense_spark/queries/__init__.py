@@ -127,6 +127,8 @@ _NEW_THIS_ROUND: list[str] = [
     "sketch_kmv_distinct",
     "events_lag_features",
     "documents_data_card",
+    "training_negative_sampling",
+    "events_audience_overlap",
     # round-6 O(n^2)->O(n) winnowing rewrite (same hash, new plan)
     "text_winnow_fingerprints",
 ]
@@ -235,6 +237,8 @@ def load_all_queries() -> None:
         events8,
         events9,
         events10,
+        events11,
+        ext_training8,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,
