@@ -129,6 +129,7 @@ _NEW_THIS_ROUND: list[str] = [
     "documents_data_card",
     "training_negative_sampling",
     "events_audience_overlap",
+    "events_concurrent_sessions",
     # round-6 O(n^2)->O(n) winnowing rewrite (same hash, new plan)
     "text_winnow_fingerprints",
 ]
@@ -238,6 +239,7 @@ def load_all_queries() -> None:
         events9,
         events10,
         events11,
+        events12,
         ext_training8,
         scalar_funcs4,
         catalog_queries,

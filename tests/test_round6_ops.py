@@ -346,3 +346,20 @@ def test_kmv_sketch_laws(spark, sf_dir):
             assert r.kmv_estimate == (_K - 1) * _M // max(kept)
             # estimator sanity at k=64 (SE ~ 1/8): within 50% of truth
             assert 0.5 * len(hs) <= r.kmv_estimate <= 1.5 * len(hs)
+
+
+def test_concurrent_sessions_sweep_laws(spark, sf_dir):
+    from syllabus_sense_spark.queries.events12 import events_concurrent_sessions
+
+    rows = sorted(
+        events_concurrent_sessions(spark, sf_dir).collect(), key=lambda r: r.hour
+    )
+    assert rows
+    run = 0
+    for r in rows:
+        run += r.n_starts - r.n_ends
+        assert run == r.active_end
+        assert r.active_end >= 0  # can't close more sessions than opened
+    # every opened session eventually closes → the sweep returns to 0
+    assert rows[-1].active_end == 0
+    assert sum(r.n_starts for r in rows) == sum(r.n_ends for r in rows)
