@@ -132,6 +132,15 @@ _NEW_THIS_ROUND: list[str] = [
     "events_concurrent_sessions",
     # round-6 O(n^2)->O(n) winnowing rewrite (same hash, new plan)
     "text_winnow_fingerprints",
+    # round-6 continuation: classic-BI batch
+    "part_pareto_frontier",
+    "customer_revenue_concentration",
+    "events_ab_test_proportions",
+    "graph_kcore_peel",
+    "items_cooccurrence_cosine",
+    "text_pmi_collocations",
+    "training_quota_apportionment",
+    "events_stickiness_dau_wau",
 ]
 
 
@@ -241,6 +250,11 @@ def load_all_queries() -> None:
         events11,
         events12,
         ext_training8,
+        analytics,
+        ext_graph5,
+        ext_text7,
+        ext_training9,
+        events13,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,

@@ -59,6 +59,9 @@ ALLOW = {
     "events_histogram_bins": {"BNLJ"},
     "embedding_quantize_int8": {"BNLJ"},
     "quality_unigram_lm_score": {"BNLJ"},
+    # 1-row broadcast of the total-bigram-count scalar aggregate —
+    # the same intentional shape as mixture_resample_to_target
+    "text_pmi_collocations": {"BNLJ"},
     "batch_by_length_buckets": {"BNLJ"},
     # 1-row corpus-max-date scalar broadcast onto the customer table —
     # the same scalar-aggregate cross-join shape as mixture_resample
