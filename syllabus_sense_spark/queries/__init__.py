@@ -141,6 +141,9 @@ _NEW_THIS_ROUND: list[str] = [
     "text_pmi_collocations",
     "training_quota_apportionment",
     "events_stickiness_dau_wau",
+    "events_attribution_last_touch",
+    "dq_benford_first_digit",
+    "dq_profile_columns",
 ]
 
 
@@ -255,6 +258,8 @@ def load_all_queries() -> None:
         ext_text7,
         ext_training9,
         events13,
+        events14,
+        dq_queries4,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,

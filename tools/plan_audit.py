@@ -62,6 +62,8 @@ ALLOW = {
     # 1-row broadcast of the total-bigram-count scalar aggregate —
     # the same intentional shape as mixture_resample_to_target
     "text_pmi_collocations": {"BNLJ"},
+    # 1-row broadcast of the total-orders scalar aggregate (ppm base)
+    "dq_benford_first_digit": {"BNLJ"},
     "batch_by_length_buckets": {"BNLJ"},
     # 1-row corpus-max-date scalar broadcast onto the customer table —
     # the same scalar-aggregate cross-join shape as mixture_resample
