@@ -144,6 +144,9 @@ _NEW_THIS_ROUND: list[str] = [
     "events_attribution_last_touch",
     "dq_benford_first_digit",
     "dq_profile_columns",
+    "orders_mom_growth",
+    "orders_ship_lag_sla",
+    "dedup_containment",
 ]
 
 
@@ -260,6 +263,8 @@ def load_all_queries() -> None:
         events13,
         events14,
         dq_queries4,
+        relational6,
+        ext_dedup5,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,
