@@ -147,6 +147,7 @@ _NEW_THIS_ROUND: list[str] = [
     "orders_mom_growth",
     "orders_ship_lag_sla",
     "dedup_containment",
+    "streaming_pyds_jsonl_sink_drain",
 ]
 
 
@@ -265,6 +266,7 @@ def load_all_queries() -> None:
         dq_queries4,
         relational6,
         ext_dedup5,
+        streaming_queries3,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,

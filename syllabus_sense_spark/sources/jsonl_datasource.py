@@ -40,6 +40,7 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -102,10 +103,94 @@ class JsonlSinkWriter(DataSourceWriter):
                 os.remove(os.path.join(self.path, name))
 
 
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming tier of the same sink — per-microbatch two-phase
+    commit with an IDEMPOTENT publish, which is what turns Structured
+    Streaming's at-least-once batch replay into exactly-once output:
+
+    - tasks write dot-temp shards exactly like the batch writer, but
+      the final name is prefixed ``batch-<id>-`` so output is
+      traceable to its epoch;
+    - ``commit(messages, batchId)`` first checks the
+      ``_batch-<id>.committed`` marker: a replayed batch (failure
+      after publish, before the checkpoint advanced) finds the marker,
+      publishes NOTHING, and just sweeps its temps — the rename set of
+      each epoch hits the directory at most once;
+    - the marker itself is published by atomic rename (write
+      ``.tmp-marker``, rename), so a crash mid-commit leaves either
+      no marker (replay republishes — renames of already-renamed
+      files are the swept-temp no-op) or a full one.
+
+    ``abort(messages, batchId)`` deletes temps; a failed epoch
+    publishes nothing.
+    """
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise InvalidOutputDirectoryError(
+                "<missing>", "No path supplied for jsonl_sink stream"
+            )
+        self.fields = schema.fieldNames()
+
+    # --- executor side -------------------------------------------------
+    def write(self, iterator) -> JsonlCommitMessage:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        token = uuid.uuid4().hex
+        tmp_name = f".tmp-{token}"
+        # final name is completed per-epoch at commit time
+        final_name = f"part-{pid:05d}-{token}.jsonl"
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, tmp_name), "w") as f:
+            for row in iterator:
+                d = row.asDict()
+                f.write(
+                    json.dumps({k: d[k] for k in self.fields}, sort_keys=True)
+                )
+                f.write("\n")
+        return JsonlCommitMessage(tmp_name, final_name)
+
+    # --- driver side ---------------------------------------------------
+    def _marker(self, batchId: int) -> str:
+        return os.path.join(self.path, f"_batch-{batchId}.committed")
+
+    def _sweep(self) -> None:
+        for name in os.listdir(self.path):
+            if name.startswith(".tmp-"):
+                os.remove(os.path.join(self.path, name))
+
+    def commit(self, messages, batchId: int) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        if os.path.exists(self._marker(batchId)):
+            self._sweep()  # replayed epoch: already published
+            return
+        for m in messages:
+            if m is None:
+                continue
+            src = os.path.join(self.path, m.tmp_name)
+            if not os.path.exists(src):
+                continue  # lost speculative twin already swept
+            dst = os.path.join(self.path, f"batch-{batchId}-{m.final_name}")
+            os.rename(src, dst)
+        marker_tmp = os.path.join(self.path, f".tmp-marker-{batchId}")
+        with open(marker_tmp, "w") as f:
+            f.write(str(len([m for m in messages if m is not None])))
+        os.rename(marker_tmp, self._marker(batchId))
+        self._sweep()
+
+    def abort(self, messages, batchId: int) -> None:
+        if os.path.isdir(self.path):
+            self._sweep()
+
+
 class JsonlSinkDataSource(DataSource):
     """Register once per session:
     ``spark.dataSource.register(JsonlSinkDataSource)`` then
-    ``df.write.format("jsonl_sink").option("path", d).mode("append").save()``."""
+    ``df.write.format("jsonl_sink").option("path", d).mode("append").save()``
+    or ``df.writeStream.format("jsonl_sink").option("path", d)...``."""
 
     @classmethod
     def name(cls) -> str:
@@ -113,6 +198,9 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
         return JsonlSinkWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlStreamWriter:
+        return JsonlStreamWriter(self.options, schema)
 
 
 def register_jsonl_sink(spark) -> None:
