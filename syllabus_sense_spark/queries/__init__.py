@@ -148,6 +148,9 @@ _NEW_THIS_ROUND: list[str] = [
     "orders_ship_lag_sla",
     "dedup_containment",
     "streaming_pyds_jsonl_sink_drain",
+    "streaming_stateful_counts_drain",
+    "split_group_aware",
+    "training_hard_negatives",
 ]
 
 
@@ -267,6 +270,7 @@ def load_all_queries() -> None:
         relational6,
         ext_dedup5,
         streaming_queries3,
+        ext_training10,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,

@@ -50,3 +50,41 @@ def streaming_pyds_jsonl_sink_drain(spark, sf_dir):
         .json(shards)
         .select("event_id", "user_id", "event_type")
     )
+
+
+_STATEFUL_COUNTS_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases
+FROM events GROUP BY user_id
+"""
+
+
+@register("streaming_stateful_counts_drain", _STATEFUL_COUNTS_ORACLE)
+def streaming_stateful_counts_drain(spark, sf_dir):
+    """Drain the ``applyInPandasWithState`` running-counter operator
+    (streaming/stateful.py:stream_running_counts) and reduce its
+    per-batch update rows to final per-user totals. The counters are
+    monotone, so max() over the updates equals the last emission per
+    key — batch-invariant, which is what makes a custom-stateful
+    streaming query hash-checkable against a plain batch GROUP BY.
+    First driver-visible evidence for the applyInPandasWithState
+    surface (previously pytest-only via stream_first_seen_dedupe)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful import stream_running_counts
+
+    name = f"running_counts_{_uuid.uuid4().hex[:8]}"
+    q = stream_running_counts(spark, sf_dir, query_name=name)
+    assert q.awaitTermination(600), "availableNow stream drain timed out"
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("cum_events").cast("bigint").alias("n_events"),
+            F.max("cum_purchases").cast("bigint").alias("n_purchases"),
+        )
+    )

@@ -113,3 +113,69 @@ def stream_first_seen_dedupe_dir(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- running per-key counters (batch-invariant final state) ---------------
+
+COUNTS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("cum_events", T.LongType(), False),
+        T.StructField("cum_purchases", T.LongType(), False),
+    ]
+)
+
+COUNTS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("n_purchases", T.LongType(), True),
+    ]
+)
+
+
+def _running_counts(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user cumulative event/purchase counters. Each micro-batch
+    emits the key's counters-so-far; the LAST emission per key equals
+    the totals regardless of how the stream was batched — the
+    batch-invariance that lets a drain of this operator be
+    hash-checked against a plain batch GROUP BY (the per-batch interim
+    rows are reduced away with max(), since counters are monotone)."""
+    n_events, n_purch = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n_events += len(pdf)
+        n_purch += int((pdf["event_type"] == "purchase").sum())
+    state.update((n_events, n_purch))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "cum_events": n_events,
+                "cum_purchases": n_purch,
+            }
+        ],
+        columns=[f.name for f in COUNTS_OUTPUT_SCHEMA.fields],
+    )
+
+
+def stream_running_counts(
+    spark: SparkSession, sf_dir: str, query_name: str = "running_counts"
+):
+    """Drain the event stream through the running-counter operator
+    into a memory sink. Returns the StreamingQuery."""
+    events = _event_stream(spark, sf_dir).select("user_id", "event_type")
+    counts = events.groupBy("user_id").applyInPandasWithState(
+        _running_counts,
+        outputStructType=COUNTS_OUTPUT_SCHEMA,
+        stateStructType=COUNTS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        counts.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -64,6 +64,10 @@ ALLOW = {
     "text_pmi_collocations": {"BNLJ"},
     # 1-row broadcast of the total-orders scalar aggregate (ppm base)
     "dq_benford_first_digit": {"BNLJ"},
+    # broadcast query set with the label-mismatch (non-equi) predicate —
+    # same intentional exact-scorer shape as similarity_topk_bruteforce;
+    # the corpus-scale tier swaps in IVF/PQ as in search_semantic_docs_pq
+    "training_hard_negatives": {"BNLJ"},
     "batch_by_length_buckets": {"BNLJ"},
     # 1-row corpus-max-date scalar broadcast onto the customer table —
     # the same scalar-aggregate cross-join shape as mixture_resample
