@@ -151,6 +151,9 @@ _NEW_THIS_ROUND: list[str] = [
     "streaming_stateful_counts_drain",
     "split_group_aware",
     "training_hard_negatives",
+    "events_equidepth_deciles",
+    "sample_stratified_hamilton",
+    "catalog_view_stack",
 ]
 
 
@@ -271,6 +274,9 @@ def load_all_queries() -> None:
         ext_dedup5,
         streaming_queries3,
         ext_training10,
+        events15,
+        ext_training11,
+        catalog_queries2,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,

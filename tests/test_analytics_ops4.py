@@ -49,3 +49,34 @@ def test_containment_finds_planted_superset_pairs(spark, sf_dir):
     for r in rows:
         assert r.n_common <= min(r.n_a, r.n_b)
         assert 5 * r.n_common >= 4 * min(r.n_a, r.n_b)
+
+
+def test_equidepth_deciles_laws(spark, sf_dir):
+    from syllabus_sense_spark.queries.events15 import events_equidepth_deciles
+    from syllabus_sense_spark.tables import load
+
+    rows = sorted(
+        events_equidepth_deciles(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    n_total = load(spark, sf_dir, "events").count()
+    assert sum(r.n for r in rows) == n_total
+    # equi-depth: each bucket within ±1% of n/10 at harness scales
+    for r in rows:
+        assert abs(r.n - n_total / 10) <= max(2, n_total * 0.01)
+        assert r.lo_cents <= r.hi_cents
+    # buckets tile the value range in order
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_cents <= b.lo_cents
+
+
+def test_stratified_hamilton_laws(spark, sf_dir):
+    from syllabus_sense_spark.queries.ext_training11 import (
+        sample_stratified_hamilton,
+    )
+
+    rows = sample_stratified_hamilton(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_selected == min(r.quota, r.population)
+        assert (r.n_selected == 0) == (r.id_checksum == 0) or r.n_selected > 0

@@ -64,6 +64,9 @@ ALLOW = {
     "text_pmi_collocations": {"BNLJ"},
     # 1-row broadcast of the total-orders scalar aggregate (ppm base)
     "dq_benford_first_digit": {"BNLJ"},
+    # 1-row broadcast of the decile-boundary ordered-set aggregate —
+    # the same intentional scalar-broadcast shape as events_histogram_bins
+    "events_equidepth_deciles": {"BNLJ"},
     # broadcast query set with the label-mismatch (non-equi) predicate —
     # same intentional exact-scorer shape as similarity_topk_bruteforce;
     # the corpus-scale tier swaps in IVF/PQ as in search_semantic_docs_pq
