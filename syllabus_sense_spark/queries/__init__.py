@@ -154,6 +154,10 @@ _NEW_THIS_ROUND: list[str] = [
     "events_equidepth_deciles",
     "sample_stratified_hamilton",
     "catalog_view_stack",
+    "streaming_sliding_hourly_drain",
+    "events_burst_detection",
+    "orders_cohort_ltv",
+    "dedup_minhash_calibration",
 ]
 
 
@@ -277,6 +281,9 @@ def load_all_queries() -> None:
         events15,
         ext_training11,
         catalog_queries2,
+        events16,
+        relational7,
+        ext_dedup6,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,

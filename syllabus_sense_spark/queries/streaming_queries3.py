@@ -88,3 +88,34 @@ def streaming_stateful_counts_drain(spark, sf_dir):
             F.max("cum_purchases").cast("bigint").alias("n_purchases"),
         )
     )
+
+
+_SLIDING_ORACLE = """
+WITH doubled AS (
+  SELECT date_trunc('hour', ts) - (g * INTERVAL 1 HOUR) AS window_start,
+         event_type, value
+  FROM events, UNNEST([0, 1]) AS t(g)
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM doubled GROUP BY 1, 2
+"""
+
+
+@register("streaming_sliding_hourly_drain", _SLIDING_ORACLE)
+def streaming_sliding_hourly_drain(spark, sf_dir):
+    """Sliding 2h/1h windowed counts drained via availableNow
+    (streaming/events.py:stream_sliding_counts). The batch oracle
+    replays the overlap explicitly: every event contributes to the
+    window starting at its truncated hour AND the one an hour before
+    — the UNNEST([0,1]) double-count is exactly Spark's sliding
+    window expansion."""
+    import uuid as _uuid
+
+    from ..streaming.events import stream_sliding_counts
+
+    name = f"sliding_drain_{_uuid.uuid4().hex[:8]}"
+    q = stream_sliding_counts(spark, sf_dir, query_name=name)
+    assert q.awaitTermination(600), "availableNow stream drain timed out"
+    return spark.table(name)

@@ -244,3 +244,36 @@ def stream_dedupe_within_watermark(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sliding_counts(
+    spark: SparkSession, sf_dir: str, query_name: str = "sliding_counts"
+):
+    """SLIDING 2h windows advancing 1h (every event lands in exactly
+    two windows), 2h watermark, availableNow drain into a memory
+    sink. The overlapping-window shape `stream_hourly_counts` can't
+    express. Returns the StreamingQuery."""
+    events = _with_event_time(_event_stream(spark, sf_dir))
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
