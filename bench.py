@@ -60,6 +60,14 @@ HEADLINE = [
     # winnowing fingerprints joined the headline after the round-6
     # O(n²)→O(n) rewrite (26 s → 0.8 s warm at sf0.1)
     "text_winnow_fingerprints",
+    # round-6 continuation: containment dedup (fingerprint equi-join
+    # with df cap), ANN hard negatives (broadcast exact scorer with
+    # label-mismatch predicate), Hamilton-quota stratified sampling
+    # (plan + execute composition), trailing-WAU expansion
+    "dedup_containment",
+    "training_hard_negatives",
+    "sample_stratified_hamilton",
+    "events_stickiness_dau_wau",
 ]
 
 # Reported alongside but EXCLUDED from the headline total: availableNow

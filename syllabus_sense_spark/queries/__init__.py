@@ -158,6 +158,13 @@ _NEW_THIS_ROUND: list[str] = [
     "events_burst_detection",
     "orders_cohort_ltv",
     "dedup_minhash_calibration",
+    "events_changepoint_cusum",
+    "events_anomaly_mad",
+    "events_funnel_latency",
+    "orders_revenue_waterfall",
+    "events_user_streaks",
+    "dq_suspected_duplicate_orders",
+    "sketch_kmv_set_ops",
 ]
 
 
@@ -284,6 +291,10 @@ def load_all_queries() -> None:
         events16,
         relational7,
         ext_dedup6,
+        events17,
+        events18,
+        dq_queries5,
+        ext_sketches4,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,

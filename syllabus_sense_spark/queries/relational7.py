@@ -79,3 +79,68 @@ def orders_cohort_ltv(spark, sf_dir):
         F.col("cents").cast("bigint").alias("cents"),
         F.sum("cents").over(w).cast("bigint").alias("cum_cents"),
     )
+
+
+_WATERFALL_ORACLE = """
+WITH agg AS (
+  SELECT
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS gross,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(3,2)))
+      AS discounted,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(3,2))
+        * CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(3,2)))
+      AS net
+  FROM lineitem
+)
+SELECT * FROM (
+  SELECT 1 AS step, 'gross' AS component, CAST(gross AS DOUBLE) AS amount
+  FROM agg
+  UNION ALL
+  SELECT 2, 'discount_effect', CAST(discounted - gross AS DOUBLE) FROM agg
+  UNION ALL
+  SELECT 3, 'tax_effect', CAST(net - discounted AS DOUBLE) FROM agg
+  UNION ALL
+  SELECT 4, 'net', CAST(net AS DOUBLE) FROM agg
+)
+"""
+
+
+@register("orders_revenue_waterfall", _WATERFALL_ORACLE)
+def orders_revenue_waterfall(spark, sf_dir):
+    """Revenue decomposition waterfall — q1's charge expression split
+    into additive steps (gross → discount effect → tax effect → net),
+    the explainability report on top of the same exact-decimal
+    aggregation. The taxed sum carries decimal scale 6, so NO integer
+    scaling is exact; instead each emitted amount is an exact decimal
+    sum/difference with ONE final cast to double (the house float
+    discipline — bit-identical across engines). ONE scan, one 1-row
+    aggregate, stack-unpivoted to the 4 waterfall rows."""
+    from ._util import rate
+
+    l = load(spark, sf_dir, "lineitem")
+    agg = l.agg(
+        F.sum(dec2("l_extendedprice")).alias("gross"),
+        F.sum(dec2("l_extendedprice") * rate("l_discount")).alias(
+            "discounted"
+        ),
+        F.sum(
+            dec2("l_extendedprice")
+            * rate("l_discount")
+            * rate("l_tax", plus=True)
+        ).alias("net"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4,"
+            " 1, 'gross', CAST(gross AS DOUBLE),"
+            " 2, 'discount_effect', CAST(discounted - gross AS DOUBLE),"
+            " 3, 'tax_effect', CAST(net - discounted AS DOUBLE),"
+            " 4, 'net', CAST(net AS DOUBLE)) AS (step, component, amount)"
+        )
+    ).select(
+        F.col("step").cast("int").alias("step"),
+        "component",
+        F.col("amount").cast("double").alias("amount"),
+    )

@@ -67,6 +67,15 @@ ALLOW = {
     # 1-row broadcast of the decile-boundary ordered-set aggregate —
     # the same intentional scalar-broadcast shape as events_histogram_bins
     "events_equidepth_deciles": {"BNLJ"},
+    # 1-row broadcast scalar aggregates (n_days/total; n_users) joined
+    # onto reduced tables — the intentional scalar-broadcast shape
+    "events_changepoint_cusum": {"BNLJ"},
+    "events_funnel_latency": {"BNLJ"},
+    # 1-row broadcast scalars: global max-day; the six sketch-stat
+    # aggregates cross-joined into one stats row (sketch tables are
+    # ≤64 rows by construction)
+    "events_user_streaks": {"BNLJ"},
+    "sketch_kmv_set_ops": {"BNLJ"},
     # broadcast query set with the label-mismatch (non-equi) predicate —
     # same intentional exact-scorer shape as similarity_topk_bruteforce;
     # the corpus-scale tier swaps in IVF/PQ as in search_semantic_docs_pq
