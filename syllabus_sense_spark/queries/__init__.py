@@ -165,6 +165,11 @@ _NEW_THIS_ROUND: list[str] = [
     "events_user_streaks",
     "dq_suspected_duplicate_orders",
     "sketch_kmv_set_ops",
+    "sql_execute_immediate_params",
+    "sql_session_variables",
+    "part_substitution_candidates",
+    "supplier_scorecard",
+    "training_dataset_manifest",
 ]
 
 
@@ -295,6 +300,9 @@ def load_all_queries() -> None:
         events18,
         dq_queries5,
         ext_sketches4,
+        spark4_features3,
+        relational8,
+        ext_training12,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,
