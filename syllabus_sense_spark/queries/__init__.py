@@ -170,6 +170,10 @@ _NEW_THIS_ROUND: list[str] = [
     "part_substitution_candidates",
     "supplier_scorecard",
     "training_dataset_manifest",
+    "dedup_cluster_report",
+    "ml_feature_hashing_vectors",
+    "events_user_diversity_simpson",
+    "window_rank_movers",
 ]
 
 
@@ -303,6 +307,9 @@ def load_all_queries() -> None:
         spark4_features3,
         relational8,
         ext_training12,
+        ext_dedup7,
+        ml_queries2,
+        windows4,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,
