@@ -174,6 +174,9 @@ _NEW_THIS_ROUND: list[str] = [
     "ml_feature_hashing_vectors",
     "events_user_diversity_simpson",
     "window_rank_movers",
+    "streaming_upsert_latest_drain",
+    "observe_metrics_orders",
+    "pandas_api_customer_rollup",
 ]
 
 
@@ -310,6 +313,7 @@ def load_all_queries() -> None:
         ext_dedup7,
         ml_queries2,
         windows4,
+        streaming_queries4,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,

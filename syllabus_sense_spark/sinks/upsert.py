@@ -76,3 +76,58 @@ def upsert_partitioned(
             shutil.move(src, dst)
     shutil.rmtree(staged, ignore_errors=True)
     return parts
+
+
+def upsert_versioned(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    version_cols: list[str],
+    partition_col: str,
+) -> list[str]:
+    """Last-writer-wins MERGE: on key conflict the row with the
+    greatest ``version_cols`` tuple survives, whether it arrived in
+    this batch or an earlier one. This is the Kafka-compaction /
+    CRDT-register semantic a STREAMING upserter needs — the result is
+    independent of how the change stream was micro-batched, because
+    max-by-version is associative and commutative (a total tiebreak
+    in version_cols makes it exact). Same partition-scoped
+    copy-on-write cost model as ``upsert_partitioned``."""
+    from pyspark.sql import Window
+
+    parts = [r[0] for r in changes.select(partition_col).distinct().collect()]
+    if not parts:
+        return []
+    in_parts = F.col(partition_col).isin(parts)
+    # first batch of a stream targets a not-yet-existing table
+    if os.path.isdir(path) and any(e.name.startswith(f"{partition_col}=") for e in os.scandir(path)):
+        current = spark.read.parquet(path).filter(in_parts)
+    else:
+        os.makedirs(path, exist_ok=True)
+        current = spark.createDataFrame([], changes.schema)
+    all_rows = current.unionByName(
+        changes.filter(in_parts).select(current.columns)
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.desc(c) for c in version_cols]
+    )
+    merged = (
+        all_rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    staged = path + "._upsert_tmp"
+    merged.write.partitionBy(partition_col).mode("overwrite").parquet(staged)
+    import shutil
+
+    for v in parts:
+        sub = f"{partition_col}={v}"
+        dst = os.path.join(path, sub)
+        src = os.path.join(staged, sub)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        if os.path.isdir(src):
+            shutil.move(src, dst)
+    shutil.rmtree(staged, ignore_errors=True)
+    return parts

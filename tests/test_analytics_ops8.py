@@ -71,3 +71,39 @@ def test_rank_movers_laws(spark, sf_dir):
         ranks = sorted(r.rnk for r in rs)
         assert ranks == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 20
+
+
+def test_upsert_versioned_batch_invariance(spark, sf_dir):
+    """The LWW merge gives the same table whether changes arrive in
+    one batch or many — the property that makes the streaming drain
+    hash-checkable."""
+    import os
+    import tempfile
+
+    from syllabus_sense_spark.sinks.upsert import upsert_versioned
+    from syllabus_sense_spark.tables import load
+    from syllabus_sense_spark.queries._util import epoch_us
+
+    rows = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        epoch_us(F.col("ts")).alias("us"),
+        "event_id",
+    )
+
+    def run(split_mod):
+        path = os.path.join(tempfile.mkdtemp(prefix="lww_inv_"), "t")
+        for part in range(split_mod):
+            batch = rows.filter(F.col("event_id") % split_mod == part)
+            upsert_versioned(
+                spark, path, batch,
+                key_cols=["user_id", "event_type"],
+                version_cols=["us", "event_id"],
+                partition_col="event_type",
+            )
+        return {
+            (r.user_id, r.event_type): (r.us, r.event_id)
+            for r in spark.read.parquet(path).collect()
+        }
+
+    assert run(1) == run(3)
