@@ -177,6 +177,8 @@ _NEW_THIS_ROUND: list[str] = [
     "streaming_upsert_latest_drain",
     "observe_metrics_orders",
     "pandas_api_customer_rollup",
+    "sql_named_parameters",
+    "stat_crosstab_status_priority",
 ]
 
 

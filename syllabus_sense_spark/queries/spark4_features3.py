@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import uuid
 
+from pyspark.sql import functions as F
+
 from ..tables import load
 from . import register
 
@@ -79,3 +81,89 @@ def sql_session_variables(spark, sf_dir):
         spark.sql(f"DROP TEMPORARY VARIABLE IF EXISTS {var}")
         spark.catalog.dropTempView(f"customer_sv_{tag}")
     return out
+
+
+_NAMED_PARAMS_ORACLE = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MIN(p_size) AS INT) AS min_size
+FROM part
+WHERE p_size BETWEEN 10 AND 30 AND p_retailprice > 1200
+GROUP BY p_brand
+"""
+
+
+@register("sql_named_parameters", _NAMED_PARAMS_ORACLE)
+def sql_named_parameters(spark, sf_dir):
+    """Parameterized `spark.sql(..., args={...})` (SDF-safe named
+    parameter markers, Spark 3.4+) — the injection-proof API surface
+    notebooks templatize with; distinct from EXECUTE IMMEDIATE's
+    SQL-side binding. Value-transparency hash-checked against the
+    inlined oracle."""
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:8]
+    load(spark, sf_dir, "part").createOrReplaceTempView(f"part_np_{tag}")
+    try:
+        out = spark.sql(
+            f"""SELECT p_brand,
+                       CAST(COUNT(*) AS BIGINT) AS n_parts,
+                       CAST(MIN(p_size) AS INT) AS min_size
+                FROM part_np_{tag}
+                WHERE p_size BETWEEN :lo AND :hi AND p_retailprice > :minprice
+                GROUP BY p_brand""",
+            args={"lo": 10, "hi": 30, "minprice": 1200},
+        ).localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(f"part_np_{tag}")
+    return out
+
+
+_CROSSTAB_ORACLE = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+            AS BIGINT) AS high,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+            AS BIGINT) AS medium,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                     ('1-URGENT', '2-HIGH', '3-MEDIUM') THEN 1 ELSE 0 END)
+            AS BIGINT) AS other
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("stat_crosstab_status_priority", _CROSSTAB_ORACLE)
+def stat_crosstab_status_priority(spark, sf_dir):
+    """`df.stat.crosstab` — the contingency-table convenience the
+    DataFrameStatFunctions surface exposes; exact counts, so unlike
+    freqItems/approxQuantile it hash-checks. Crosstab emits one
+    column per distinct value — re-shaped to a FIXED set (urgent /
+    high / medium / other) so the output schema is stable under value
+    drift at any scale."""
+    ct = (
+        load(spark, sf_dir, "orders")
+        .stat.crosstab("o_orderstatus", "o_orderpriority")
+        .withColumnRenamed("o_orderstatus_o_orderpriority", "o_orderstatus")
+    )
+    known = {"1-URGENT", "2-HIGH", "3-MEDIUM"}
+    other_cols = [c for c in ct.columns if c != "o_orderstatus" and c not in known]
+    zero = F.lit(0)
+    return ct.select(
+        "o_orderstatus",
+        (F.col("1-URGENT") if "1-URGENT" in ct.columns else zero)
+        .cast("bigint")
+        .alias("urgent"),
+        (F.col("2-HIGH") if "2-HIGH" in ct.columns else zero)
+        .cast("bigint")
+        .alias("high"),
+        (F.col("3-MEDIUM") if "3-MEDIUM" in ct.columns else zero)
+        .cast("bigint")
+        .alias("medium"),
+        (
+            sum((F.col(f"`{c}`") for c in other_cols), zero)
+            .cast("bigint")
+            .alias("other")
+        ),
+    )
