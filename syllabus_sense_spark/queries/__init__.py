@@ -179,6 +179,9 @@ _NEW_THIS_ROUND: list[str] = [
     "pandas_api_customer_rollup",
     "sql_named_parameters",
     "stat_crosstab_status_priority",
+    "cluster_kmeans_1d_prices",
+    "events_gapfill_linear",
+    "dq_rules_engine",
 ]
 
 
@@ -316,6 +319,9 @@ def load_all_queries() -> None:
         ml_queries2,
         windows4,
         streaming_queries4,
+        ml_queries3,
+        events19,
+        dq_queries6,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,

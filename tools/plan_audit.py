@@ -76,6 +76,9 @@ ALLOW = {
     # ≤64 rows by construction)
     "events_user_streaks": {"BNLJ"},
     "sketch_kmv_set_ops": {"BNLJ"},
+    # 1-row broadcast of the k-centroid table into each Lloyd
+    # assignment scan — the intended per-round shape
+    "cluster_kmeans_1d_prices": {"BNLJ"},
     # broadcast query set with the label-mismatch (non-equi) predicate —
     # same intentional exact-scorer shape as similarity_topk_bruteforce;
     # the corpus-scale tier swaps in IVF/PQ as in search_semantic_docs_pq
