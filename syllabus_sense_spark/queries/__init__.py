@@ -182,6 +182,10 @@ _NEW_THIS_ROUND: list[str] = [
     "cluster_kmeans_1d_prices",
     "events_gapfill_linear",
     "dq_rules_engine",
+    "events_hourly_profile",
+    "orders_segment_migration",
+    "text_vocab_growth",
+    "embedding_norm_histogram",
 ]
 
 
@@ -322,6 +326,9 @@ def load_all_queries() -> None:
         ml_queries3,
         events19,
         dq_queries6,
+        events20,
+        relational9,
+        ext_text8,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,

@@ -79,6 +79,8 @@ ALLOW = {
     # 1-row broadcast of the k-centroid table into each Lloyd
     # assignment scan — the intended per-round shape
     "cluster_kmeans_1d_prices": {"BNLJ"},
+    # 1-row broadcast of the max-doc-id scalar (bucket denominator)
+    "text_vocab_growth": {"BNLJ"},
     # broadcast query set with the label-mismatch (non-equi) predicate —
     # same intentional exact-scorer shape as similarity_topk_bruteforce;
     # the corpus-scale tier swaps in IVF/PQ as in search_semantic_docs_pq
