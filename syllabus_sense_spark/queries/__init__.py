@@ -186,6 +186,10 @@ _NEW_THIS_ROUND: list[str] = [
     "orders_segment_migration",
     "text_vocab_growth",
     "embedding_norm_histogram",
+    "window_moving_median",
+    "sql_pipe_syntax_rollup",
+    "sql_unpivot_form",
+    "text_zipf_profile",
 ]
 
 
@@ -329,6 +333,8 @@ def load_all_queries() -> None:
         events20,
         relational9,
         ext_text8,
+        windows5,
+        ext_text9,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,

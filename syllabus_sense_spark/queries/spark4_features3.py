@@ -167,3 +167,83 @@ def stat_crosstab_status_priority(spark, sf_dir):
             .alias("other")
         ),
     )
+
+
+_PIPE_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag
+"""
+
+
+@register("sql_pipe_syntax_rollup", _PIPE_ORACLE)
+def sql_pipe_syntax_rollup(spark, sf_dir):
+    """SQL pipe syntax (Spark 4.0, `|>` operators) — the
+    linear-dataflow SQL dialect: FROM |> WHERE |> AGGREGATE ... GROUP
+    BY. Hash-checked against the classical form, certifying the two
+    surfaces plan identically."""
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:8]
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(f"li_pipe_{tag}")
+    try:
+        out = spark.sql(
+            f"""FROM li_pipe_{tag}
+                |> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_items,
+                             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                                  AS DOUBLE) AS total_qty
+                   GROUP BY l_returnflag"""
+        ).select("l_returnflag", "n_items", "total_qty").localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(f"li_pipe_{tag}")
+    return out
+
+
+_UNPIVOT_SQL_ORACLE = """
+WITH wide AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_positive,
+         CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_negative
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM wide
+UNION ALL
+SELECT c_nationkey, 'n_positive', n_positive FROM wide
+UNION ALL
+SELECT c_nationkey, 'n_negative', n_negative FROM wide
+"""
+
+
+@register("sql_unpivot_form", _UNPIVOT_SQL_ORACLE)
+def sql_unpivot_form(spark, sf_dir):
+    """The SQL `UNPIVOT` clause (vs the DataFrame `unpivot` API that
+    `unpivot_nation_metrics` certifies) — the ANSI long-form reshaping
+    BI queries use."""
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:8]
+    load(spark, sf_dir, "customer").createOrReplaceTempView(f"cust_up_{tag}")
+    try:
+        out = spark.sql(
+            f"""SELECT c_nationkey, metric, value FROM (
+                  SELECT c_nationkey,
+                         CAST(COUNT(*) AS BIGINT) AS n_customers,
+                         CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_positive,
+                         CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_negative
+                  FROM cust_up_{tag} GROUP BY c_nationkey
+                ) UNPIVOT (
+                  value FOR metric IN (n_customers, n_positive, n_negative)
+                )"""
+        ).localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(f"cust_up_{tag}")
+    return out
