@@ -190,6 +190,8 @@ _NEW_THIS_ROUND: list[str] = [
     "sql_pipe_syntax_rollup",
     "sql_unpivot_form",
     "text_zipf_profile",
+    "orders_basket_size_histogram",
+    "sales_share_hierarchy",
 ]
 
 
@@ -335,6 +337,7 @@ def load_all_queries() -> None:
         ext_text8,
         windows5,
         ext_text9,
+        relational10,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,
