@@ -1,0 +1,94 @@
+"""Law tests for the moving-median / pipe-SQL / Zipf / basket /
+share-tree batch."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_moving_median_reference(spark, sf_dir):
+    from syllabus_sense_spark.queries.windows5 import (
+        _W,
+        window_moving_median,
+    )
+
+    rows = window_moving_median(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: (r.us, r.event_id))
+        for i, r in enumerate(rs):
+            win = sorted(x.cents for x in rs[max(0, i - _W + 1) : i + 1])
+            assert r.n_in_window == len(win)
+            assert r.moving_median_cents == win[(len(win) + 1) // 2 - 1]
+
+
+def test_pipe_sql_matches_classic(spark, sf_dir):
+    from syllabus_sense_spark.queries.spark4_features3 import (
+        sql_pipe_syntax_rollup,
+    )
+    from syllabus_sense_spark.tables import load
+
+    got = {
+        r.l_returnflag: (r.n_items, r.total_qty)
+        for r in sql_pipe_syntax_rollup(spark, sf_dir).collect()
+    }
+    expect = {
+        r.l_returnflag: (r.n, r.q)
+        for r in load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= "1996-01-01")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("q"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
+def test_zipf_profile_laws(spark, sf_dir):
+    from syllabus_sense_spark.queries.ext_text9 import text_zipf_profile
+
+    rows = sorted(text_zipf_profile(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    freqs = [r.freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    assert all(r.rank_freq_product == r.rank * r.freq for r in rows)
+
+
+def test_basket_histogram_conserves_orders(spark, sf_dir):
+    from syllabus_sense_spark.queries.relational10 import (
+        orders_basket_size_histogram,
+    )
+    from syllabus_sense_spark.tables import load
+
+    rows = orders_basket_size_histogram(spark, sf_dir).collect()
+    n_orders_with_lines = (
+        load(spark, sf_dir, "lineitem").select("l_orderkey").distinct().count()
+    )
+    assert sum(r.n_orders for r in rows) == n_orders_with_lines
+    assert sum(r.n_lines * r.n_orders for r in rows) == load(
+        spark, sf_dir, "lineitem"
+    ).count()
+
+
+def test_share_hierarchy_sums(spark, sf_dir):
+    from syllabus_sense_spark.queries.relational10 import sales_share_hierarchy
+
+    rows = sales_share_hierarchy(spark, sf_dir).collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append(r)
+    for region, rs in by_region.items():
+        total_ppm = sum(r.share_of_region_ppm for r in rs)
+        assert 1_000_000 - len(rs) <= total_ppm <= 1_000_000
+        # region share is identical on every row of the region
+        assert len({r.region_share_ppm for r in rs}) == 1
+    region_total = sum(
+        rs[0].region_share_ppm for rs in by_region.values()
+    )
+    assert 1_000_000 - len(by_region) <= region_total <= 1_000_000
