@@ -21,6 +21,14 @@ QUERIES = [
     "agg_weighted_median",
     "sample_reservoir_per_group",
     "sketch_kmv_distinct",
+    # round-6 continuation families: plan→execute sampling
+    # composition, bounded-expansion rolling distinct, sliding
+    # ordered statistic, iterative Lloyd, containment dedup
+    "sample_stratified_hamilton",
+    "events_stickiness_dau_wau",
+    "window_moving_median",
+    "cluster_kmeans_1d_prices",
+    "dedup_containment",
 ]
 
 
