@@ -192,6 +192,8 @@ _NEW_THIS_ROUND: list[str] = [
     "text_zipf_profile",
     "orders_basket_size_histogram",
     "sales_share_hierarchy",
+    "graph_link_prediction",
+    "text_stopword_candidates",
 ]
 
 
@@ -338,6 +340,7 @@ def load_all_queries() -> None:
         windows5,
         ext_text9,
         relational10,
+        ext_graph6,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,

@@ -92,3 +92,37 @@ def test_share_hierarchy_sums(spark, sf_dir):
         rs[0].region_share_ppm for rs in by_region.values()
     )
     assert 1_000_000 - len(by_region) <= region_total <= 1_000_000
+
+
+def test_link_prediction_laws(spark, sf_dir):
+    from syllabus_sense_spark.queries.ext_graph3 import copurchase_pairs
+    from syllabus_sense_spark.queries.ext_graph6 import graph_link_prediction
+
+    rows = graph_link_prediction(spark, sf_dir).collect()
+    assert rows
+    edges = {
+        (r.pa, r.pb)
+        for r in copurchase_pairs(spark, sf_dir)
+        .groupBy("pa", "pb")
+        .count()
+        .filter(F.col("count") >= 2)
+        .collect()
+    }
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert (r.part_a, r.part_b) not in edges, "predicted link must be new"
+        assert r.common_nbrs >= 1
+        assert r.common_nbrs <= min(r.deg_a, r.deg_b)
+
+
+def test_stopword_candidates_laws(spark, sf_dir):
+    from syllabus_sense_spark.queries.ext_text9 import text_stopword_candidates
+    from syllabus_sense_spark.tables import load
+
+    rows = text_stopword_candidates(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert rows
+    for r in rows:
+        assert 10 * r.doc_freq >= n_docs
+        assert r.df_ppm == r.doc_freq * 1_000_000 // n_docs
+        assert r.is_stopword_candidate == (1 if 2 * r.doc_freq >= n_docs else 0)

@@ -83,6 +83,8 @@ ALLOW = {
     "text_vocab_growth": {"BNLJ"},
     # 1-row broadcast of the total-orders scalar (share denominator)
     "orders_basket_size_histogram": {"BNLJ"},
+    # 1-row broadcast of the corpus-size scalar (df denominator)
+    "text_stopword_candidates": {"BNLJ"},
     # broadcast query set with the label-mismatch (non-equi) predicate —
     # same intentional exact-scorer shape as similarity_topk_bruteforce;
     # the corpus-scale tier swaps in IVF/PQ as in search_semantic_docs_pq
