@@ -194,6 +194,8 @@ _NEW_THIS_ROUND: list[str] = [
     "sales_share_hierarchy",
     "graph_link_prediction",
     "text_stopword_candidates",
+    "training_pack_efficiency",
+    "events_dispersion_test",
 ]
 
 
@@ -341,6 +343,7 @@ def load_all_queries() -> None:
         ext_text9,
         relational10,
         ext_graph6,
+        ext_training13,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,
