@@ -126,3 +126,50 @@ def test_stopword_candidates_laws(spark, sf_dir):
         assert 10 * r.doc_freq >= n_docs
         assert r.df_ppm == r.doc_freq * 1_000_000 // n_docs
         assert r.is_stopword_candidate == (1 if 2 * r.doc_freq >= n_docs else 0)
+
+
+def test_pack_efficiency_consistent_with_packing(spark, sf_dir):
+    from syllabus_sense_spark.queries.ext_training2 import (
+        _PACK_CAPACITY,
+        pack_sequences_greedy,
+    )
+    from syllabus_sense_spark.queries.ext_training13 import (
+        training_pack_efficiency,
+    )
+
+    r = training_pack_efficiency(spark, sf_dir).collect()[0]
+    packed = pack_sequences_greedy(spark, sf_dir)
+    assert r.total_tokens == packed.agg(F.sum("n_tok")).collect()[0][0]
+    n_seqs = packed.select("source", "pack_id").distinct().count()
+    assert r.n_sequences == n_seqs
+    assert 1 <= r.min_docs_per_seq <= r.max_docs_per_seq
+    assert (
+        r.fill_ppm
+        == r.total_tokens * 1_000_000 // (n_seqs * _PACK_CAPACITY)
+    )
+
+
+def test_dispersion_matches_reference(spark, sf_dir):
+    from syllabus_sense_spark.queries.ext_training13 import (
+        events_dispersion_test,
+    )
+    from syllabus_sense_spark.queries._util import epoch_us
+    from syllabus_sense_spark.tables import load
+
+    r = events_dispersion_test(spark, sf_dir).collect()[0]
+    days = {}
+    for row in (
+        load(spark, sf_dir, "events")
+        .select(epoch_us(F.col("ts")).alias("us"))
+        .collect()
+    ):
+        d = row.us // 86_400_000_000
+        days[d] = days.get(d, 0) + 1
+    xs = list(days.values())
+    n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+    assert (r.n_days, r.total_events) == (n, sx)
+    import math
+
+    assert r.dispersion_e6 == math.floor(
+        float(n * sxx - sx * sx) * 1e6 / (float(n) * float(sx))
+    )
