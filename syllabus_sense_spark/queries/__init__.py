@@ -196,6 +196,7 @@ _NEW_THIS_ROUND: list[str] = [
     "text_stopword_candidates",
     "training_pack_efficiency",
     "events_dispersion_test",
+    "ml_eval_confusion_matrix",
 ]
 
 
@@ -344,6 +345,7 @@ def load_all_queries() -> None:
         relational10,
         ext_graph6,
         ext_training13,
+        ml_queries4,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,
