@@ -197,6 +197,8 @@ _NEW_THIS_ROUND: list[str] = [
     "training_pack_efficiency",
     "events_dispersion_test",
     "ml_eval_confusion_matrix",
+    "orders_repeat_purchase_rate",
+    "source_federated_union",
 ]
 
 
@@ -346,6 +348,7 @@ def load_all_queries() -> None:
         ext_graph6,
         ext_training13,
         ml_queries4,
+        source_queries2,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,

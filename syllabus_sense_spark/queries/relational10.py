@@ -111,3 +111,42 @@ def sales_share_hierarchy(spark, sf_dir):
             " AS BIGINT)"
         ).alias("region_share_ppm"),
     )
+
+
+_REPEAT_ORACLE = """
+WITH cy AS (
+  SELECT year(o_orderdate) AS yr, o_custkey, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT CAST(yr AS INT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+         AS repeat_ppm
+FROM cy GROUP BY yr
+"""
+
+
+@register("orders_repeat_purchase_rate", _REPEAT_ORACLE)
+def orders_repeat_purchase_rate(spark, sf_dir):
+    """Repeat-purchase rate per calendar year — the loyalty KPI next
+    to `orders_cohort_ltv`: share of that year's active customers who
+    ordered at least twice. One per-(year, customer) reduce, then a
+    map-side-combined year rollup; exact integer ppm."""
+    cy = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("yr"), "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return cy.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0)).alias(
+            "n_repeat"
+        ),
+    ).select(
+        F.col("yr").cast("int").alias("yr"),
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("n_repeat").cast("bigint").alias("n_repeat"),
+        F.expr("n_repeat * 1000000 DIV n_customers").alias("repeat_ppm"),
+    )
