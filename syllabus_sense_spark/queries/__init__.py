@@ -199,6 +199,18 @@ _NEW_THIS_ROUND: list[str] = [
     "ml_eval_confusion_matrix",
     "orders_repeat_purchase_rate",
     "source_federated_union",
+    "events_attribution_first_touch",
+    "events_weekend_split",
+    "orders_open_aging",
+    "part_brand_price_index",
+    "orders_pareto_8020",
+    "supply_concentration_hhi",
+    "text_readability_stats",
+    "customer_gini_segment",
+    "alloc_largest_remainder",
+    "events_ewma_daily",
+    "events_trigram_paths",
+    "dq_chisq_independence",
 ]
 
 
@@ -349,6 +361,12 @@ def load_all_queries() -> None:
         ext_training13,
         ml_queries4,
         source_queries2,
+        events21,
+        relational11,
+        ext_text10,
+        events22,
+        relational12,
+        dq_queries7,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,

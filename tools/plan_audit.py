@@ -103,6 +103,11 @@ ALLOW = {
     # merged-sketch row: bottom-k survivors (≤ 64·types rows) cross
     # joined with the 1-row exact-count scalar aggregate
     "sketch_kmv_distinct": {"BNLJ"},
+    # open orders x 1-row MAX(orderdate) scalar aggregate — the
+    # deterministic "as-of" anchor; BNLJ over one broadcast row
+    "orders_open_aging": {"BNLJ"},
+    # brand stats x 1-row corpus-total scalar aggregate (index base)
+    "part_brand_price_index": {"BNLJ"},
 }
 
 
