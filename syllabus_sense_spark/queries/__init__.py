@@ -211,6 +211,10 @@ _NEW_THIS_ROUND: list[str] = [
     "events_ewma_daily",
     "events_trigram_paths",
     "dq_chisq_independence",
+    "stat_bootstrap_poisson_ci",
+    "agg_trimmed_winsorized",
+    "events_daily_peaks",
+    "text_length_quantile_shift",
 ]
 
 
@@ -367,6 +371,10 @@ def load_all_queries() -> None:
         events22,
         relational12,
         dq_queries7,
+        stats_queries,
+        agg_families5,
+        events23,
+        ext_text11,
         scalar_funcs4,
         catalog_queries,
         sink_queries3,
