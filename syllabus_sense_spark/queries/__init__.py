@@ -65,76 +65,11 @@ _FORCE_RECHECK = [
 ]
 
 _NEW_THIS_ROUND: list[str] = [
-    "dedup_repeated_passages",
-    "graph_pagerank_trade",
-    "graph_triangle_census",
-    "training_temperature_mixture",
-    "streaming_interval_join_drain",
-    "dq_join_skew_profile",
-    "pandas_udaf_median_value",
-    "incremental_rollup_daily",
-    "sink_snapshot_timetravel",
-    "source_schema_evolution",
-    "sink_upsert_cdc",
-    "sink_compaction_roundtrip",
-    "sink_zorder_box_query",
-    "streaming_dedup_drain",
-    "match_fuzzy_parts",
-    "sample_weighted_bernoulli",
-    # single-shuffle basket pairing refactor (ext_graph3.copurchase_pairs)
-    "graph_triangle_census",
-    "basket_part_pairs",
-    "dedup_prefix_filter",
-    # factored pair-count rewrite (quadratic blow-up removed)
-    "join_null_safe_eq",
-    # Arrow cosine verify + connected_components edge checkpoint
-    "dedup_semantic_clusters",
-    "similarity_cosine_blocked",
-    "dedup_components",
-    "dedup_canonical_keep",
-    # 56-bit fingerprint + 7-bit bands + materialization barriers
-    "dedup_simhash",
-    # new: sequential path mining, RFM segmentation, foreachBatch sink
-    "events_top_paths",
-    "customer_rfm_segments",
-    "streaming_foreachbatch_sink_drain",
-    "bucketed_join_roundtrip",
-    "text_winnow_fingerprints",
-    # round 6. NOTE: CORRECTNESS_r05 never landed (no round-5 driver
-    # artifacts), so every round-5 name above still awaits its first
-    # driver row and stays front-listed; prune only names whose
-    # latest CORRECTNESS_r* row is green.
-    "training_bpe_merges",
-    "sketch_countmin_heavy_hitters",
-    "dedup_bloom_prefilter",
-    "source_orc_roundtrip",
-    "source_text_lines",
-    "sample_reservoir_per_group",
-    "training_bpe_encode",
-    "graph_label_propagation",
-    "agg_weighted_median",
-    "search_hybrid_rrf",
-    "sink_pyds_jsonl_roundtrip",
-    "dq_reconcile_orders_lineitem",
-    "dq_distribution_drift",
-    "sink_snapshot_diff",
-    "events_debounce_5m",
-    "arrow_udf_doc_stats",
-    "sql_lateral_topn",
-    "events_sessionize_native",
-    "crypto_roundtrip_pii",
-    "catalog_managed_table_roundtrip",
-    "sketch_kmv_distinct",
-    "events_lag_features",
-    "documents_data_card",
-    "training_negative_sampling",
-    "events_audience_overlap",
-    "events_concurrent_sessions",
-    # round-6 O(n^2)->O(n) winnowing rewrite (same hash, new plan)
-    "text_winnow_fingerprints",
-    # round-6 continuation: classic-BI batch
-    "part_pareto_frontier",
-    "customer_revenue_concentration",
+    # Round-7 state: CORRECTNESS_r06 landed; every name green there
+    # (or in any earlier round) is pruned per the registry recipe.
+    # What remains is the never-driver-checked backlog from rounds
+    # 5-6 (r05 artifacts never landed), kept in original order so
+    # the driver's 50-slot window drains oldest-first.
     "events_ab_test_proportions",
     "graph_kcore_peel",
     "items_cooccurrence_cosine",
@@ -175,6 +110,9 @@ _NEW_THIS_ROUND: list[str] = [
     "events_user_diversity_simpson",
     "window_rank_movers",
     "streaming_upsert_latest_drain",
+    # front-listed from block-2 backlog: the round-6 judge asked for all
+    # five local-green streaming drains inside the round-7 window
+    "streaming_dsv2_replay_drain",
     "observe_metrics_orders",
     "pandas_api_customer_rollup",
     "sql_named_parameters",
