@@ -121,29 +121,41 @@ def main() -> None:
     # steady-state number.
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
+    construct: dict[str, float] = {}
+    execute: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = q.QUERIES.get(name)
         if fn is None:
             errors[name] = "not registered"
             continue
-        best = float("inf")
+        best = best_c = best_e = float("inf")
         try:
             for _ in range(EXTRA_ITERS.get(name, iters)):
                 # fn() is inside the timed region: iterative operators
                 # (PageRank, components, triangle census) do real work
                 # eagerly via localCheckpoint during construction, and
                 # timing only the final noop write would under-report
-                # them to near zero. For lazy queries construction is
-                # plan-building only (sub-ms) — the numbers don't move.
+                # them to near zero. The construction half is reported
+                # separately (py4j plan building for lazy queries, real
+                # eager work for iterative ones) so round-over-round
+                # comparisons against the r04 execution-only numbers
+                # don't conflate methodology with regression.
                 t0 = time.time()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
+                df = fn(spark, sf_dir)
+                t1 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                t2 = time.time()
+                best = min(best, t2 - t0)
+                best_c = min(best_c, t1 - t0)
+                best_e = min(best_e, t2 - t1)
         except Exception as exc:  # noqa: BLE001 — one bad query must not zero the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
             continue
         timings[name] = round(best, 3)
+        construct[name] = round(best_c, 3)
+        execute[name] = round(best_e, 3)
 
     streaming: dict[str, float] = {}
     for name in STREAMING_EXTRA:
@@ -167,6 +179,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # independent minima of the two halves (construction =
+                # fn(), execution = noop write); they need not sum to
+                # the total, which is min over whole iterations
+                "construct": construct,
+                "execute": execute,
                 "streaming_excluded_from_total": streaming,
                 # r5 methodology change: construction+execution timed
                 # together (write-only timing under-reported eager

@@ -38,6 +38,12 @@ from pyspark.sql import DataFrame, functions as F
 
 N_FEATURES = 1 << 14
 
+# The one unavoidable row UDF in this module: MLlib's VectorUDT has no
+# built-in array<double> constructor expression, so the bridge into
+# LSH/KMeans estimators must cross Python once per row. Scale twins in
+# queries/ext_similarity* skip MLlib (and this bridge) entirely.
+_to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
+
 
 def tfidf_embeddings(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, embedding: array<double>) — L2-normalized tf-idf.
@@ -68,9 +74,11 @@ def _shingle_vectors(documents: DataFrame, text_col: str = "text") -> DataFrame:
     tf = HashingTF(
         inputCol="grams", outputCol="features", numFeatures=N_FEATURES, binary=True
     )
-    out = tf.transform(ng.transform(tok.transform(documents)))
-    nnz = F.udf(lambda v: v.numNonzeros() > 0, "boolean")
-    return out.filter(nnz("features"))
+    grams = ng.transform(tok.transform(documents))
+    # Binary HashingTF of a non-empty grams array always has >=1
+    # non-zero, so the "at least one non-zero" precondition is a pure
+    # JVM array-size filter BEFORE vectorization — no row UDF needed.
+    return tf.transform(grams.filter(F.size("grams") > 0))
 
 
 def ml_minhash_dup_pairs(
@@ -108,8 +116,7 @@ def brp_lsh_neighbors(
     and cosine rankings agree (d² = 2 - 2·cos)."""
     from pyspark.sql import Window
 
-    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
-    base = embeddings.select("vec_id", to_vec("embedding").alias("features"))
+    base = embeddings.select("vec_id", _to_vec("embedding").alias("features"))
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -118,7 +125,7 @@ def brp_lsh_neighbors(
         seed=42,
     ).fit(base)
     q = queries.select(
-        F.col("vec_id").alias("query_id"), to_vec("embedding").alias("features")
+        F.col("vec_id").alias("query_id"), _to_vec("embedding").alias("features")
     )
     joined = lsh.approxSimilarityJoin(q, base, radius, distCol="dist")
     w = Window.partitionBy("query_id").orderBy(
@@ -159,10 +166,9 @@ def kmeans_ivf_neighbors(
     from pyspark.ml.clustering import KMeans
     from pyspark.sql import Window
 
-    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
     base = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("arr")
-    ).withColumn("features", to_vec("arr"))
+    ).withColumn("features", _to_vec("arr"))
     model = KMeans(k=n_cells, seed=42, featuresCol="features").fit(base)
     cells = model.transform(base).select(
         "vec_id", "arr", F.col("prediction").alias("cell_id")

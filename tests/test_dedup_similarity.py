@@ -80,8 +80,10 @@ def test_fingerprint_table_shared_across_dedup_queries(spark, sf_dir):
     QUERIES["dedup_minhash_lsh"](spark, sf_dir).count()
     builds_after_first = ext_dedup._FP_BUILDS
     # base + planted-dupe halves + their persisted union (built from
-    # the persisted halves, not by re-shingling)
-    assert builds_after_first == 3
+    # the persisted halves, not by re-shingling) + the per-doc size
+    # table (one count aggregation, persisted so verify passes stop
+    # re-shuffling the full fingerprint table)
+    assert builds_after_first == 4
 
     QUERIES["dedup_incremental_index"](spark, sf_dir).count()
     assert ext_dedup._FP_BUILDS == builds_after_first  # pure cache hit

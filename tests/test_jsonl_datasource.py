@@ -76,3 +76,21 @@ def test_empty_partitions_still_commit(spark):
         with open(os.path.join(tmp, n)) as f:
             rows += [json.loads(line) for line in f]
     assert sorted(r["id"] for r in rows) == [0, 1]
+
+
+def test_overwrite_retires_stale_shards(spark):
+    """mode('overwrite') must not mix old part files with new output:
+    pre-existing *.jsonl shards are retired at commit."""
+    from syllabus_sense_spark.sources.jsonl_datasource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    tmp = tempfile.mkdtemp(prefix="jsonl_sink_o_")
+    _write(spark, tmp, n=10, parts=2)  # append: 2 shards, ids 0..9
+    df = spark.range(100, 103).selectExpr("id", "id * 2 AS dbl").repartition(1)
+    df.write.format("jsonl_sink").option("path", tmp).mode("overwrite").save()
+    rows = []
+    for n in os.listdir(tmp):
+        if not n.startswith("."):
+            with open(os.path.join(tmp, n)) as f:
+                rows += [json.loads(line) for line in f]
+    assert sorted(r["id"] for r in rows) == [100, 101, 102]

@@ -75,3 +75,17 @@ def test_apply_changes_pure_merge(spark):
     )
     out = {r.k: r.v for r in apply_changes(cur, ch, ["k"]).collect()}
     assert out == {2: "B", 3: "c"}
+
+
+def test_apply_changes_version_dedup(spark):
+    """A CDC batch holding several changes for one key resolves to the
+    greatest version tuple when version_cols is passed; without it the
+    documented precondition (one row per key) applies."""
+    cur = spark.createDataFrame([(1, "a", 0)], "k long, v string, ver long")
+    ch = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2), (2, "x", 1)],
+        "k long, v string, ver long",
+    )
+    out = {r.k: (r.v, r.ver) for r in
+           apply_changes(cur, ch, ["k"], version_cols=["ver"]).collect()}
+    assert out == {1: ("new", 2), 2: ("x", 1)}
