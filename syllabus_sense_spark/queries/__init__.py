@@ -214,6 +214,7 @@ def load_all_queries() -> None:
         ext_text3,
         ext_similarity,
         ext_multimodal,
+        ext_multimodal2,
         ext_training,
         ext_training2,
         ext_web,

@@ -127,7 +127,17 @@ def _persisted_fingerprints(spark, sf_dir: str, kind: str, builder) -> DataFrame
     df = _FP_CACHE.get(key)
     if df is None:
         _FP_BUILDS += 1
-        df = builder().persist()
+        df = builder()
+        # Honor the plan-audit mode (tables.py does the same): a
+        # persist() here registers a cache entry whose canonicalized
+        # plan substitutes into OTHER queries' matching subplans
+        # (aliases are stripped in canonicalization), turning their
+        # stats-based broadcast decisions into unknown-size SMJs and
+        # making the audit order-dependent.
+        import os
+
+        if not os.environ.get("SPARK_GRAFT_NO_PERSIST"):
+            df = df.persist()
         _FP_CACHE[key] = df
     return df
 
