@@ -45,6 +45,16 @@ def register(name: str, oracle: str | None = None):
 # last-green round, so the oldest evidence rotates back into the
 # 50-slot window first and stale green rows get re-confirmed.
 _FORCE_RECHECK = [
+    # round-7 changes invalidating earlier green rows (listed first so
+    # the interleave below reaches them soonest):
+    "dedup_simhash",  # fingerprint build moved to session artifact table
+    "dedup_semantic_clusters",  # per-cell GEMM verify + cell artifact table
+    "dedup_components",  # connected_components prev-label fold
+    "dedup_canonical_keep",  # same (shares connected_components)
+    "dedup_minhash_lsh",  # r6 per-doc shingle-count persisted with fp table
+    "dedup_containment",  # _persisted_fingerprints signature change
+    "dedup_incremental_index",  # shared session-persistent fingerprint table
+    "sink_pyds_jsonl_roundtrip",  # r6 overwrite-retires-shards commit change
     # round-5 changes invalidating earlier green rows:
     "text_lang_id_heuristic",  # round(…,6) col -> integer-scaled
     "events_anomaly_zscore",  # same
@@ -59,7 +69,6 @@ _FORCE_RECHECK = [
     "text_tfidf_top_term",  # tfidf_r -> integer-scaled
     # round-5 dot-product expr refactor (_dot_unrolled/_norm string
     # form) also flows through these; their last green predates it:
-    "dedup_semantic_clusters",
     "similarity_ivf_kmeans",  # rows-only; rerun confirms it executes
     "similarity_ann_lsh",  # rows-only; same
 ]
@@ -347,21 +356,31 @@ def load_all_queries() -> None:
     last_green = _evidence_from_past_rounds()
     # Never-checked queries outrank stale-green re-checks: a query
     # with NO driver row ever is a bigger evidence hole than one
-    # whose old green predates a shared-code change. With the front
-    # section larger than the driver's 50-slot window (rounds 5+6
-    # both landed unchecked), this ordering decides who gets a first
-    # row this round.
-    front = [
+    # whose old green predates a shared-code change. But a pure
+    # backlog-first order starves _FORCE_RECHECK for as long as the
+    # backlog exceeds the 50-slot window (round-6 ADVICE), so stale
+    # invalidated greens are INTERLEAVED one per four never-checked
+    # names: the window still drains ~40 backlog entries per round
+    # while the riskiest re-checks (this round's code changes lead
+    # the force list) land rows immediately.
+    never = [
         n for n in _NEW_THIS_ROUND if n in QUERIES and n not in last_green
     ]
-    front += [
-        n for n in QUERIES if n not in last_green and n not in front
+    never += [
+        n for n in QUERIES if n not in last_green and n not in never
     ]
-    front += [
-        n
-        for n in _FORCE_RECHECK + _NEW_THIS_ROUND
-        if n in QUERIES and n not in front
-    ]
+    stale: list[str] = []
+    for n in _FORCE_RECHECK + _NEW_THIS_ROUND:
+        if n in QUERIES and n not in never and n not in stale:
+            stale.append(n)
+    front: list[str] = []
+    si = 0
+    for i, n in enumerate(never):
+        front.append(n)
+        if (i + 1) % 4 == 0 and si < len(stale):
+            front.append(stale[si])
+            si += 1
+    front += stale[si:]
     # Already-green tail, oldest evidence first, so the 50-slot window
     # re-confirms round-1-vintage greens before recent ones. Ties keep
     # registration order (stable sort).

@@ -121,7 +121,14 @@ _FP_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _FP_BUILDS = 0  # cache-miss counter; tests assert sharing via this
 
 
-def _persisted_fingerprints(spark, sf_dir: str, kind: str, builder) -> DataFrame:
+def _persisted_fingerprints(
+    spark, sf_dir: str, kind: str, builder, persist: bool = True
+) -> DataFrame:
+    """Session-scoped artifact memo — the production posture where
+    dedup/ANN jobs PROBE a persisted index artifact (fingerprint
+    table, cell assignment) instead of re-deriving it per query.
+    ``persist=False`` for builders whose result is already
+    materialized (localCheckpoint)."""
     global _FP_BUILDS
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     df = _FP_CACHE.get(key)
@@ -136,7 +143,7 @@ def _persisted_fingerprints(spark, sf_dir: str, kind: str, builder) -> DataFrame
         # making the audit order-dependent.
         import os
 
-        if not os.environ.get("SPARK_GRAFT_NO_PERSIST"):
+        if persist and not os.environ.get("SPARK_GRAFT_NO_PERSIST"):
             df = df.persist()
         _FP_CACHE[key] = df
     return df

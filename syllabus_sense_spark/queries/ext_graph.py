@@ -62,7 +62,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
-        new_labels = (
+        # Carry the old label through the update so convergence is a
+        # cheap filter-count over the checkpointed result — folding
+        # what used to be a separate labels⨝new_labels shuffle join
+        # into the iteration's one materialization.
+        upd = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -70,16 +74,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("component_id"),
                     F.coalesce(F.col("nbr_min"), F.col("component_id")),
                 ).alias("component_id"),
+                F.col("component_id").alias("prev_id"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = upd.filter(F.col("component_id") != F.col("prev_id")).count()
+        labels = upd.select("doc_id", "component_id")
         if changed == 0:
             break
     return labels
