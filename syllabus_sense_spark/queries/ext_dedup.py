@@ -211,6 +211,28 @@ def planted_corpus_sizes(spark, sf_dir: str) -> DataFrame:
     return _persisted_fingerprints(spark, sf_dir, "planted_all_sizes", build)
 
 
+def planted_corpus_token_arrays(spark, sf_dir: str) -> DataFrame:
+    """(doc_id, hs, s): each doc's SORTED fingerprint array plus its
+    size, session-persisted. The compact per-doc form a candidate
+    verify wants: exact overlap for a candidate pair is
+    ``size(array_intersect(ha, hb))`` after two slim equi-joins on
+    doc ids — no re-explosion of the token table per candidate. Row
+    width is bounded by document length, so the artifact scales with
+    the corpus like the fingerprint table it derives from."""
+
+    def build():
+        return (
+            planted_corpus_fingerprints(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(
+                F.sort_array(F.collect_list("h")).alias("hs"),
+                F.count(F.lit(1)).alias("s"),
+            )
+        )
+
+    return _persisted_fingerprints(spark, sf_dir, "planted_all_arrays", build)
+
+
 def shingle_docs_raw(corpus: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) word n-grams, NOT deduplicated — pure
     built-ins.

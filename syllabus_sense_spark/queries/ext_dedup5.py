@@ -61,22 +61,46 @@ WHERE {_THRESH_DEN} * i.n_common >= {_THRESH_NUM} * LEAST(sa.n, sb.n)
 """
 
 
+def _containment_groups(spark, sf_dir):
+    """Session-persisted per-fingerprint SORTED doc list, df-capped.
+    One groupBy of the fingerprint table replaces the old
+    df-count + join-back + h-equi-self-join chain (three shuffles of
+    the full fingerprint table → one): the doc list per hash IS the
+    candidate set, and with df ≤ {cap} the C(df,2) pair expansion is
+    a bounded JVM array expression, not a join."""
+    from .ext_dedup import _persisted_fingerprints
+
+    def build():
+        fp = planted_corpus_fingerprints(spark, sf_dir)
+        return (
+            fp.groupBy("h")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+            .filter(F.size("docs") <= _DF_CAP)
+            .select("docs")
+        )
+
+    return _persisted_fingerprints(spark, sf_dir, "containment_groups", build)
+
+
 @register("dedup_containment", _CONTAINMENT_ORACLE)
 def dedup_containment(spark, sf_dir):
-    fp = planted_corpus_fingerprints(spark, sf_dir)
-    df_ok = (
-        fp.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _DF_CAP)
-        .select("h")
+    grp = _containment_groups(spark, sf_dir)
+    sizes = (
+        grp.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    kept = fp.join(df_ok, "h")
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = kept.select(F.col("doc_id").alias("doc_a"), "h")
-    b = kept.select(F.col("doc_id").alias("doc_b"), "h")
+    # All C(df,2) ordered pairs per fingerprint, generated JVM-side
+    # from the sorted list (x < y by construction — no discarded
+    # half, no self-pairs), then one aggregation on the pair key.
+    pair_expr = (
+        "flatten(transform(docs, (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     inter = (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        grp.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
