@@ -55,6 +55,10 @@ _FORCE_RECHECK = [
     "dedup_containment",  # _persisted_fingerprints signature change
     "dedup_incremental_index",  # shared session-persistent fingerprint table
     "sink_pyds_jsonl_roundtrip",  # r6 overwrite-retires-shards commit change
+    "graph_pagerank_trade",  # trade-edge session artifact
+    "graph_triangle_census",  # copurchase snapshot artifact
+    "graph_label_propagation",  # same
+    "dedup_prefix_filter",  # prefix-index artifact + array_intersect verify
     # round-5 changes invalidating earlier green rows:
     "text_lang_id_heuristic",  # round(…,6) col -> integer-scaled
     "events_anomaly_zscore",  # same

@@ -149,6 +149,12 @@ def _persisted_fingerprints(
     return df
 
 
+# Public alias: the memo is generic (keyed by (app, sf_dir, kind)),
+# used for every session-scoped corpus artifact — fingerprint tables,
+# IVF cell assignments, prefix postings, graph edge snapshots.
+session_artifact = _persisted_fingerprints
+
+
 def base_fingerprints(spark, sf_dir: str) -> DataFrame:
     """(doc_id, h) for the raw documents corpus — the persisted index."""
     return _persisted_fingerprints(

@@ -34,7 +34,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import register
-from .ext_graph3 import _MIN_SUPPORT, copurchase_pairs
+from .ext_graph3 import _MIN_SUPPORT, copurchase_edges
 
 _N_ROUNDS = 3
 
@@ -83,13 +83,7 @@ FROM l{_N_ROUNDS}
 
 @register("graph_label_propagation", _LPA_ORACLE)
 def graph_label_propagation(spark, sf_dir):
-    edges = (
-        copurchase_pairs(spark, sf_dir)
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= _MIN_SUPPORT)
-        .select("pa", "pb")
-    )
+    edges = copurchase_edges(spark, sf_dir)
     adj = edges.select(
         F.col("pa").alias("node"), F.col("pb").alias("nbr")
     ).unionByName(

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from .ext_graph3 import _MIN_SUPPORT, copurchase_pairs
+from .ext_graph3 import _MIN_SUPPORT, copurchase_edges, copurchase_pair_counts
 
 _K = 2  # peel threshold (k=3 empties the sf0.1 projection entirely)
 _N_ROUNDS = 3
@@ -73,13 +73,7 @@ FROM a{_N_ROUNDS} GROUP BY node
 
 @register("graph_kcore_peel", _KCORE_ORACLE)
 def graph_kcore_peel(spark, sf_dir):
-    edges = (
-        copurchase_pairs(spark, sf_dir)
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= _MIN_SUPPORT)
-        .select("pa", "pb")
-    )
+    edges = copurchase_edges(spark, sf_dir)
     adj = (
         edges.select(F.col("pa").alias("node"), F.col("pb").alias("nbr"))
         .unionByName(
@@ -139,11 +133,8 @@ def items_cooccurrence_cosine(spark, sf_dir):
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    pairs = (
-        copurchase_pairs(spark, sf_dir)
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("cnt_ab"))
-        .filter(F.col("cnt_ab") >= _MIN_SUPPORT)
+    pairs = copurchase_pair_counts(spark, sf_dir).select(
+        "pa", "pb", F.col("n").alias("cnt_ab")
     )
     marg = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
     scored = (

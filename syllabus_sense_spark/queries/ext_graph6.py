@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import register
-from .ext_graph3 import _MIN_SUPPORT, copurchase_pairs
+from .ext_graph3 import _MIN_SUPPORT, copurchase_edges
 
 _TOP = 25
 
@@ -66,13 +66,7 @@ LIMIT {_TOP}
 
 @register("graph_link_prediction", _LINKPRED_ORACLE)
 def graph_link_prediction(spark, sf_dir):
-    edges = (
-        copurchase_pairs(spark, sf_dir)
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= _MIN_SUPPORT)
-        .select("pa", "pb")
-    )
+    edges = copurchase_edges(spark, sf_dir)
     adj = edges.select(
         F.col("pa").alias("node"), F.col("pb").alias("nbr")
     ).unionByName(
