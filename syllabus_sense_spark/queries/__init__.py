@@ -59,6 +59,10 @@ _FORCE_RECHECK = [
     "graph_triangle_census",  # copurchase snapshot artifact
     "graph_label_propagation",  # same
     "dedup_prefix_filter",  # prefix-index artifact + array_intersect verify
+    "docx_parse_topics",  # upgraded rows-only -> golden VALUES oracle
+    "pipeline_extract_subtopics",  # upgraded rows-only -> md5-replay oracle
+    "pipeline_plan_questions",  # same
+    "pipeline_flagship_questions",  # same (full A8-A16 chain + JSON parity)
     # round-5 changes invalidating earlier green rows:
     "text_lang_id_heuristic",  # round(…,6) col -> integer-scaled
     "events_anomaly_zscore",  # same

@@ -3,11 +3,14 @@
 engine's distributed DOCX scan → marker flag → sessionize → topic
 grouping chain.
 
-Rows-only (the oracle cannot unzip OOXML), but the expected shape is
-pinned by measurement of the fixture (SURVEY.md §0): 13 topics from 13
-"Core element" markers, 811 non-empty paragraphs, 18 tables —
-asserted in tests/test_docx_source.py; this query exposes the same
-chain to the harness.
+Oracle: a GOLDEN literal — DuckDB cannot unzip OOXML, but the fixture
+is a fixed input, so the expected 13 topic rows are recorded as a
+VALUES table (independently pinned by measurement of the fixture:
+13 "Core element" markers, 811 non-empty paragraphs, 18 tables,
+asserted in tests/test_docx_source.py). A driver hash match therefore
+certifies the whole binary path — zip central directory walk, XML
+element parse, marker predicate, sessionize window, title extraction
+— not just that it runs.
 """
 
 from __future__ import annotations
@@ -22,8 +25,35 @@ from . import register
 
 _FIXTURE_DIR = "/root/reference"
 
+_GOLDEN_TOPICS = [
+    (1, "Analytical skills in chemistry", 1, 5),
+    (2, "Analytical skills in chemistry", 1, 2),
+    (3, "Chemical composition of matter", 1, 1),
+    (4, "Inorganic compounds", 1, 1),
+    (5, "Inorganic compounds", 1, 1),
+    (6, "Chemical reactions", 1, 1),
+    (7, "Organic chemistry", 2, 1),
+    (8, "Inorganic compounds", 1, 1),
+    (9, "Chemical composition of matter", 1, 1),
+    (10, "Chemical reactions", 1, 1),
+    (11, "Organic chemistry", 1, 1),
+    (12, "Environmental chemistry", 1, 1),
+    (13, "Environmental chemistry", 1, 1),
+]
 
-@register("docx_parse_topics")  # rows-only: input is a binary OOXML container
+_DOCX_ORACLE = (
+    "SELECT doc_id, CAST(topic_id AS BIGINT) AS topic_id, title,\n"
+    "       CAST(n_paragraphs AS BIGINT) AS n_paragraphs,\n"
+    "       CAST(n_tables AS BIGINT) AS n_tables\nFROM (VALUES\n"
+    + ",\n".join(
+        f"  ('file:{_FIXTURE_DIR}/chemistry_form_1_2.docx', {t}, '{ti}', {p}, {n})"
+        for t, ti, p, n in _GOLDEN_TOPICS
+    )
+    + "\n) AS g(doc_id, topic_id, title, n_paragraphs, n_tables)"
+)
+
+
+@register("docx_parse_topics", _DOCX_ORACLE)
 def docx_parse_topics(spark, sf_dir):
     """One row per topic of the real syllabus: (doc, topic_id, title,
     n_paragraphs, n_tables), in document order."""
