@@ -45,24 +45,26 @@ def register(name: str, oracle: str | None = None):
 # last-green round, so the oldest evidence rotates back into the
 # 50-slot window first and stale green rows get re-confirmed.
 _FORCE_RECHECK = [
-    # round-7 changes invalidating earlier green rows (listed first so
-    # the interleave below reaches them soonest):
+    # round-7 rows-only -> hash-checked oracle upgrades (highest
+    # evidence value: a green row here changes the COMPONENT status
+    # of A1/A8/A9/A13 from rows-only to oracle-certified):
+    "docx_parse_topics",  # golden VALUES oracle over the real fixture
+    "pipeline_extract_subtopics",  # md5-replay oracle
+    "pipeline_plan_questions",  # same
+    "pipeline_flagship_questions",  # same (full A8-A16 chain + JSON parity)
+    # round-7 plan changes invalidating earlier green rows:
     "dedup_simhash",  # fingerprint build moved to session artifact table
     "dedup_semantic_clusters",  # per-cell GEMM verify + cell artifact table
     "dedup_components",  # connected_components prev-label fold
     "dedup_canonical_keep",  # same (shares connected_components)
     "dedup_minhash_lsh",  # r6 per-doc shingle-count persisted with fp table
-    "dedup_containment",  # _persisted_fingerprints signature change
+    "dedup_containment",  # grouped candidate expansion
     "dedup_incremental_index",  # shared session-persistent fingerprint table
+    "dedup_prefix_filter",  # prefix-index artifact + array_intersect verify
     "sink_pyds_jsonl_roundtrip",  # r6 overwrite-retires-shards commit change
     "graph_pagerank_trade",  # trade-edge session artifact
     "graph_triangle_census",  # copurchase snapshot artifact
     "graph_label_propagation",  # same
-    "dedup_prefix_filter",  # prefix-index artifact + array_intersect verify
-    "docx_parse_topics",  # upgraded rows-only -> golden VALUES oracle
-    "pipeline_extract_subtopics",  # upgraded rows-only -> md5-replay oracle
-    "pipeline_plan_questions",  # same
-    "pipeline_flagship_questions",  # same (full A8-A16 chain + JSON parity)
     # round-5 changes invalidating earlier green rows:
     "text_lang_id_heuristic",  # round(…,6) col -> integer-scaled
     "events_anomaly_zscore",  # same
@@ -87,6 +89,9 @@ _NEW_THIS_ROUND: list[str] = [
     # What remains is the never-driver-checked backlog from rounds
     # 5-6 (r05 artifacts never landed), kept in original order so
     # the driver's 50-slot window drains oldest-first.
+    # front-listed from block-2 backlog: the round-6 judge asked for all
+    # five local-green streaming drains inside the round-7 window
+    "streaming_dsv2_replay_drain",
     "events_ab_test_proportions",
     "graph_kcore_peel",
     "items_cooccurrence_cosine",
@@ -107,6 +112,7 @@ _NEW_THIS_ROUND: list[str] = [
     "sample_stratified_hamilton",
     "catalog_view_stack",
     "streaming_sliding_hourly_drain",
+    "streaming_upsert_latest_drain",
     "events_burst_detection",
     "orders_cohort_ltv",
     "dedup_minhash_calibration",
@@ -126,10 +132,6 @@ _NEW_THIS_ROUND: list[str] = [
     "ml_feature_hashing_vectors",
     "events_user_diversity_simpson",
     "window_rank_movers",
-    "streaming_upsert_latest_drain",
-    # front-listed from block-2 backlog: the round-6 judge asked for all
-    # five local-green streaming drains inside the round-7 window
-    "streaming_dsv2_replay_drain",
     "observe_metrics_orders",
     "pandas_api_customer_rollup",
     "sql_named_parameters",
@@ -367,10 +369,10 @@ def load_all_queries() -> None:
     # whose old green predates a shared-code change. But a pure
     # backlog-first order starves _FORCE_RECHECK for as long as the
     # backlog exceeds the 50-slot window (round-6 ADVICE), so stale
-    # invalidated greens are INTERLEAVED one per four never-checked
-    # names: the window still drains ~40 backlog entries per round
-    # while the riskiest re-checks (this round's code changes lead
-    # the force list) land rows immediately.
+    # invalidated greens are INTERLEAVED one per three never-checked
+    # names: the window still drains ~38 backlog entries per round
+    # while the riskiest re-checks (oracle upgrades and this round's
+    # plan changes lead the force list) land rows immediately.
     never = [
         n for n in _NEW_THIS_ROUND if n in QUERIES and n not in last_green
     ]
@@ -385,7 +387,7 @@ def load_all_queries() -> None:
     si = 0
     for i, n in enumerate(never):
         front.append(n)
-        if (i + 1) % 4 == 0 and si < len(stale):
+        if (i + 1) % 3 == 0 and si < len(stale):
             front.append(stale[si])
             si += 1
     front += stale[si:]
