@@ -172,6 +172,13 @@ _NEW_THIS_ROUND: list[str] = [
     "agg_trimmed_winsorized",
     "events_daily_peaks",
     "text_length_quantile_shift",
+    # round-7 additions (new this round, never driver-checked):
+    "training_preference_pairs",
+    "training_best_of_n",
+    "embedding_random_projection",
+    "similarity_srp_buckets",
+    "training_token_budget_epochs",
+    "streaming_outer_join_drain",
 ]
 
 
@@ -310,6 +317,7 @@ def load_all_queries() -> None:
         ml_queries2,
         windows4,
         streaming_queries4,
+        streaming_queries5,
         ml_queries3,
         events19,
         dq_queries6,
@@ -321,6 +329,9 @@ def load_all_queries() -> None:
         relational10,
         ext_graph6,
         ext_training13,
+        ext_training14,
+        ext_similarity3,
+        ext_training15,
         ml_queries4,
         source_queries2,
         events21,

@@ -1,0 +1,121 @@
+"""Driver-verifiable Structured Streaming, part 5: the stream-stream
+LEFT OUTER interval join — the last join mode the streaming battery
+did not exercise, and the one whose semantics are watermark-DRIVEN
+rather than merely watermark-bounded.
+
+Inner stream-stream joins (streaming_queries2.py) emit on match;
+watermarks only evict state. LEFT OUTER adds the hard part: a
+buffered left row may turn out to have NO match, and the engine can
+only know that — and emit the null-padded row — once the watermark
+proves no future right row can land in the join window. So the
+output is a function of the final watermark: unmatched views whose
+match window closed before the terminal watermark emit with nulls;
+younger unmatched views are still "pending" when the availableNow
+drain ends and are NOT in the output.
+
+That is exactly reproducible in SQL: the terminal watermark is
+min(max(view_ts), max(purchase_ts)) - 2h (Spark's multiple-watermark
+policy takes the min across inputs; each input's watermark is its max
+event time minus the declared delay), and a view emits null-matched
+iff it has no purchase in (view_ts, view_ts + 1h] AND view_ts + 1h
+is before that watermark. The oracle encodes both rules, so the
+hash check certifies Spark's outer-emission timing, not just the
+join predicate.
+
+Scale posture: state on both sides is range-bounded by the watermark
+(views evict once the watermark passes view_ts + 1h; purchases once
+it passes purchase_ts), so state size is O(events per 3-hour
+horizon), independent of total stream length — production-safe at
+100 TB/day. Reference anchor: the drain loop posture is A6/A17
+(syllabus_ai_graph.py:285-318), as for the other drains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import register
+
+_OUTER_JOIN_ORACLE = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT LEAST((SELECT MAX(view_ts) FROM v),
+               (SELECT MAX(purchase_ts) FROM p))
+         - INTERVAL 2 HOUR AS w
+)
+SELECT v.view_id, p.purchase_id, v.user_id, v.view_ts, p.purchase_ts
+FROM v JOIN p
+  ON p.user_id = v.user_id
+ AND p.purchase_ts > v.view_ts
+ AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT v.view_id, CAST(NULL AS BIGINT) AS purchase_id, v.user_id,
+       v.view_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts
+FROM v, wm
+WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.purchase_ts > v.view_ts
+          AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+      )
+  AND v.view_ts + INTERVAL 1 HOUR <= wm.w
+"""
+
+
+@register("streaming_outer_join_drain", _OUTER_JOIN_ORACLE)
+def streaming_outer_join_drain(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.events import _event_stream, _with_event_time
+
+    views = (
+        _with_event_time(_event_stream(spark, sf_dir))
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        _with_event_time(_event_stream(spark, sf_dir))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts > view_ts
+            AND purchase_ts <= view_ts + INTERVAL 1 HOUR
+            """
+        ),
+        "left_outer",
+    ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+    name = "harness_outer_join_drain"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ss_ojoin_ckpt_")
+        )
+        .start()
+    )
+    assert q.awaitTermination(600), "availableNow stream drain timed out"
+    return spark.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,205 @@
+"""Law tests for the round-7 operators: preference-pair / best-of-n
+selection (pure-Python reference replay) and the structural
+invariants the value hash can't express (pair distinctness, draw-set
+membership), plus regression laws for the round-7 artifact rewrites
+(containment grouped expansion ≡ join form on a micro corpus).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def _scored_docs(spark, sf_dir):
+    from syllabus_sense_spark.tables import load
+
+    rows = load(spark, sf_dir, "documents").select(
+        "lang", "source", "doc_id", "text"
+    ).collect()
+    out = []
+    for r in rows:
+        toks = {t for t in r.text.split() if t}
+        out.append((r.lang, r.source, r.doc_id, len(toks)))
+    return out
+
+
+def test_preference_pairs_match_reference(spark, sf_dir):
+    from syllabus_sense_spark.queries.ext_training14 import (
+        training_preference_pairs,
+    )
+
+    got = {
+        (r.lang, r.source): r
+        for r in training_preference_pairs(spark, sf_dir).collect()
+    }
+    groups: dict[tuple, list] = {}
+    for lang, source, doc_id, score in _scored_docs(spark, sf_dir):
+        groups.setdefault((lang, source), []).append((score, doc_id))
+    for key, docs in groups.items():
+        if len(docs) < 2:
+            assert key not in got
+            continue
+        chosen = max(docs)
+        rejected = min(docs)
+        row = got[key]
+        assert (row.chosen_score, row.chosen_doc) == chosen
+        assert (row.rejected_score, row.rejected_doc) == rejected
+        assert row.margin == chosen[0] - rejected[0]
+        # A pair never degenerates to one document.
+        assert row.chosen_doc != row.rejected_doc
+    assert set(got) == {k for k, v in groups.items() if len(v) >= 2}
+
+
+def test_best_of_n_draws_then_picks(spark, sf_dir):
+    from syllabus_sense_spark.queries.ext_training14 import (
+        _N_DRAW,
+        training_best_of_n,
+    )
+
+    got = {
+        (r.lang, r.source): r for r in training_best_of_n(spark, sf_dir).collect()
+    }
+    groups: dict[tuple, list] = {}
+    for lang, source, doc_id, score in _scored_docs(spark, sf_dir):
+        draw = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        groups.setdefault((lang, source), []).append((draw, doc_id, score))
+    for key, docs in groups.items():
+        drawn = sorted(docs)[:_N_DRAW]
+        best = max((score, doc_id) for _, doc_id, score in drawn)
+        row = got[key]
+        assert row.n_drawn == min(len(docs), _N_DRAW)
+        assert (row.best_score, row.best_doc) == best
+        # The pick must come from the drawn subset, not the full pool.
+        assert row.best_doc in {doc_id for _, doc_id, _ in drawn}
+
+
+def test_random_projection_matches_python_replay(spark, sf_dir):
+    """The Rademacher projection must equal a pure-Python replay of
+    floor-scale-then-signed-sum over the same embeddings, and the SRP
+    bucket of every vector must be the sign pattern of its projection."""
+    import math
+
+    from syllabus_sense_spark.queries.ext_similarity3 import (
+        _OUT_DIM,
+        _SELS,
+        embedding_random_projection,
+        similarity_srp_buckets,
+    )
+    from syllabus_sense_spark.tables import load
+
+    rows = load(spark, sf_dir, "embeddings").collect()
+    want = {}
+    buckets: dict[int, list[int]] = {}
+    for r in rows:
+        codes = [math.floor(float(x) * 1e6 + 0.5) for x in r.embedding]
+        proj = [
+            sum((1 if t > 0 else -1) * codes[abs(t) - 1] for t in _SELS[j])
+            for j in range(_OUT_DIM)
+        ]
+        want[r.vec_id] = proj
+        b = sum((1 << j) for j in range(_OUT_DIM) if proj[j] >= 0)
+        buckets.setdefault(b, []).append(r.label)
+    got = embedding_random_projection(spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        proj = want[r.vec_id]
+        assert [getattr(r, f"proj_{j}") for j in range(_OUT_DIM)] == proj
+        assert r.l1_micro == sum(abs(p) for p in proj)
+    srp = {r.bucket: r for r in similarity_srp_buckets(spark, sf_dir).collect()}
+    assert set(srp) == set(buckets)
+    for b, labels in buckets.items():
+        r = srp[b]
+        assert r.n_vecs == len(labels)
+        assert r.n_labels == len(set(labels))
+        top = max((labels.count(l), l) for l in set(labels))
+        assert (r.top_label_cnt, r.top_label) == top
+
+
+def test_token_budget_waterfill_laws(spark, sf_dir):
+    """Waterfill invariants + pure-Python replay: allocations never
+    exceed caps, the residual equals B - Σalloc, redistribution only
+    ever adds budget, and every row matches a reference replay of the
+    two unrolled rounds."""
+    from syllabus_sense_spark.queries.ext_training15 import (
+        training_token_budget_epochs,
+    )
+    from syllabus_sense_spark.tables import load
+
+    rows = load(spark, sf_dir, "documents").select("source", "text").collect()
+    per = {}
+    for r in rows:
+        toks = len([t for t in r.text.split() if t])
+        d, t = per.get(r.source, (0, 0))
+        per[r.source] = (d + 1, t + toks)
+    tiers = {
+        s: [1, 2, 4][int(hashlib.md5(s.encode()).hexdigest()[:2], 16) % 3]
+        for s in per
+    }
+    W = sum(d for d, _ in per.values())
+    B = 2 * sum(t for _, t in per.values())
+    cap = {s: tiers[s] * t for s, (_, t) in per.items()}
+    alloc = {s: min(B * d // W, cap[s]) for s, (d, _) in per.items()}
+    for _ in range(2):
+        pool = B - sum(alloc.values())
+        wu = sum(per[s][0] for s in per if alloc[s] < cap[s])
+        if wu:
+            alloc = {
+                s: min(
+                    alloc[s]
+                    + (pool * per[s][0] // wu if alloc[s] < cap[s] else 0),
+                    cap[s],
+                )
+                for s in per
+            }
+    got = {r.source: r for r in training_token_budget_epochs(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    # Some sources must cap and some must not, or the fill is trivial.
+    assert 0 < sum(r.is_capped for r in got.values()) < len(got)
+    for s, r in got.items():
+        assert (r.docs, r.total_tokens) == per[s]
+        assert r.tier == tiers[s]
+        assert r.alloc_tokens == alloc[s] <= cap[s]
+        assert r.epochs_milli == alloc[s] * 1000 // per[s][1]
+        assert r.is_capped == int(alloc[s] == cap[s])
+        assert r.residual_budget == B - sum(alloc.values()) >= 0
+
+
+def test_containment_grouped_expansion_equals_join_form(spark):
+    """The round-7 C(df,2) array expansion must reproduce the naive
+    h-equi-self-join candidate counts exactly (duplicates, ordering,
+    df cap) on a corpus small enough to brute-force."""
+    from syllabus_sense_spark.queries.ext_dedup5 import _DF_CAP
+
+    fp = spark.createDataFrame(
+        [(d, h) for d in range(12) for h in range(6) if (d * 7 + h * 3) % 4 != 1],
+        "doc_id long, h long",
+    )
+    grp = (
+        fp.groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= _DF_CAP)
+        .select("docs")
+    )
+    pair_expr = (
+        "flatten(transform(docs, (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    got = (
+        grp.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .count()
+        .collect()
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), "h")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "h")
+    want = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .count()
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
