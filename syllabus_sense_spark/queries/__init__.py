@@ -179,6 +179,8 @@ _NEW_THIS_ROUND: list[str] = [
     "similarity_srp_buckets",
     "training_token_budget_epochs",
     "streaming_outer_join_drain",
+    "sql_scripting_median_bisect",
+    "streaming_state_reader",
 ]
 
 
@@ -311,6 +313,7 @@ def load_all_queries() -> None:
         dq_queries5,
         ext_sketches4,
         spark4_features3,
+        spark4_features4,
         relational8,
         ext_training12,
         ext_dedup7,

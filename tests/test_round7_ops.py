@@ -166,6 +166,46 @@ def test_token_budget_waterfill_laws(spark, sf_dir):
         assert r.residual_budget == B - sum(alloc.values()) >= 0
 
 
+def test_scripting_bisect_finds_lower_median(spark, sf_dir):
+    """The SQL-scripting bisection must return the exact lower median
+    (smallest value whose rank reaches ceil(n/2)) of the cents column."""
+    from syllabus_sense_spark.queries.spark4_features4 import (
+        sql_scripting_median_bisect,
+    )
+    from syllabus_sense_spark.tables import load
+
+    cents = sorted(
+        r.c
+        for r in load(spark, sf_dir, "orders")
+        .selectExpr("CAST(o_totalprice * 100 AS BIGINT) AS c")
+        .collect()
+    )
+    row = sql_scripting_median_bisect(spark, sf_dir).collect()[0]
+    assert row.n_orders == len(cents)
+    assert row.median_cents == cents[(len(cents) + 1) // 2 - 1]
+
+
+def test_state_reader_matches_batch_counts(spark, sf_dir):
+    """The checkpoint state read back via the statestore source must
+    equal the exact batch GROUP BY — no lost or duplicated updates."""
+    from collections import Counter
+
+    from syllabus_sense_spark.queries.spark4_features4 import (
+        streaming_state_reader,
+    )
+    from syllabus_sense_spark.tables import load
+
+    want = Counter(
+        r.event_type
+        for r in load(spark, sf_dir, "events").select("event_type").collect()
+    )
+    got = {
+        r.event_type: r.n_events
+        for r in streaming_state_reader(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+
+
 def test_containment_grouped_expansion_equals_join_form(spark):
     """The round-7 C(df,2) array expansion must reproduce the naive
     h-equi-self-join candidate counts exactly (duplicates, ordering,
