@@ -31,17 +31,31 @@ def asof_join(
     value_cols: Sequence[str],
     how: str = "left",
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right[right_time] <= left[left_time]`` and equal key(s).
+    """For each left row, attach the matching right row with equal
+    key(s), where the match is chosen by ``direction`` (the three
+    pandas ``merge_asof`` modes):
+
+    - ``'backward'`` (default): latest right with rt <= lt,
+    - ``'forward'``: earliest right with rt >= lt,
+    - ``'nearest'``: whichever of those two candidates is closer in
+      time; an exact distance tie prefers the backward candidate.
 
     ``tiebreak``: a right column ordering equal-timestamp reference
     rows; the row with the greatest tiebreak value wins (deterministic
     results need this whenever right timestamps can collide).
-    ``how='inner'`` drops left rows with no prior right row; ``'left'``
-    keeps them with nulls.
+    ``how='inner'`` drops left rows with no match; ``'left'`` keeps
+    them with nulls.
+
+    All three directions cost ONE shuffle on the key: forward is the
+    backward composition over reversed time order, and nearest runs
+    both window passes over the same hash exchange (same partitioning,
+    two sorts) and picks per row — never a range join.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     left_cols = list(left.columns)
     tb_col = (
         F.col(tiebreak).cast("double")
@@ -75,21 +89,53 @@ def asof_join(
     r_tagged = r_tagged.select(l_tagged.columns)
 
     unioned = l_tagged.unionByName(r_tagged)
-    w = (
+    # Backward pass: ascending time, reference rows before probe rows
+    # at equal timestamps (inclusive <=), greatest tiebreak last so
+    # last() picks it. Forward pass: the same composition over
+    # REVERSED time order — the last reference row before the probe in
+    # descending order is the earliest rt >= lt. Both windows share
+    # the hash partitioning, so nearest still shuffles once.
+    w_back = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__t"), F.col("__is_probe"), F.col("__tb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # All value columns are carried from the same winning reference row:
-    # pack them into one struct so last(..., ignorenulls) is atomic.
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").desc(), F.col("__is_probe"), F.col("__tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # All value columns are carried from the same winning reference
+    # row: pack them (plus the reference time, which nearest needs for
+    # its distance compare) into one struct so last(..., ignorenulls)
+    # is atomic.
     packed = F.when(
         F.col("__is_probe") == 0,
-        F.struct(*[F.col(f"__v_{c}").alias(c) for c in value_cols]),
+        F.struct(
+            *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+            F.col("__t").alias("__rt"),
+        ),
     )
+    if direction == "backward":
+        match = F.last(packed, ignorenulls=True).over(w_back)
+    elif direction == "forward":
+        match = F.last(packed, ignorenulls=True).over(w_fwd)
+    else:  # nearest: both candidates, pick the closer (tie -> backward)
+        back = F.last(packed, ignorenulls=True).over(w_back)
+        fwd = F.last(packed, ignorenulls=True).over(w_fwd)
+        t_us = F.unix_micros(F.col("__t").cast("timestamp"))
+        back_d = t_us - F.unix_micros(back["__rt"].cast("timestamp"))
+        fwd_d = F.unix_micros(fwd["__rt"].cast("timestamp")) - t_us
+        match = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(fwd_d < back_d, fwd)
+            .otherwise(back)
+        )
     filled = unioned.select(
         *[F.col(c) for c in left_cols],
         F.col("__is_probe"),
-        F.last(packed, ignorenulls=True).over(w).alias("__match"),
+        match.alias("__match"),
     )
     out = filled.filter(F.col("__is_probe") == 1).select(
         *[F.col(c) for c in left_cols],

@@ -181,6 +181,8 @@ _NEW_THIS_ROUND: list[str] = [
     "streaming_outer_join_drain",
     "sql_scripting_median_bisect",
     "streaming_state_reader",
+    "events_asof_next_order",
+    "events_asof_nearest_order",
 ]
 
 

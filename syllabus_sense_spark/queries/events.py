@@ -224,3 +224,117 @@ def events_asof_inner(spark, sf_dir):
         F.col("o_orderkey").alias("last_orderkey"),
         F.col("o_orderdate").alias("last_orderdate"),
     )
+
+
+_ASOF_FORWARD_ORACLE = """
+SELECT
+  e.event_id,
+  e.user_id,
+  e.ts,
+  o.o_orderkey AS next_orderkey,
+  o.o_orderdate AS next_orderdate
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_orderdate
+  FROM orders
+  WHERE o_custkey = e.user_id AND o_orderdate >= e.ts
+  ORDER BY o_orderdate ASC, o_orderkey DESC
+  LIMIT 1
+) o ON TRUE
+WHERE e.event_type = 'purchase'
+"""
+
+
+@register("events_asof_next_order", _ASOF_FORWARD_ORACLE)
+def events_asof_next_order(spark, sf_dir):
+    # Forward-mode as-of (merge_asof direction='forward'): each
+    # purchase event picks up the user's EARLIEST order at or after
+    # event time — the conversion-attribution lookup. Same
+    # single-shuffle union+window plan as backward, over reversed
+    # time order (operators/asof.py direction='forward').
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate"),
+    )
+    joined = asof_join(
+        e,
+        o,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey", "o_orderdate"],
+        how="left",
+        tiebreak="o_orderkey",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_orderdate").alias("next_orderdate"),
+    )
+
+
+_ASOF_NEAREST_ORACLE = """
+SELECT
+  e.event_id,
+  e.user_id,
+  e.ts,
+  o.o_orderkey AS nearest_orderkey,
+  o.o_orderdate AS nearest_orderdate
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_orderdate
+  FROM orders
+  WHERE o_custkey = e.user_id
+  ORDER BY abs(epoch_us(e.ts) - epoch_us(CAST(o_orderdate AS TIMESTAMP))),
+           CASE WHEN o_orderdate <= e.ts THEN 0 ELSE 1 END,
+           o_orderkey DESC
+  LIMIT 1
+) o ON TRUE
+WHERE e.event_type = 'purchase'
+"""
+
+
+@register("events_asof_nearest_order", _ASOF_NEAREST_ORACLE)
+def events_asof_nearest_order(spark, sf_dir):
+    # Nearest-mode as-of (merge_asof direction='nearest'): the closer
+    # of the backward and forward candidates, exact distance ties
+    # preferring backward. Still ONE shuffle: both window passes share
+    # the hash exchange (same partition keys, two sort orders) —
+    # never a range join (operators/asof.py direction='nearest').
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate"),
+    )
+    joined = asof_join(
+        e,
+        o,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey", "o_orderdate"],
+        how="left",
+        tiebreak="o_orderkey",
+        direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("nearest_orderkey"),
+        F.col("o_orderdate").alias("nearest_orderdate"),
+    )
