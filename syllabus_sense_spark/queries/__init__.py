@@ -183,6 +183,8 @@ _NEW_THIS_ROUND: list[str] = [
     "streaming_state_reader",
     "events_asof_next_order",
     "events_asof_nearest_order",
+    "training_curriculum_stages",
+    "sample_priority_wor",
 ]
 
 
@@ -337,6 +339,7 @@ def load_all_queries() -> None:
         ext_training14,
         ext_similarity3,
         ext_training15,
+        ext_training16,
         ml_queries4,
         source_queries2,
         events21,

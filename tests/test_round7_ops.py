@@ -206,6 +206,77 @@ def test_state_reader_matches_batch_counts(spark, sf_dir):
     assert got == dict(want)
 
 
+def test_curriculum_stage_boundaries_and_keys(spark, sf_dir):
+    """Stages must be the exact quartile bucketing of the integer
+    difficulty score, and schedule keys the md5 replay."""
+    from syllabus_sense_spark.queries.ext_training16 import (
+        training_curriculum_stages,
+    )
+    from syllabus_sense_spark.tables import load
+
+    rows = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    ).collect()
+    diff = {}
+    for r in rows:
+        n_toks = len([t for t in r.text.split() if t])
+        if n_toks > 0:
+            diff[r.doc_id] = r.n_chars * 1000 // n_toks
+    vals = sorted(diff.values())
+
+    def q(p):
+        # percentile_disc: smallest value at or above rank ceil(p*n)
+        import math
+
+        return vals[max(0, math.ceil(p * len(vals)) - 1)]
+
+    q1, q2, q3 = q(0.25), q(0.50), q(0.75)
+    got = {r.doc_id: r for r in training_curriculum_stages(spark, sf_dir).collect()}
+    assert set(got) == set(diff)
+    for doc_id, d in diff.items():
+        r = got[doc_id]
+        assert r.difficulty_milli == d
+        assert r.stage == 1 + (d > q1) + (d > q2) + (d > q3)
+        want_key = int(
+            hashlib.md5(f"cur:{doc_id}".encode()).hexdigest()[:12], 16
+        )
+        assert r.schedule_key == want_key
+    # All four stages populated, and stage sizes within quartile slack.
+    from collections import Counter
+
+    sizes = Counter(r.stage for r in got.values())
+    assert set(sizes) == {1, 2, 3, 4}
+
+
+def test_priority_sampling_matches_dlt_replay(spark, sf_dir):
+    """Per-lang top-k by the integer Duffield-Lund-Thorup priority
+    (w << 20) / (1 + h20) must match a pure-Python replay."""
+    from syllabus_sense_spark.queries.ext_training16 import (
+        _K,
+        sample_priority_wor,
+    )
+    from syllabus_sense_spark.tables import load
+
+    rows = load(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in rows:
+        w = max(r.n_chars, 1)
+        u = 1 + int(hashlib.md5(f"pri:{r.doc_id}".encode()).hexdigest()[:5], 16)
+        groups.setdefault(r.lang, []).append((w * 1048576 // u, r.doc_id, w))
+    want = set()
+    for lang, items in groups.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        for rnk, (p, doc_id, w) in enumerate(items[:_K], start=1):
+            want.add((lang, doc_id, w, p, rnk))
+    got = {
+        (r.lang, r.doc_id, r.weight, r.priority, r.rnk)
+        for r in sample_priority_wor(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_containment_grouped_expansion_equals_join_form(spark):
     """The round-7 C(df,2) array expansion must reproduce the naive
     h-equi-self-join candidate counts exactly (duplicates, ordering,

@@ -108,6 +108,9 @@ ALLOW = {
     "orders_open_aging": {"BNLJ"},
     # brand stats x 1-row corpus-total scalar aggregate (index base)
     "part_brand_price_index": {"BNLJ"},
+    # 1-row broadcast of the quartile-boundary ordered-set aggregate —
+    # the same intentional scalar-broadcast shape as events_equidepth_deciles
+    "training_curriculum_stages": {"BNLJ"},
 }
 
 
