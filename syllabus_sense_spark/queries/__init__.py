@@ -185,6 +185,7 @@ _NEW_THIS_ROUND: list[str] = [
     "events_asof_nearest_order",
     "training_curriculum_stages",
     "sample_priority_wor",
+    "graph_bfs_levels",
 ]
 
 
@@ -335,6 +336,7 @@ def load_all_queries() -> None:
         ext_text9,
         relational10,
         ext_graph6,
+        ext_graph7,
         ext_training13,
         ext_training14,
         ext_similarity3,

@@ -1,0 +1,117 @@
+"""[EXT] Multi-source BFS levels (bounded-hop shortest path) over the
+customer ⇄ supplier trade graph — the SSSP/frontier-expansion member
+of the graph family (PageRank = value redistribution, components =
+min-label convergence, label propagation = mode fold, k-core =
+peeling; BFS = min-plus distance fold).
+
+Seeds are the customers with custkey % 100 == 1 (level 0). Three
+unrolled min-plus iterations: level_{k+1}(v) = min(level_k(v),
+1 + min over edges u→v of level_k(u)) — after k rounds every node
+within k hops of a seed carries its exact BFS distance; nodes
+farther than 3 hops are absent from the output (unreached under the
+bounded unroll, exactly as the oracle computes).
+
+All arithmetic is integer MIN folds — bit-identical under any
+partitioning. The DuckDB oracle unrolls the same three min-plus
+rounds as chained CTEs over the identical edge list.
+
+Scale posture: per iteration ONE equi-join (edges ⋈ levels on src —
+the level table enters as a broadcast while it fits; at web scale
+drop the hint and AQE shuffles on the same key) plus one
+map-side-combined groupBy(node) MIN. The distance table is one row
+per REACHED node (≤ nodes ≪ edges). Same shape and artifact reuse as
+graph_pagerank_trade (the session-persisted trade_edges snapshot —
+built once per corpus, probed by every graph job).
+
+Reference anchor: none ([EXT] per SURVEY.md §2); the per-round
+frontier join+MIN is the Pregel BFS shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import register
+
+_SUPP_OFFSET = 1_000_000
+_HOPS = 3
+
+
+def _oracle() -> str:
+    head = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+und AS (
+  SELECT cust AS src, supp + {_SUPP_OFFSET} AS dst FROM edges
+  UNION ALL
+  SELECT supp + {_SUPP_OFFSET} AS src, cust AS dst FROM edges
+),
+l0 AS (
+  SELECT DISTINCT cust AS node, CAST(0 AS BIGINT) AS level
+  FROM edges WHERE cust % 100 = 1
+)"""
+    steps = []
+    for k in range(1, _HOPS + 1):
+        steps.append(
+            f""",
+l{k} AS (
+  SELECT node, MIN(level) AS level FROM (
+    SELECT node, level FROM l{k - 1}
+    UNION ALL
+    SELECT u.dst AS node, p.level + 1 AS level
+    FROM und u JOIN l{k - 1} p ON p.node = u.src
+  ) GROUP BY node
+)"""
+        )
+    return head + "".join(steps) + f"\nSELECT node, level FROM l{_HOPS}"
+
+
+@register("graph_bfs_levels", _oracle())
+def graph_bfs_levels(spark, sf_dir):
+    from .ext_dedup import session_artifact
+
+    def _build_edges():
+        orders = load(spark, sf_dir, "orders")
+        lineitem = load(spark, sf_dir, "lineitem")
+        return (
+            orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+            .select(
+                F.col("o_custkey").alias("cust"),
+                F.col("l_suppkey").alias("supp"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+
+    edges = session_artifact(
+        spark, sf_dir, "trade_edges", _build_edges, persist=False
+    )
+    und = edges.select(
+        F.col("cust").alias("src"),
+        (F.col("supp") + _SUPP_OFFSET).alias("dst"),
+    ).unionByName(
+        edges.select(
+            (F.col("supp") + _SUPP_OFFSET).alias("src"),
+            F.col("cust").alias("dst"),
+        )
+    )
+    levels = (
+        edges.filter(F.col("cust") % 100 == 1)
+        .select(F.col("cust").alias("node"))
+        .distinct()
+        .withColumn("level", F.lit(0).cast("long"))
+    )
+    # Fixed 3-hop unroll stays lazy (linear plan, one shuffle per
+    # round — the groupBy MIN); the level table enters each join as a
+    # broadcast while it fits, exactly as graph_pagerank_trade.
+    for _ in range(_HOPS):
+        expanded = (
+            und.join(F.broadcast(levels), und.src == levels.node)
+            .select(F.col("dst").alias("node"), (F.col("level") + 1).alias("level"))
+            .unionByName(levels)
+        )
+        levels = expanded.groupBy("node").agg(F.min("level").alias("level"))
+    return levels

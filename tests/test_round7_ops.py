@@ -277,6 +277,48 @@ def test_priority_sampling_matches_dlt_replay(spark, sf_dir):
     assert got == want
 
 
+def test_bfs_levels_match_python_replay(spark, sf_dir):
+    """3-hop multi-source BFS must equal a pure-Python BFS over the
+    same trade graph, including which nodes stay unreached."""
+    from syllabus_sense_spark.queries.ext_graph7 import (
+        _HOPS,
+        _SUPP_OFFSET,
+        graph_bfs_levels,
+    )
+    from syllabus_sense_spark.tables import load
+
+    orders = {
+        r.o_orderkey: r.o_custkey
+        for r in load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        ).collect()
+    }
+    pairs = {
+        (orders[r.l_orderkey], r.l_suppkey)
+        for r in load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        ).collect()
+        if r.l_orderkey in orders
+    }
+    adj: dict[int, set[int]] = {}
+    for c, s in pairs:
+        adj.setdefault(c, set()).add(s + _SUPP_OFFSET)
+        adj.setdefault(s + _SUPP_OFFSET, set()).add(c)
+    level = {c: 0 for c, _ in pairs if c % 100 == 1}
+    frontier = dict(level)
+    for d in range(1, _HOPS + 1):
+        nxt = {}
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in level:
+                    nxt[v] = d
+        level.update(nxt)
+        frontier = nxt
+    got = {r.node: r.level for r in graph_bfs_levels(spark, sf_dir).collect()}
+    assert got == level
+    assert set(level.values()) >= {0, 1, 2}
+
+
 def test_containment_grouped_expansion_equals_join_form(spark):
     """The round-7 C(df,2) array expansion must reproduce the naive
     h-equi-self-join candidate counts exactly (duplicates, ordering,
