@@ -186,6 +186,7 @@ _NEW_THIS_ROUND: list[str] = [
     "training_curriculum_stages",
     "sample_priority_wor",
     "graph_bfs_levels",
+    "join_bloom_runtime_filter",
 ]
 
 
@@ -335,6 +336,7 @@ def load_all_queries() -> None:
         windows5,
         ext_text9,
         relational10,
+        relational11,
         ext_graph6,
         ext_graph7,
         ext_training13,

@@ -319,6 +319,37 @@ def test_bfs_levels_match_python_replay(spark, sf_dir):
     assert set(level.values()) >= {0, 1, 2}
 
 
+def test_bloom_runtime_filter_injected_and_scoped(spark, sf_dir):
+    """Under the scoped confs the optimizer must inject the runtime
+    bloom filter (bloom_filter_agg on the build side, might_contain on
+    the probe scan); after the query runs, every conf must be back to
+    its prior value."""
+    from syllabus_sense_spark.queries.relational11 import (
+        _CONFS,
+        bloom_joined,
+        join_bloom_runtime_filter,
+        scoped_confs,
+    )
+
+    before = {k: spark.conf.get(k, None) for k in _CONFS}
+    with scoped_confs(spark, _CONFS):
+        plan = (
+            bloom_joined(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    after = {k: spark.conf.get(k, None) for k in _CONFS}
+    assert after == before
+    # The registered query materializes then restores — same check.
+    rows = join_bloom_runtime_filter(spark, sf_dir).collect()
+    assert {k: spark.conf.get(k, None) for k in _CONFS} == before
+    assert rows and all(r.n_items > 0 for r in rows)
+
+
 def test_containment_grouped_expansion_equals_join_form(spark):
     """The round-7 C(df,2) array expansion must reproduce the naive
     h-equi-self-join candidate counts exactly (duplicates, ordering,
