@@ -336,7 +336,7 @@ def load_all_queries() -> None:
         windows5,
         ext_text9,
         relational10,
-        relational11,
+        relational12,
         ext_graph6,
         ext_graph7,
         ext_training13,

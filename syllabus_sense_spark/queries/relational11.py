@@ -1,103 +1,227 @@
-"""Runtime bloom-filter join pruning — Spark's row-level runtime
-filter (SPARK-32268): when a shuffle join's build side carries a
-selective predicate, the optimizer injects a `bloom_filter_agg` of
-the build-side join keys and wraps the probe-side scan in
-`might_contain`, so most non-matching lineitem rows are dropped AT
-THE SCAN before paying the shuffle. At 100 TB this is the difference
-between shuffling the full fact table and shuffling ~the matching
-fraction — the single biggest lever on selective fact-dim shuffle
-joins after partition pruning.
+"""Closing KPI batch: open-order aging, brand price index, the 80/20
+check, and supplier-concentration HHI deciles — four one-screen
+reports finishing the BI surface.
 
-Harness posture: the feature is size-gated (application side must
-look big, creation side small, and the join must not be about to
-broadcast), so the query scopes the three gating confs to its own
-execution — disabling auto-broadcast so the join genuinely shuffles,
-thresholds widened so the tiny harness tables qualify — materializes
-the (5-row) aggregate under those confs via `localCheckpoint`, then
-RESTORES every conf before returning, so no other query's plan is
-perturbed. Production keeps the defaults: real fact tables clear the
-10 GB application-side bar on their own. The bloom filter is
-semantically transparent (false positives only pre-filter; the join
-still verifies), so the DuckDB oracle is the plain join — the hash
-match certifies transparency while tests/test_round7_ops.py pins the
-plan shape (bloom_filter_agg + might_contain present under the
-scoped confs).
-
-Reference anchor: none ([EXT] engine surface per SURVEY.md §2
-Table B joins).
+Aging is relative to the dataset's max order date (a deterministic
+"as-of" — wall-clock now would break re-runs AND the oracle); the
+price index and HHI use the documented fixed-order IEEE floor-ppm
+(their BIGINT cross-products overflow at warehouse scale); the 80/20
+row reuses the concentration machinery at a single cut point.
 """
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2
+from ._util import dec2, epoch_us
 
-_BLOOM_ORACLE = """
-SELECT
-  l.l_returnflag,
-  CAST(COUNT(*) AS BIGINT) AS n_items,
-  CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-       AS BIGINT) AS revenue_cents
-FROM lineitem l
-JOIN orders o ON l.l_orderkey = o.o_orderkey
-WHERE o.o_orderpriority = '1-URGENT'
-GROUP BY l.l_returnflag
+_US_PER_DAY = 86_400_000_000
+
+_AGING_ORACLE = f"""
+WITH maxd AS (SELECT MAX(epoch_us(o_orderdate)) AS mx FROM orders),
+open_orders AS (
+  SELECT (mx - epoch_us(o_orderdate)) // {_US_PER_DAY} AS days_open,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders CROSS JOIN maxd
+  WHERE o_orderstatus = 'O'
+)
+SELECT CAST(CASE WHEN days_open <= 365 THEN 0
+                 WHEN days_open <= 730 THEN 1
+                 ELSE 2 END AS INT) AS age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS cents,
+       CAST(MIN(days_open) AS BIGINT) AS min_days,
+       CAST(MAX(days_open) AS BIGINT) AS max_days
+FROM open_orders GROUP BY 1
 """
 
-_CONFS = {
-    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
-    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
-    "spark.sql.autoBroadcastJoinThreshold": "-1",
-}
 
-
-def bloom_joined(spark, sf_dir):
-    """The join+agg expression; callers scope the gating confs."""
-    o = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
+@register("orders_open_aging", _AGING_ORACLE)
+def orders_open_aging(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        epoch_us(F.col("o_orderdate")).alias("us"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    l = load(spark, sf_dir, "lineitem")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_items"),
-            F.sum((dec2("l_extendedprice") * 100).cast("long"))
-            .cast("long")
-            .alias("revenue_cents"),
+    maxd = o.agg(F.max("us").alias("mx"))
+    open_orders = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .join(F.broadcast(maxd))
+        .select(
+            F.expr(f"(mx - us) DIV {_US_PER_DAY}").alias("days_open"),
+            "cents",
         )
     )
+    return open_orders.groupBy(
+        F.expr(
+            "CAST(CASE WHEN days_open <= 365 THEN 0"
+            " WHEN days_open <= 730 THEN 1 ELSE 2 END AS INT)"
+        ).alias("age_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.min("days_open").cast("bigint").alias("min_days"),
+        F.max("days_open").cast("bigint").alias("max_days"),
+    )
 
 
-class scoped_confs:
-    """Set confs for a block, restoring prior values (or unsetting)."""
-
-    def __init__(self, spark, confs):
-        self.spark, self.confs, self.saved = spark, confs, {}
-
-    def __enter__(self):
-        for k, v in self.confs.items():
-            self.saved[k] = self.spark.conf.get(k, None)
-            self.spark.conf.set(k, v)
-        return self
-
-    def __exit__(self, *exc):
-        for k, old in self.saved.items():
-            if old is None:
-                self.spark.conf.unset(k)
-            else:
-                self.spark.conf.set(k, old)
-        return False
+_PRICE_INDEX_ORACLE = """
+WITH b AS (
+  SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM part GROUP BY p_brand
+),
+t AS (SELECT SUM(n) AS tn, SUM(cents) AS tc FROM b)
+SELECT p_brand, CAST(n AS BIGINT) AS n_parts,
+       CAST(FLOOR((CAST(cents AS DOUBLE) / CAST(n AS DOUBLE))
+                  * 1000000.0
+                  / (CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE))) AS BIGINT)
+         AS price_index_ppm
+FROM b CROSS JOIN t
+"""
 
 
-@register("join_bloom_runtime_filter", _BLOOM_ORACLE)
-def join_bloom_runtime_filter(spark, sf_dir):
-    with scoped_confs(spark, _CONFS):
-        # localCheckpoint materializes under the scoped confs (the
-        # optimizer injects the bloom filter at this action); the
-        # returned handle no longer depends on them.
-        return bloom_joined(spark, sf_dir).localCheckpoint()
+@register("part_brand_price_index", _PRICE_INDEX_ORACLE)
+def part_brand_price_index(spark, sf_dir):
+    b = load(spark, sf_dir, "part").groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(dec2("p_retailprice")) * 100).cast("bigint").alias("cents"),
+    )
+    t = b.agg(F.sum("n").alias("tn"), F.sum("cents").alias("tc"))
+    return b.join(F.broadcast(t)).select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n_parts"),
+        F.expr(
+            "CAST(FLOOR((CAST(cents AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * 1000000.0"
+            " / (CAST(tc AS DOUBLE) / CAST(tn AS DOUBLE))) AS BIGINT)"
+        ).alias("price_index_ppm"),
+    )
+
+
+_PARETO_8020_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey ASC) AS rk,
+         COUNT(*) OVER () AS n,
+         SUM(cents) OVER () AS total
+  FROM rev
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(MAX(n) // 5 AS BIGINT) AS top20_count,
+       CAST(SUM(CASE WHEN 5 * rk <= n THEN cents ELSE 0 END) AS BIGINT)
+         AS top20_cents,
+       CAST(FLOOR(CAST(SUM(CASE WHEN 5 * rk <= n THEN cents ELSE 0 END)
+                       AS DOUBLE) * 1000000.0
+                  / CAST(MAX(total) AS DOUBLE)) AS BIGINT)
+         AS top20_share_ppm
+FROM ranked
+"""
+
+
+@register("orders_pareto_8020", _PARETO_8020_ORACLE)
+def orders_pareto_8020(spark, sf_dir):
+    rev = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        (F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("cents")
+    )
+    w_rk = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cents").over(w_all).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.expr("CAST(MAX(n) DIV 5 AS BIGINT)").alias("top20_count"),
+        F.sum(F.when(5 * F.col("rk") <= F.col("n"), F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("top20_cents"),
+        F.expr(
+            "CAST(FLOOR(CAST(SUM(CASE WHEN 5 * rk <= n THEN cents ELSE 0 END)"
+            " AS DOUBLE) * 1000000.0"
+            " / CAST(MAX(total) AS DOUBLE)) AS BIGINT)"
+        ).alias("top20_share_ppm"),
+    )
+
+
+_HHI_ORACLE = """
+WITH sp AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_partkey, SUM(q) AS tq, COUNT(*) AS n_suppliers FROM sp
+  GROUP BY l_partkey
+),
+hhi AS (
+  SELECT s.l_partkey, MAX(t.n_suppliers) AS n_suppliers,
+         SUM(CAST(FLOOR((CAST(s.q AS DOUBLE) / CAST(t.tq AS DOUBLE))
+                        * (CAST(s.q AS DOUBLE) / CAST(t.tq AS DOUBLE))
+                        * 1000000000000.0) AS BIGINT)) AS hhi_e12
+  FROM sp s JOIN tot t ON t.l_partkey = s.l_partkey
+  GROUP BY s.l_partkey
+)
+SELECT CAST(hhi_e12 // 1000000 // 100000 AS INT) AS hhi_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MIN(n_suppliers) AS BIGINT) AS min_suppliers,
+       CAST(MAX(n_suppliers) AS BIGINT) AS max_suppliers
+FROM hhi GROUP BY 1
+"""
+
+
+@register("supply_concentration_hhi", _HHI_ORACLE)
+def supply_concentration_hhi(spark, sf_dir):
+    """Supplier-concentration Herfindahl index per part, rolled to
+    HHI deciles (the procurement-risk report). Summing share²
+    DOUBLEs would be order-dependent (the no-float-aggregation
+    rule), so each share² is floor-scaled to an integer FIRST
+    (×1e12, one fixed-order IEEE expression per term) and the SUM is
+    integer — order-free and bit-identical across engines, at the
+    cost of ≤1e-12 truncation per term."""
+    sp = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((F.sum(dec2("l_quantity")) * 100).cast("bigint").alias("q"))
+    )
+    tot = sp.groupBy("l_partkey").agg(
+        F.sum("q").alias("tq"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    hhi = (
+        sp.join(tot, "l_partkey")
+        .groupBy("l_partkey")
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR((CAST(q AS DOUBLE) / CAST(tq AS DOUBLE))"
+                    " * (CAST(q AS DOUBLE) / CAST(tq AS DOUBLE))"
+                    " * 1000000000000.0) AS BIGINT)"
+                )
+            ).alias("hhi_e12"),
+        )
+        .select(
+            "l_partkey",
+            "n_suppliers",
+            F.expr("hhi_e12 DIV 1000000").alias("hhi_e6"),
+        )
+    )
+    return hhi.groupBy(
+        F.expr("CAST(hhi_e6 DIV 100000 AS INT)").alias("hhi_decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.min("n_suppliers").cast("bigint").alias("min_suppliers"),
+        F.max("n_suppliers").cast("bigint").alias("max_suppliers"),
+    )
