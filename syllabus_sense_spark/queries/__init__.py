@@ -187,6 +187,7 @@ _NEW_THIS_ROUND: list[str] = [
     "sample_priority_wor",
     "graph_bfs_levels",
     "join_bloom_runtime_filter",
+    "source_docx_pushdown",
 ]
 
 
@@ -346,6 +347,7 @@ def load_all_queries() -> None:
         ext_training16,
         ml_queries4,
         source_queries2,
+        source_queries3,
         events21,
         relational11,
         ext_text10,

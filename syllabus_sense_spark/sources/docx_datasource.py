@@ -21,7 +21,12 @@ import glob
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+)
 
 from ..errors import InvalidDocumentSourceError
 from .docx import DOCX_ELEMENT_SCHEMA, parse_docx_bytes
@@ -33,10 +38,37 @@ class DocxFilePartition(InputPartition):
 
 
 class DocxDataSourceReader(DataSourceReader):
+    """One partition per document; supports Spark 4.1 filter pushdown
+    (gated on ``spark.sql.python.filterPushdown.enabled``):
+
+    - ``path = <literal>`` prunes at PARTITION PLANNING — non-matching
+      files are never listed into partitions, the source-level
+      equivalent of partition pruning (at 100 TB: skip the files, not
+      the rows);
+    - ``element_type = <literal>`` is applied inside ``read`` — rows
+      are dropped at parse time before ever crossing into the JVM.
+
+    Everything else is returned unsupported, so Spark still applies it
+    post-scan — pushdown must be transparent, never a semantic change.
+    """
+
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise InvalidDocumentSourceError("<missing>", "No path supplied")
+        self.path_eq: str | None = None
+        self.type_eq: str | None = None
+
+    def pushFilters(self, filters):
+        unsupported = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("path",):
+                self.path_eq = f.value
+            elif isinstance(f, EqualTo) and f.attribute == ("element_type",):
+                self.type_eq = f.value
+            else:
+                unsupported.append(f)
+        return unsupported
 
     def partitions(self):
         # Driver-side listing only (object stores: the listing API);
@@ -47,6 +79,10 @@ class DocxDataSourceReader(DataSourceReader):
             else self.path
         )
         files = sorted(glob.glob(pattern, recursive=True))
+        if self.path_eq is not None:
+            # Pushed path equality: prune whole files from the plan.
+            files = [p for p in files if p == self.path_eq]
+            return [DocxFilePartition(p) for p in files]
         if not files:
             raise InvalidDocumentSourceError(self.path, "No .docx documents under path")
         return [DocxFilePartition(p) for p in files]
@@ -61,6 +97,8 @@ class DocxDataSourceReader(DataSourceReader):
             # of every other document is unaffected.
             return
         for idx, etype, text, rows in parsed:
+            if self.type_eq is not None and etype != self.type_eq:
+                continue
             yield (partition.path, idx, etype, text, rows)
 
 

@@ -324,7 +324,7 @@ def test_bloom_runtime_filter_injected_and_scoped(spark, sf_dir):
     bloom filter (bloom_filter_agg on the build side, might_contain on
     the probe scan); after the query runs, every conf must be back to
     its prior value."""
-    from syllabus_sense_spark.queries.relational11 import (
+    from syllabus_sense_spark.queries.relational12 import (
         _CONFS,
         bloom_joined,
         join_bloom_runtime_filter,
@@ -348,6 +348,61 @@ def test_bloom_runtime_filter_injected_and_scoped(spark, sf_dir):
     rows = join_bloom_runtime_filter(spark, sf_dir).collect()
     assert {k: spark.conf.get(k, None) for k in _CONFS} == before
     assert rows and all(r.n_items > 0 for r in rows)
+
+
+def test_docx_pushdown_contracts(spark):
+    """pushFilters must claim only the two supported equalities, path
+    equality must prune partitions at planning, type equality must
+    drop rows at parse, and the pushed scan must equal the unpushed
+    one (transparency)."""
+    import os
+
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from syllabus_sense_spark.queries.relational12 import scoped_confs
+    from syllabus_sense_spark.queries.source_queries3 import (
+        _FIXTURE,
+        _PUSH_CONF,
+    )
+    from syllabus_sense_spark.sources.docx_datasource import (
+        DocxDataSourceReader,
+        register_docx_source,
+    )
+
+    if not os.path.exists(_FIXTURE):
+        import pytest
+
+        pytest.skip("reference fixture unavailable")
+
+    r = DocxDataSourceReader({"path": os.path.dirname(_FIXTURE)})
+    fs = [
+        EqualTo(("path",), _FIXTURE),
+        EqualTo(("element_type",), "table"),
+        GreaterThan(("element_idx",), 5),
+    ]
+    unsupported = list(r.pushFilters(fs))
+    assert unsupported == [fs[2]]  # only the range filter handed back
+    assert [p.path for p in r.partitions()] == [_FIXTURE]
+    rows = list(r.read(r.partitions()[0]))
+    assert rows and all(t[2] == "table" for t in rows)
+
+    # Path equality that matches nothing prunes to zero partitions.
+    r2 = DocxDataSourceReader({"path": os.path.dirname(_FIXTURE)})
+    r2.pushFilters([EqualTo(("path",), "/nonexistent.docx")])
+    assert r2.partitions() == []
+
+    # End-to-end transparency: pushed and unpushed scans agree.
+    register_docx_source(spark)
+    q = (
+        spark.read.format("docx")
+        .load(os.path.dirname(_FIXTURE))
+        .filter(F.col("element_type") == "paragraph")
+        .select("element_idx", "text")
+    )
+    with scoped_confs(spark, _PUSH_CONF):
+        pushed = sorted((r.element_idx, r.text) for r in q.collect())
+    unpushed = sorted((r.element_idx, r.text) for r in q.collect())
+    assert pushed == unpushed and len(pushed) == 29
 
 
 def test_containment_grouped_expansion_equals_join_form(spark):
