@@ -188,6 +188,8 @@ _NEW_THIS_ROUND: list[str] = [
     "graph_bfs_levels",
     "join_bloom_runtime_filter",
     "source_docx_pushdown",
+    "arrow_grouped_doc_stats",
+    "arrow_cogroup_order_event_stats",
 ]
 
 
@@ -321,6 +323,7 @@ def load_all_queries() -> None:
         ext_sketches4,
         spark4_features3,
         spark4_features4,
+        spark4_features5,
         relational8,
         ext_training12,
         ext_dedup7,

@@ -405,6 +405,37 @@ def test_docx_pushdown_contracts(spark):
     assert pushed == unpushed and len(pushed) == 29
 
 
+def test_arrow_cogroup_covers_one_sided_keys(spark, sf_dir):
+    """The cogrouped Arrow combine must behave FULL OUTER: keys with
+    only orders or only events still produce a row, with zero counts
+    on the absent side."""
+    from syllabus_sense_spark.queries.spark4_features5 import (
+        arrow_cogroup_order_event_stats,
+    )
+    from syllabus_sense_spark.tables import load
+
+    got = {
+        r.user_id: (r.n_orders, r.n_events)
+        for r in arrow_cogroup_order_event_stats(spark, sf_dir).collect()
+    }
+    custs = {
+        r.o_custkey
+        for r in load(spark, sf_dir, "orders").select("o_custkey").collect()
+    }
+    users = {
+        r.user_id
+        for r in load(spark, sf_dir, "events").select("user_id").collect()
+    }
+    assert set(got) == custs | users
+    only_orders = custs - users
+    only_events = users - custs
+    assert only_orders or only_events  # the outer shape is exercised
+    for k in only_orders:
+        assert got[k][1] == 0 and got[k][0] > 0
+    for k in only_events:
+        assert got[k][0] == 0 and got[k][1] > 0
+
+
 def test_containment_grouped_expansion_equals_join_form(spark):
     """The round-7 C(df,2) array expansion must reproduce the naive
     h-equi-self-join candidate counts exactly (duplicates, ordering,
