@@ -190,6 +190,7 @@ _NEW_THIS_ROUND: list[str] = [
     "source_docx_pushdown",
     "arrow_grouped_doc_stats",
     "arrow_cogroup_order_event_stats",
+    "streaming_full_outer_join_drain",
 ]
 
 

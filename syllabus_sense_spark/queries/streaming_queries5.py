@@ -119,3 +119,114 @@ def streaming_outer_join_drain(spark, sf_dir):
     )
     assert q.awaitTermination(600), "availableNow stream drain timed out"
     return spark.sql(f"SELECT * FROM {name}")
+
+
+_FULL_OUTER_JOIN_ORACLE = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT LEAST((SELECT MAX(view_ts) FROM v),
+               (SELECT MAX(purchase_ts) FROM p))
+         - INTERVAL 2 HOUR AS w
+)
+SELECT v.view_id, p.purchase_id, v.user_id, v.view_ts, p.purchase_ts
+FROM v JOIN p
+  ON p.user_id = v.user_id
+ AND p.purchase_ts > v.view_ts
+ AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT v.view_id, CAST(NULL AS BIGINT), v.user_id,
+       v.view_ts, CAST(NULL AS TIMESTAMP)
+FROM v, wm
+WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.purchase_ts > v.view_ts
+          AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+      )
+  AND v.view_ts + INTERVAL 1 HOUR <= wm.w
+UNION ALL
+SELECT CAST(NULL AS BIGINT), p.purchase_id, p.user_id,
+       CAST(NULL AS TIMESTAMP), p.purchase_ts
+FROM p, wm
+WHERE NOT EXISTS (
+        SELECT 1 FROM v
+        WHERE v.user_id = p.user_id
+          AND p.purchase_ts > v.view_ts
+          AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+      )
+  AND p.purchase_ts <= wm.w
+"""
+
+
+@register("streaming_full_outer_join_drain", _FULL_OUTER_JOIN_ORACLE)
+def streaming_full_outer_join_drain(spark, sf_dir):
+    """FULL OUTER stream-stream interval join — both sides' unmatched
+    rows emit null-padded once the watermark closes their match
+    window: a view when the watermark passes view_ts + 1h (its last
+    possible purchase), a purchase when it passes purchase_ts (its
+    match window [purchase_ts - 1h, purchase_ts) lies entirely in the
+    past at that point). The oracle encodes both eviction rules plus
+    the matched pairs, so the hash certifies the engine's two-sided
+    emission timing. State stays range-bounded on both sides —
+    production-safe at any stream length."""
+    import tempfile
+
+    from ..streaming.events import _event_stream, _with_event_time
+
+    views = (
+        _with_event_time(_event_stream(spark, sf_dir))
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        _with_event_time(_event_stream(spark, sf_dir))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts > view_ts
+            AND purchase_ts <= view_ts + INTERVAL 1 HOUR
+            """
+        ),
+        "full_outer",
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+    )
+    name = "harness_full_outer_join_drain"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ss_fojoin_ckpt_")
+        )
+        .start()
+    )
+    assert q.awaitTermination(600), "availableNow stream drain timed out"
+    return spark.sql(f"SELECT * FROM {name}")
