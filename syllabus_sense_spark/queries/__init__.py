@@ -191,6 +191,7 @@ _NEW_THIS_ROUND: list[str] = [
     "arrow_grouped_doc_stats",
     "arrow_cogroup_order_event_stats",
     "streaming_full_outer_join_drain",
+    "udtf_table_partition_stats",
 ]
 
 
@@ -325,6 +326,7 @@ def load_all_queries() -> None:
         spark4_features3,
         spark4_features4,
         spark4_features5,
+        spark4_features6,
         relational8,
         ext_training12,
         ext_dedup7,

@@ -436,6 +436,44 @@ def test_arrow_cogroup_covers_one_sided_keys(spark, sf_dir):
         assert got[k][0] == 0 and got[k][1] > 0
 
 
+def test_udtf_analyze_polymorphic_schema(spark, sf_dir):
+    """analyze() must derive the output schema from the literal stat
+    list: asking for 'cnt,max' produces a schema WITHOUT sum_cents,
+    and the per-partition results must match the batch GROUP BY."""
+    from pyspark.sql.functions import udtf
+
+    from syllabus_sense_spark.queries.spark4_features6 import _make_udtf
+    from syllabus_sense_spark.tables import load
+
+    spark.udtf.register("partition_stats_t", udtf(_make_udtf()))
+    load(spark, sf_dir, "orders").selectExpr(
+        "o_custkey AS user_id",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents",
+    ).createOrReplaceTempView("_udtf_orders_cents_t")
+    out = spark.sql(
+        "SELECT * FROM partition_stats_t("
+        "TABLE(_udtf_orders_cents_t) PARTITION BY (user_id), 'cnt,max')"
+    )
+    assert out.columns == ["user_id", "cnt", "max_cents"]
+    got = {r.user_id: (r.cnt, r.max_cents) for r in out.collect()}
+    want = {
+        r.user_id: (r.cnt, r.mx)
+        for r in spark.sql(
+            "SELECT user_id, COUNT(*) AS cnt, MAX(cents) AS mx"
+            " FROM _udtf_orders_cents_t GROUP BY user_id"
+        ).collect()
+    }
+    assert got == want
+    # Unknown stat names must fail at PLAN time (inside analyze).
+    import pytest
+
+    with pytest.raises(Exception, match="unknown stat"):
+        spark.sql(
+            "SELECT * FROM partition_stats_t("
+            "TABLE(_udtf_orders_cents_t) PARTITION BY (user_id), 'median')"
+        ).collect()
+
+
 def test_containment_grouped_expansion_equals_join_form(spark):
     """The round-7 C(df,2) array expansion must reproduce the naive
     h-equi-self-join candidate counts exactly (duplicates, ordering,
