@@ -192,6 +192,8 @@ _NEW_THIS_ROUND: list[str] = [
     "arrow_cogroup_order_event_stats",
     "streaming_full_outer_join_drain",
     "udtf_table_partition_stats",
+    "pandas_api_rolling_weekly",
+    "sql_identifier_clause",
 ]
 
 
@@ -327,6 +329,7 @@ def load_all_queries() -> None:
         spark4_features4,
         spark4_features5,
         spark4_features6,
+        pandas_api_queries,
         relational8,
         ext_training12,
         ext_dedup7,
