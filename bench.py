@@ -68,6 +68,13 @@ HEADLINE = [
     "training_hard_negatives",
     "sample_stratified_hamilton",
     "events_stickiness_dau_wau",
+    # round-7 continuation: multi-source BFS (3 min-plus rounds over
+    # the shared trade-edge artifact), preference-pair construction
+    # (packed-argmax groupBy), Rademacher random projection (pure
+    # map, whole-stage codegen over array expressions)
+    "graph_bfs_levels",
+    "training_preference_pairs",
+    "embedding_random_projection",
 ]
 
 # Reported alongside but EXCLUDED from the headline total: availableNow
