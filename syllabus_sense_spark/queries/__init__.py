@@ -65,6 +65,11 @@ _FORCE_RECHECK = [
     "graph_pagerank_trade",  # trade-edge session artifact
     "graph_triangle_census",  # copurchase snapshot artifact
     "graph_label_propagation",  # same
+    # round-7 continuation: asof_join's carried struct gained the
+    # reference-time field (direction='nearest' support), so the two
+    # existing as-of greens predate the operator change:
+    "events_asof_last_order",
+    "events_asof_inner",
     # round-5 changes invalidating earlier green rows:
     "text_lang_id_heuristic",  # round(…,6) col -> integer-scaled
     "events_anomaly_zscore",  # same
@@ -194,6 +199,7 @@ _NEW_THIS_ROUND: list[str] = [
     "udtf_table_partition_stats",
     "pandas_api_rolling_weekly",
     "sql_identifier_clause",
+    "ml_pca_power_iteration",
 ]
 
 
@@ -355,6 +361,7 @@ def load_all_queries() -> None:
         ext_training15,
         ext_training16,
         ml_queries4,
+        ml_queries5,
         source_queries2,
         source_queries3,
         events21,

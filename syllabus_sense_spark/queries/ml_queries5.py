@@ -1,0 +1,147 @@
+"""[EXT] PCA power iteration (two exact steps) — exact to the last
+bit. The embedding-whitening step of a semantic-dedup / retrieval
+pipeline (SemDeDup centers+rotates before clustering): iterate
+v <- G v toward the dominant principal direction of the 64-dim
+embedding cloud. The contract is the exact two-step power iterate
+v2 = G^2 * 1 (Rayleigh quotient provably nondecreasing per step for
+PSD G — law-tested); convergence to the top eigenvector additionally
+needs an eigengap, which near-isotropic clouds (like the synthetic
+harness embeddings, lambda1/lambda2 ~ 1.07) don't have — real
+embedding clouds do (anisotropy of learned embeddings is
+well-documented).
+
+Everything is integer arithmetic end to end, which is what makes an
+EIGENVECTOR oracle-checkable at all (float PCA differs in the last
+ulp per engine/partitioning and would never hash-match):
+
+1. codes: c_i = floor(x_i·1e3 + 0.5) — milli-unit integers.
+2. Gram via the map-reduce outer-product: one posexplode-squared pass
+   emits (i, j, c_i·c_j) and a map-side-combined groupBy(i,j) sums it
+   — the standard distributed Gram shape (64² = 4096 cells, bounded
+   at any corpus size). Centering without division:
+   G_ij = N·Σc_i c_j − (Σc_i)(Σc_j), the covariance scaled by N² —
+   exact BIGINT.
+3. Two power steps in DECIMAL(38,0): v1 = G·1, v2 = G·v1. The 128-bit
+   decimal lane holds the growth (|v2| ≲ 1e28 ≪ 1e38) with no
+   intermediate normalization to break exactness.
+4. Report the direction as sign-safe integer ratios
+   r_i = sign(v2_i)·(|v2_i|·1e6 DIV max|v2|) — the SCALE.md DIV trap
+   honored (Spark DIV truncates, DuckDB // floors; on |·| they agree).
+
+Scale posture: the only data-scale stage is the outer-product pass —
+64² lightweight rows per vector with map-side partial aggregation
+into 4096 cells (at 100 TB: a single combine-heavy shuffle of 4096
+keys). The power iteration itself runs on the bounded 4096-row Gram
+table (join + groupBy on 64 keys — O(dims²) work, corpus-size
+independent). Reference anchor: none ([EXT] per SURVEY.md §2;
+method: classic power iteration, e.g. Golub & Van Loan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import register
+
+_D = 64
+_SCALE = 1_000_000
+
+_PCA_ORACLE = f"""
+WITH codes AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS c
+  FROM embeddings
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM codes),
+sums AS (
+  SELECT i.i, CAST(SUM(c[i.i + 1]) AS BIGINT) AS s
+  FROM codes, UNNEST(range({_D})) AS i(i)
+  GROUP BY i.i
+),
+gram_raw AS (
+  SELECT i.i, j.j, CAST(SUM(c[i.i + 1] * c[j.j + 1]) AS BIGINT) AS p
+  FROM codes, UNNEST(range({_D})) AS i(i), UNNEST(range({_D})) AS j(j)
+  GROUP BY i.i, j.j
+),
+gram AS (
+  -- HUGEINT (int128) is DuckDB's exact wide lane; Spark's is
+  -- DECIMAL(38,0) — same values, different spellings.
+  SELECT g.i, g.j,
+         CAST(n.n AS HUGEINT) * g.p
+           - CAST(si.s AS HUGEINT) * sj.s AS g
+  FROM gram_raw g
+  JOIN sums si ON si.i = g.i
+  JOIN sums sj ON sj.i = g.j
+  CROSS JOIN n
+),
+v1 AS (
+  SELECT i, CAST(SUM(g) AS HUGEINT) AS v FROM gram GROUP BY i
+),
+v2 AS (
+  SELECT gram.i, CAST(SUM(gram.g * v1.v) AS HUGEINT) AS v
+  FROM gram JOIN v1 ON v1.i = gram.j
+  GROUP BY gram.i
+),
+mx AS (SELECT MAX(abs(v)) AS m FROM v2)
+SELECT v2.i AS dim,
+       CAST(CASE WHEN v2.v < 0 THEN -1 ELSE 1 END
+            * ((abs(v2.v) * {_SCALE}) // mx.m) AS BIGINT) AS ratio_ppm
+FROM v2 CROSS JOIN mx
+"""
+
+
+@register("ml_pca_power_iteration", _PCA_ORACLE)
+def ml_pca_power_iteration(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+        ).alias("c")
+    )
+    # Map-reduce Gram: posexplode twice → (i, j, c_i·c_j), map-side
+    # combined into 64² cells. The per-dim sums ride the same pass.
+    pairs = codes.select(
+        F.posexplode("c").alias("i", "ci"), F.col("c")
+    ).select("i", "ci", F.posexplode("c").alias("j", "cj"))
+    gram_raw = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("ci") * F.col("cj")).alias("p")
+    )
+    sums = codes.select(F.posexplode("c").alias("i", "ci")).groupBy("i").agg(
+        F.sum("ci").alias("s")
+    )
+    n = codes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    si = sums.select(F.col("i").alias("si_i"), F.col("s").alias("si_s"))
+    sj = sums.select(F.col("i").alias("sj_i"), F.col("s").alias("sj_s"))
+    gram = (
+        gram_raw.join(F.broadcast(si), gram_raw.i == si.si_i)
+        .join(F.broadcast(sj), gram_raw.j == sj.sj_i)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("p")
+                - F.col("si_s").cast("decimal(38,0)") * F.col("sj_s")
+            ).alias("g"),
+        )
+    )
+    v1 = gram.groupBy("i").agg(
+        F.sum("g").cast("decimal(38,0)").alias("v")
+    ).select(F.col("i").alias("v1_i"), F.col("v").alias("v1_v"))
+    v2 = (
+        gram.join(F.broadcast(v1), gram.j == v1.v1_i)
+        .groupBy("i")
+        .agg(F.sum(F.col("g") * F.col("v1_v")).cast("decimal(38,0)").alias("v"))
+    )
+    mx = v2.agg(F.max(F.abs(F.col("v"))).alias("m"))
+    return v2.crossJoin(F.broadcast(mx)).select(
+        F.col("i").cast("long").alias("dim"),
+        (
+            F.when(F.col("v") < 0, -1).otherwise(1)
+            * F.expr(f"CAST((abs(v) * {_SCALE}) DIV m AS DECIMAL(38,0))")
+        )
+        .cast("long")
+        .alias("ratio_ppm"),
+    )

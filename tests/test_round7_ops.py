@@ -474,6 +474,65 @@ def test_udtf_analyze_polymorphic_schema(spark, sf_dir):
         ).collect()
 
 
+def test_pca_power_iteration_matches_replay_and_rayleigh_law(spark, sf_dir):
+    """The integer power-iteration output must equal a pure-Python
+    big-int replay exactly; and each power step must increase the
+    Rayleigh quotient of the (PSD) scaled covariance — the theorem
+    power iteration rests on, valid at ANY eigengap (the harness
+    embeddings are near-isotropic, lambda1/lambda2 ~ 1.07, so
+    two steps do NOT converge to the top eigenvector and a
+    numpy-alignment assertion would be wrong by construction)."""
+    import math
+
+    import numpy as np
+
+    from syllabus_sense_spark.queries.ml_queries5 import (
+        _SCALE,
+        ml_pca_power_iteration,
+    )
+    from syllabus_sense_spark.tables import load
+
+    X = [
+        [math.floor(float(x) * 1e3 + 0.5) for x in r.embedding]
+        for r in load(spark, sf_dir, "embeddings").collect()
+    ]
+    n, d = len(X), len(X[0])
+    S = [sum(row[i] for row in X) for i in range(d)]
+    P = [[sum(row[i] * row[j] for row in X) for j in range(d)] for i in range(d)]
+    G = [[n * P[i][j] - S[i] * S[j] for j in range(d)] for i in range(d)]
+    v1 = [sum(G[i]) for i in range(d)]
+    v2 = [sum(G[i][j] * v1[j] for j in range(d)) for i in range(d)]
+    m = max(abs(v) for v in v2)
+    want = {
+        i: (1 if v2[i] >= 0 else -1) * (abs(v2[i]) * _SCALE // m)
+        for i in range(d)
+    }
+    got = {
+        r.dim: r.ratio_ppm for r in ml_pca_power_iteration(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    # Rayleigh monotonicity: R(G, G^k u) is nondecreasing in k for
+    # PSD G (Golub & Van Loan §8.2). G here is N^2 * covariance.
+    Gm = np.array(G, dtype=float)
+    assert np.allclose(Gm, Gm.T)
+    assert np.linalg.eigvalsh(Gm).min() > -1e-3 * abs(Gm).max()
+
+    def rayleigh(v):
+        v = np.asarray(v, dtype=float)
+        return (v @ Gm @ v) / (v @ v)
+
+    ones = np.ones(d)
+    r0, r1, r2 = rayleigh(ones), rayleigh(v1), rayleigh(v2)
+    assert r1 >= r0 * (1 - 1e-12)
+    assert r2 >= r1 * (1 - 1e-12)
+    # and the reported integer direction is (up to scaling) v2:
+    ours = np.array([got[i] for i in range(d)], dtype=float)
+    v2f = np.array(v2, dtype=float)
+    cos = abs(ours @ v2f) / (np.linalg.norm(ours) * np.linalg.norm(v2f))
+    assert cos > 1 - 1e-9, cos
+
+
 def test_containment_grouped_expansion_equals_join_form(spark):
     """The round-7 C(df,2) array expansion must reproduce the naive
     h-equi-self-join candidate counts exactly (duplicates, ordering,

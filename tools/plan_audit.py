@@ -111,6 +111,10 @@ ALLOW = {
     # 1-row broadcast of the quartile-boundary ordered-set aggregate —
     # the same intentional scalar-broadcast shape as events_equidepth_deciles
     "training_curriculum_stages": {"BNLJ"},
+    # two 1-row scalar-aggregate broadcasts (corpus count N; max|v2|
+    # normalizer) cross-joined onto the bounded 4096-row Gram table —
+    # the same intentional scalar-broadcast shape as mixture_resample
+    "ml_pca_power_iteration": {"BNLJ"},
 }
 
 
