@@ -200,6 +200,13 @@ _NEW_THIS_ROUND: list[str] = [
     "pandas_api_rolling_weekly",
     "sql_identifier_clause",
     "ml_pca_power_iteration",
+    "sql_recursive_month_spine",
+    "sql_recursive_custkey_chain",
+    "sql_create_function_margin",
+    "sql_table_function_price_bands",
+    "sql_collation_ci_distinct",
+    "dq_table_fingerprint",
+    "training_importance_selection",
 ]
 
 
@@ -362,6 +369,9 @@ def load_all_queries() -> None:
         ext_training16,
         ml_queries4,
         ml_queries5,
+        spark4_features7,
+        dq_queries8,
+        ext_training17,
         source_queries2,
         source_queries3,
         events21,

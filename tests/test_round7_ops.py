@@ -570,3 +570,41 @@ def test_containment_grouped_expansion_equals_join_form(spark):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_importance_selection_matches_replay_and_enriches_target(spark, sf_dir):
+    """Exact big-int replay of the DSIR-style rational scores, and the
+    selected set must over-represent the target domain (lang='en')
+    relative to the corpus — the point of importance selection."""
+    from collections import Counter
+
+    from syllabus_sense_spark.queries.ext_training17 import (
+        _SCALE,
+        _TOP_K,
+        training_importance_selection,
+    )
+    from syllabus_sense_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text").collect()
+    toks = {r.doc_id: [t for t in r.text.split(" ") if t] for r in docs}
+    lang = {r.doc_id: r.lang for r in docs}
+    c_r = Counter(t for ts in toks.values() for t in ts)
+    c_t = Counter(
+        t for d, ts in toks.items() if lang[d] == "en" for t in ts
+    )
+    t_r, t_t = sum(c_r.values()), sum(c_t.values())
+    scores = {}
+    for d, ts in toks.items():
+        num = sum(c_t.get(t, 0) for t in ts)
+        den = sum(c_r[t] for t in ts)
+        scores[d] = (num * t_r * _SCALE) // (den * t_t)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_TOP_K]
+    got = [
+        (r.doc_id, r.score_ppm)
+        for r in training_importance_selection(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+    sel_en = sum(1 for d, _ in got if lang[d] == "en") / len(got)
+    corpus_en = sum(1 for v in lang.values() if v == "en") / len(lang)
+    assert sel_en > corpus_en
