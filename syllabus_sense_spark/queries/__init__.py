@@ -207,6 +207,9 @@ _NEW_THIS_ROUND: list[str] = [
     "sql_collation_ci_distinct",
     "dq_table_fingerprint",
     "training_importance_selection",
+    "text_ngram_novelty",
+    "ml_eval_retrieval_mrr",
+    "ml_feature_robust_scaler",
 ]
 
 
@@ -372,6 +375,8 @@ def load_all_queries() -> None:
         spark4_features7,
         dq_queries8,
         ext_training17,
+        ext_text12,
+        ml_queries6,
         source_queries2,
         source_queries3,
         events21,

@@ -1,0 +1,185 @@
+"""[EXT] ML pipeline metrics, part 6: retrieval evaluation (MRR /
+hit@k) and robust feature scaling — the measurement and normalization
+ops around an embedding-based retrieval/dedup stack.
+
+``ml_eval_retrieval_mrr``: for every held-out query vector
+(vec_id % 100 == 0), rank the whole corpus by exact cosine (the
+hash-green brute-force scorer of ext_similarity.py — identical
+left-associated double arithmetic in both engines) and find the rank
+of the first SAME-LABEL neighbor. Reported per query label as exact
+integers: query count, hits@5, truncated mean reciprocal rank in ppm
+(sum of 1e6 DIV rank, then DIV n — fully integer, so the hash is
+stable), and truncated mean first-hit rank in milli-units. This is
+the recall/MRR measurement a retrieval index is graded with, as a
+first-class query instead of a test-only assertion.
+
+``ml_feature_robust_scaler``: per embedding dimension over milli-unit
+integer codes: discrete quartiles (percentile_disc — SELECTS an
+existing code, so casting Spark's DOUBLE return back to BIGINT is
+exact), IQR, and the Tukey outlier count at 1.5*IQR computed in
+doubled integers (2*c < 2*p25 - 3*iqr) to avoid the fractional
+bound. The median/IQR table is what a robust scaler persists to
+normalize features without being dragged by outliers.
+
+Scale posture: the eval set is the bounded side (eval corpora are
+thousands of queries, not billions) — corpus x query-set broadcast
+join, ranking windows partition by query_id. The scaler is one
+posexplode pass + a 64-key ordered-set aggregate + one broadcast-back
+join for the outlier count — O(dims) state, two corpus passes.
+
+Reference anchor: none ([EXT] per SURVEY.md §2 — similarity-search /
+data-quality families).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import register
+from .ext_similarity import _SQL_COSINE, _dot_unrolled, _norm
+
+_K = 5
+
+_MRR_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e
+      WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id, c.label AS nlabel,
+         {_SQL_COSINE.format(a="q.qv", b="c.v")} AS sim
+  FROM q JOIN e c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, qlabel, nlabel,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS BIGINT)
+           AS rank
+  FROM scored
+),
+firsts AS (
+  SELECT query_id, qlabel, CAST(MIN(rank) AS BIGINT) AS first_rank
+  FROM ranked WHERE nlabel = qlabel
+  GROUP BY query_id, qlabel
+)
+SELECT qlabel AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN first_rank <= {_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits_at_{_K},
+       CAST(SUM(1000000 // first_rank) // COUNT(*) AS BIGINT) AS mrr_ppm,
+       CAST(SUM(first_rank * 1000) // COUNT(*) AS BIGINT) AS mean_rank_milli
+FROM firsts
+GROUP BY qlabel
+"""
+
+
+@register("ml_eval_retrieval_mrr", _MRR_ORACLE)
+def ml_eval_retrieval_mrr(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        .withColumn("qn", _norm("qv"))
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    ).withColumn("cn", _norm("cv"))
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("sim", _dot_unrolled("qv", "cv") / (F.col("qn") * F.col("cn")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w).cast("long"))
+    firsts = (
+        ranked.filter(F.col("nlabel") == F.col("qlabel"))
+        .groupBy("query_id", "qlabel")
+        .agg(F.min("rank").alias("first_rank"))
+    )
+    return firsts.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("first_rank") <= _K, 1).otherwise(0)).alias(
+            f"hits_at_{_K}"
+        ),
+        F.expr("CAST(SUM(1000000 DIV first_rank) DIV COUNT(*) AS BIGINT)").alias(
+            "mrr_ppm"
+        ),
+        F.expr("CAST(SUM(first_rank * 1000) DIV COUNT(*) AS BIGINT)").alias(
+            "mean_rank_milli"
+        ),
+    )
+
+
+_SCALER_ORACLE = """
+WITH codes AS (
+  SELECT i.i AS dim,
+         CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1000.0 + 0.5)
+              AS BIGINT) AS c
+  FROM embeddings, UNNEST(range(64)) AS i(i)
+),
+quart AS (
+  SELECT dim,
+         CAST(quantile_disc(c, 0.25) AS BIGINT) AS p25,
+         CAST(quantile_disc(c, 0.50) AS BIGINT) AS p50,
+         CAST(quantile_disc(c, 0.75) AS BIGINT) AS p75
+  FROM codes GROUP BY dim
+)
+SELECT q.dim, q.p25, q.p50, q.p75,
+       q.p75 - q.p25 AS iqr,
+       CAST(SUM(CASE WHEN 2 * c.c < 2 * q.p25 - 3 * (q.p75 - q.p25)
+                       OR 2 * c.c > 2 * q.p75 + 3 * (q.p75 - q.p25)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM codes c JOIN quart q ON q.dim = c.dim
+GROUP BY q.dim, q.p25, q.p50, q.p75
+"""
+
+
+@register("ml_feature_robust_scaler", _SCALER_ORACLE)
+def ml_feature_robust_scaler(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    codes = e.select(
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> "
+                "CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+            )
+        ).alias("dim", "c")
+    )
+    # percentile_disc SELECTS an existing integer code; Spark returns
+    # DOUBLE — cast back to BIGINT, exact (SCALE.md percentile trap).
+    quart = codes.groupBy("dim").agg(
+        F.expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY c) AS BIGINT)")
+        .alias("p25"),
+        F.expr("CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY c) AS BIGINT)")
+        .alias("p50"),
+        F.expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY c) AS BIGINT)")
+        .alias("p75"),
+    )
+    return (
+        codes.join(F.broadcast(quart), "dim")
+        .groupBy("dim", "p25", "p50", "p75")
+        .agg(
+            F.sum(
+                F.when(
+                    (2 * F.col("c") < 2 * F.col("p25") - 3 * (F.col("p75") - F.col("p25")))
+                    | (2 * F.col("c") > 2 * F.col("p75") + 3 * (F.col("p75") - F.col("p25"))),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "p25",
+            "p50",
+            "p75",
+            (F.col("p75") - F.col("p25")).alias("iqr"),
+            "n_outliers",
+        )
+    )

@@ -155,3 +155,141 @@ def test_table_fingerprint_matches_python_replay(spark, sf_dir):
         st[1] ^= d
         st[2] += d
     assert got == {b: tuple(v) for b, v in want.items()}
+
+
+def test_ngram_novelty_planted_dups_score_low(spark, sf_dir):
+    """Exact replay of the novelty ratios on the planted corpus, and
+    the planted near-dup pairs must land at the low end of novelty."""
+    from syllabus_sense_spark.queries.ext_text12 import text_ngram_novelty
+    from syllabus_sense_spark.queries.ext_dedup import _DUP_SUFFIX
+    from syllabus_sense_spark.tables import load
+
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    corpus = dict(docs)
+    for d, t in docs.items():
+        if d % 7 == 0:
+            corpus[d + 2000000] = t + _DUP_SUFFIX
+
+    def shingles(t):
+        toks = [x for x in t.split(" ") if x]
+        return {
+            int(
+                hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()[:12], 16
+            )
+            for i in range(len(toks) - 2)
+        }
+
+    fp = {d: shingles(t) for d, t in corpus.items()}
+    fp = {d: s for d, s in fp.items() if s}
+    df: dict[int, int] = {}
+    for s in fp.values():
+        for h in s:
+            df[h] = df.get(h, 0) + 1
+    want = {}
+    for d, s in fp.items():
+        shared = sum(1 for h in s if df[h] >= 2)
+        want[d] = (len(s), shared, (len(s) - shared) * 1_000_000 // len(s))
+    got = {
+        r.doc_id: (r.n_shingles, r.n_shared, r.novelty_ppm)
+        for r in text_ngram_novelty(spark, sf_dir).collect()
+    }
+    assert got == want
+    # planted dups: all but the 2 boundary shingles are shared
+    dup_scores = [v[2] for d, v in want.items() if d >= 2000000]
+    organic = [v[2] for d, v in want.items() if d < 2000000 and d % 7 != 0]
+    assert dup_scores and organic
+    assert max(dup_scores) < sorted(organic)[len(organic) // 2]
+
+
+def test_retrieval_mrr_matches_leftassoc_replay(spark, sf_dir):
+    """Exact integer replay: ranks from left-associated double cosine
+    (the engines' shared arithmetic), metrics from integer DIV."""
+    from collections import defaultdict
+
+    from syllabus_sense_spark.queries.ml_queries6 import (
+        _K,
+        ml_eval_retrieval_mrr,
+    )
+    from syllabus_sense_spark.tables import load
+
+    rows = load(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+
+    def dot(a, b):
+        s = a[0] * b[0]
+        for i in range(1, len(a)):
+            s = s + a[i] * b[i]
+        return s
+
+    import math
+
+    norms = {d: math.sqrt(dot(v, v)) for d, v in vecs.items()}
+    per_label = defaultdict(list)
+    for qid in sorted(vecs):
+        if qid % 100 != 0:
+            continue
+        scored = sorted(
+            (
+                (-dot(vecs[qid], vecs[n]) / (norms[qid] * norms[n]), n)
+                for n in vecs
+                if n != qid
+            ),
+        )
+        first = next(
+            (
+                i + 1
+                for i, (_, n) in enumerate(scored)
+                if labels[n] == labels[qid]
+            ),
+            None,
+        )
+        if first is not None:
+            per_label[labels[qid]].append(first)
+    want = {}
+    for lab, firsts in per_label.items():
+        n = len(firsts)
+        want[lab] = (
+            n,
+            sum(1 for f in firsts if f <= _K),
+            sum(1_000_000 // f for f in firsts) // n,
+            sum(f * 1000 for f in firsts) // n,
+        )
+    got = {
+        r.label: (r.n_queries, getattr(r, f"hits_at_{_K}"), r.mrr_ppm, r.mean_rank_milli)
+        for r in ml_eval_retrieval_mrr(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_robust_scaler_matches_sorted_replay(spark, sf_dir):
+    """quantile_disc = smallest value whose cumulative rank reaches
+    ceil(p*n); outliers via the doubled-integer Tukey bound."""
+    import math
+
+    from syllabus_sense_spark.queries.ml_queries6 import ml_feature_robust_scaler
+    from syllabus_sense_spark.tables import load
+
+    rows = load(spark, sf_dir, "embeddings").collect()
+    dims: dict[int, list[int]] = {}
+    for r in rows:
+        for i, x in enumerate(r.embedding):
+            dims.setdefault(i, []).append(math.floor(float(x) * 1e3 + 0.5))
+    want = {}
+    for i, cs in dims.items():
+        cs.sort()
+        n = len(cs)
+        p25, p50, p75 = (cs[max(0, math.ceil(p * n) - 1)] for p in (0.25, 0.5, 0.75))
+        iqr = p75 - p25
+        n_out = sum(
+            1 for c in cs if 2 * c < 2 * p25 - 3 * iqr or 2 * c > 2 * p75 + 3 * iqr
+        )
+        want[i] = (p25, p50, p75, iqr, n_out)
+    got = {
+        r.dim: (r.p25, r.p50, r.p75, r.iqr, r.n_outliers)
+        for r in ml_feature_robust_scaler(spark, sf_dir).collect()
+    }
+    assert got == want
