@@ -75,6 +75,15 @@ HEADLINE = [
     "graph_bfs_levels",
     "training_preference_pairs",
     "embedding_random_projection",
+    # round-7 second wave: exact integer PCA (posexplode-squared Gram
+    # pass — the heaviest per-row fan-out in the suite), DSIR-style
+    # importance selection (Zipf-key dictionary joins), Merkle table
+    # fingerprint (pure map + 64-key fold), corpus-wide n-gram novelty
+    # (fingerprint-artifact probe + df join)
+    "ml_pca_power_iteration",
+    "training_importance_selection",
+    "dq_table_fingerprint",
+    "text_ngram_novelty",
 ]
 
 # Reported alongside but EXCLUDED from the headline total: availableNow

@@ -377,6 +377,7 @@ def load_all_queries() -> None:
         ext_training17,
         ext_text12,
         ml_queries6,
+        relational13,
         source_queries2,
         source_queries3,
         events21,

@@ -15,12 +15,16 @@ EIGENVECTOR oracle-checkable at all (float PCA differs in the last
 ulp per engine/partitioning and would never hash-match):
 
 1. codes: c_i = floor(x_i·1e3 + 0.5) — milli-unit integers.
-2. Gram via the map-reduce outer-product: one posexplode-squared pass
-   emits (i, j, c_i·c_j) and a map-side-combined groupBy(i,j) sums it
-   — the standard distributed Gram shape (64² = 4096 cells, bounded
-   at any corpus size). Centering without division:
+2. Gram via VECTORIZED partial aggregation: an Arrow-batched
+   mapInPandas computes each partition's exact int64 X^T X (numpy
+   integer matmul — associative, so partition order is irrelevant)
+   and emits 64² + 64 partial rows; a map-side-combined groupBy(i,j)
+   folds the partials. One pass, O(dims²) rows per PARTITION (not per
+   vector — the first cut posexploded 4096 rows per vector, which is
+   the correct relational shape but 64× more shuffle input than the
+   BLAS-style partials). Centering without division:
    G_ij = N·Σc_i c_j − (Σc_i)(Σc_j), the covariance scaled by N² —
-   exact BIGINT.
+   exact BIGINT (per-partition products ≤ 1e6·rows, never near 2^63).
 3. Two power steps in DECIMAL(38,0): v1 = G·1, v2 = G·v1. The 128-bit
    decimal lane holds the growth (|v2| ≲ 1e28 ≪ 1e38) with no
    intermediate normalization to break exactness.
@@ -94,24 +98,42 @@ FROM v2 CROSS JOIN mx
 @register("ml_pca_power_iteration", _PCA_ORACLE)
 def ml_pca_power_iteration(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    codes = emb.select(
-        F.expr(
-            "transform(embedding, x -> "
-            "CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
-        ).alias("c")
+
+    def partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        # One exact int64 X^T X per Arrow batch: the float work
+        # (floor-scale) is elementwise IEEE-identical to the SQL
+        # expression; the matmul is integer, so per-partition partials
+        # fold associatively regardless of partitioning.
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * 1000.0
+                + 0.5
+            ).astype(np.int64)
+            G = X.T @ X  # (64, 64), entries ≤ 1e6·rows — far from 2^63
+            s = X.sum(axis=0)
+            i, j = np.indices(G.shape)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([i.ravel(), np.arange(X.shape[1])]),
+                    "j": np.concatenate([j.ravel(), np.full(X.shape[1], -1)]),
+                    "p": np.concatenate([G.ravel(), s]),
+                    "rows": np.full(G.size + X.shape[1], X.shape[0], np.int64),
+                }
+            )
+
+    partials = emb.select("embedding").mapInPandas(
+        partial_gram, "i int, j int, p long, rows long"
     )
-    # Map-reduce Gram: posexplode twice → (i, j, c_i·c_j), map-side
-    # combined into 64² cells. The per-dim sums ride the same pass.
-    pairs = codes.select(
-        F.posexplode("c").alias("i", "ci"), F.col("c")
-    ).select("i", "ci", F.posexplode("c").alias("j", "cj"))
-    gram_raw = pairs.groupBy("i", "j").agg(
-        F.sum(F.col("ci") * F.col("cj")).alias("p")
-    )
-    sums = codes.select(F.posexplode("c").alias("i", "ci")).groupBy("i").agg(
-        F.sum("ci").alias("s")
-    )
-    n = codes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    folded = partials.groupBy("i", "j").agg(F.sum("p").alias("p"))
+    gram_raw = folded.filter(F.col("j") >= 0)
+    sums = folded.filter(F.col("j") == -1).select("i", F.col("p").alias("s"))
+    n = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
     si = sums.select(F.col("i").alias("si_i"), F.col("s").alias("si_s"))
     sj = sums.select(F.col("i").alias("sj_i"), F.col("s").alias("sj_s"))
     gram = (

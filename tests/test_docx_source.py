@@ -80,6 +80,7 @@ def test_docx_python_datasource_matches_mapinpandas(spark, tmp_path):
     """The registered `docx` format (Python DataSource API) returns the
     same elements as the binaryFile+mapInPandas scan, one partition per
     document; corrupt containers contribute zero rows."""
+    from syllabus_sense_spark.queries.relational12 import scoped_confs
     from syllabus_sense_spark.sources.docx_datasource import register_docx_source
 
     make_docx(str(tmp_path / "a.docx"), BODY)
@@ -87,13 +88,16 @@ def test_docx_python_datasource_matches_mapinpandas(spark, tmp_path):
     (tmp_path / "broken.docx").write_bytes(b"not a zip")
 
     register_docx_source(spark)
-    via_ds = spark.read.format("docx").load(str(tmp_path))
-    assert via_ds.rdd.getNumPartitions() == 3  # one per file
+    # The reader implements pushFilters, which Spark rejects outright
+    # unless the pushdown conf is on — scope it like the queries do.
+    with scoped_confs(spark, {"spark.sql.python.filterPushdown.enabled": "true"}):
+        via_ds = spark.read.format("docx").load(str(tmp_path))
+        assert via_ds.rdd.getNumPartitions() == 3  # one per file
 
-    ds_rows = {
-        (r.path.split("/")[-1], r.element_idx, r.element_type, r.text)
-        for r in via_ds.collect()
-    }
+        ds_rows = {
+            (r.path.split("/")[-1], r.element_idx, r.element_type, r.text)
+            for r in via_ds.collect()
+        }
     mp_rows = {
         (r.path.split("/")[-1], r.element_idx, r.element_type, r.text)
         for r in read_docx_elements(spark, str(tmp_path)).collect()

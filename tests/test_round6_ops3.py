@@ -1,11 +1,11 @@
 """Law tests for the inequality/apportionment/time-series wave
-(relational12 / events22 / dq_queries7)."""
+(relational13 / events22 / dq_queries7)."""
 
 from __future__ import annotations
 
 
 def test_gini_bounds_and_reference(spark, sf_dir):
-    from syllabus_sense_spark.queries.relational12 import (
+    from syllabus_sense_spark.queries.relational13 import (
         customer_gini_segment,
     )
     from syllabus_sense_spark.tables import load
@@ -34,7 +34,7 @@ def test_gini_bounds_and_reference(spark, sf_dir):
 
 
 def test_largest_remainder_sums_to_budget(spark, sf_dir):
-    from syllabus_sense_spark.queries.relational12 import (
+    from syllabus_sense_spark.queries.relational13 import (
         _BUDGET,
         alloc_largest_remainder,
     )
