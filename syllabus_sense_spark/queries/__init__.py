@@ -210,6 +210,7 @@ _NEW_THIS_ROUND: list[str] = [
     "text_ngram_novelty",
     "ml_eval_retrieval_mrr",
     "ml_feature_robust_scaler",
+    "curation_doc_decisions",
 ]
 
 
@@ -378,6 +379,7 @@ def load_all_queries() -> None:
         ext_text12,
         ml_queries6,
         relational13,
+        ext_datacard2,
         source_queries2,
         source_queries3,
         events21,

@@ -293,3 +293,64 @@ def test_robust_scaler_matches_sorted_replay(spark, sf_dir):
         for r in ml_feature_robust_scaler(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_curation_decisions_match_policy_replay(spark, sf_dir):
+    """Exact replay of the decision table, and the policy must
+    actually fire: planted near-dups are dropped as duplicates, and
+    every decision's cited signals satisfy its rule."""
+    from syllabus_sense_spark.queries.ext_datacard2 import (
+        _DUP_NOVELTY_PPM,
+        _MIN_TOKENS,
+        curation_doc_decisions,
+    )
+    from syllabus_sense_spark.queries.ext_dedup import _DUP_SUFFIX
+    from syllabus_sense_spark.tables import load
+
+    rows = load(spark, sf_dir, "documents").select("doc_id", "lang", "text").collect()
+    corpus = {r.doc_id: (r.lang, r.text) for r in rows}
+    for r in rows:
+        if r.doc_id % 7 == 0:
+            corpus[r.doc_id + 2000000] = (r.lang, r.text + _DUP_SUFFIX)
+
+    def shingle_set(t):
+        toks = [x for x in t.split(" ") if x]
+        return {
+            int(hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()[:12], 16)
+            for i in range(len(toks) - 2)
+        }
+
+    fp = {d: shingle_set(t) for d, (_, t) in corpus.items()}
+    fp = {d: s for d, s in fp.items() if s}
+    df: dict[int, int] = {}
+    for s in fp.values():
+        for h in s:
+            df[h] = df.get(h, 0) + 1
+    want = {}
+    for d, (lang, text) in corpus.items():
+        n_tokens = len([x for x in text.split(" ") if x])
+        nov = None
+        if d in fp:
+            s = fp[d]
+            shared = sum(1 for h in s if df[h] >= 2)
+            nov = (len(s) - shared) * 1_000_000 // len(s)
+        if n_tokens < _MIN_TOKENS:
+            dec, w = "drop_short", 0
+        elif nov is not None and nov < _DUP_NOVELTY_PPM:
+            dec, w = "drop_dup", 0
+        elif lang != "en":
+            dec, w = "downweight", 500_000
+        else:
+            dec, w = "keep", 1_000_000
+        want[d] = (lang, n_tokens, nov, dec, w)
+    got = {
+        r.doc_id: (r.lang, r.n_tokens, r.novelty_ppm, r.decision, r.weight_ppm)
+        for r in curation_doc_decisions(spark, sf_dir).collect()
+    }
+    assert got == want
+    decisions = {v[3] for v in got.values()}
+    assert "keep" in decisions and "drop_dup" in decisions
+    # every planted dup is dropped (as dup or short), never kept
+    for d, v in got.items():
+        if d >= 2000000:
+            assert v[3].startswith("drop"), (d, v)

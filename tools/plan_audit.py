@@ -89,6 +89,14 @@ ALLOW = {
     # same intentional exact-scorer shape as similarity_topk_bruteforce;
     # the corpus-scale tier swaps in IVF/PQ as in search_semantic_docs_pq
     "training_hard_negatives": {"BNLJ"},
+    # retrieval-eval scorer: the same broadcast-query-set non-equi
+    # (self-exclusion) shape as similarity_topk_bruteforce — the eval
+    # set is the bounded side by definition
+    "ml_eval_retrieval_mrr": {"BNLJ"},
+    # 1-row broadcast of the (T_t, T_r) corpus-total scalar aggregates
+    # onto per-doc sums — the same scalar-broadcast shape as
+    # mixture_resample_to_target
+    "training_importance_selection": {"BNLJ"},
     "batch_by_length_buckets": {"BNLJ"},
     # 1-row corpus-max-date scalar broadcast onto the customer table —
     # the same scalar-aggregate cross-join shape as mixture_resample
