@@ -211,6 +211,8 @@ _NEW_THIS_ROUND: list[str] = [
     "ml_eval_retrieval_mrr",
     "ml_feature_robust_scaler",
     "curation_doc_decisions",
+    "multimodal_phash_dedup",
+    "multimodal_phash_groups",
 ]
 
 
@@ -380,6 +382,7 @@ def load_all_queries() -> None:
         ml_queries6,
         relational13,
         ext_datacard2,
+        ext_multimodal3,
         source_queries2,
         source_queries3,
         events21,

@@ -1,0 +1,162 @@
+"""[EXT] Multimodal, part 3: perceptual-hash (dHash) image dedup —
+the image-side twin of the text near-dup ladder, computed from REAL
+decoded bytes (the ext_multimodal2 BMP container path) and certified
+by a DuckDB oracle that recomputes the hash relationally from the
+pixel formula, so a hash match proves container parse + pixel decode
++ grayscale + grid sampling + bit packing, end to end.
+
+Integer dHash, no resize interpolation (the float step of classic
+dHash is replaced by deterministic integer grid sampling so the value
+is engine-exact):
+
+- sample a 9-wide x 7-tall grid: x_k = (k*w) DIV 9, y_j = (j*h) DIV 7
+  (always in range: k <= 8 -> x_k <= 8w/9 < w);
+- integer grayscale g = 299*R + 587*G + 114*B (the BT.601 weights in
+  milli-units — no division, order-preserving);
+- bit (j*8 + k) set iff g(x_{k+1}, y_j) > g(x_k, y_j): 8 horizontal
+  comparisons per row x 7 rows = a 56-bit hash, nonnegative in a
+  signed BIGINT.
+
+``multimodal_phash_dedup``: per image (doc_id, width, height, phash).
+``multimodal_phash_groups``: hash buckets with >= 2 images — the
+dedup candidate groups. Identical gradient images (same dims and same
+pixel residues) collide exactly; near-identical ones differ in a few
+bits and would be banded like SimHash (dedup_simhash.py's 7-bit-band
+equi-join is the scale recipe; this query certifies the hash).
+
+Scale posture: decode + hash is a map (mapInPandas over the binary
+column, O(1) output per image); grouping is a 56-bit-key hash
+aggregate. Nothing pairwise, no shuffle of pixel data — only hashes
+move. Reference anchor: none ([EXT] per SURVEY.md §2 — multimodal
+columns; method: classic dHash, public).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..tables import load
+from . import register
+from .ext_multimodal2 import (
+    MEDIA_BLOB_SCHEMA,
+    _BLUE,
+    _GREEN,
+    _H,
+    _RED,
+    _W,
+    decode_bmp_pixels,
+    encode_media,
+)
+
+_GRID_W = 9
+_GRID_H = 7
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def _dhash(w: int, h: int, px: np.ndarray) -> int:
+    """56-bit integer dHash of an RGB pixel array (top-down)."""
+    xs = (np.arange(_GRID_W, dtype=np.int64) * w) // _GRID_W
+    ys = (np.arange(_GRID_H, dtype=np.int64) * h) // _GRID_H
+    p = px[np.ix_(ys, xs)].astype(np.int64)  # (7, 9, 3)
+    gray = 299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]
+    bits = gray[:, 1:] > gray[:, :-1]  # (7, 8)
+    weights = 1 << (
+        np.arange(_GRID_H, dtype=np.int64)[:, None] * 8
+        + np.arange(_GRID_W - 1, dtype=np.int64)[None, :]
+    )
+    return int((bits * weights).sum())
+
+
+def bmp_phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        recs = []
+        for did, payload in zip(pdf["doc_id"], pdf["bmp"]):
+            dec = decode_bmp_pixels(payload)
+            if dec is None:
+                recs.append((int(did), None, None, None))
+                continue
+            w, h, px = dec
+            recs.append((int(did), w, h, _dhash(w, h, px)))
+        yield pd.DataFrame(
+            recs, columns=[f.name for f in PHASH_SCHEMA.fields]
+        ).astype({"doc_id": "int64"})
+
+
+# The oracle recomputes the hash from the pixel FORMULA — sampling the
+# same integer grid, so it agrees with the byte-path value exactly.
+_PHASH_CTE = f"""
+dims AS (
+  SELECT doc_id, {_W} AS w, {_H} AS h FROM documents
+),
+grid AS (
+  SELECT d.doc_id, d.w, d.h, j.j, k.k,
+         (k.k * d.w) // {_GRID_W} AS x,
+         (j.j * d.h) // {_GRID_H} AS y
+  FROM dims d, UNNEST(range({_GRID_W})) AS k(k),
+               UNNEST(range({_GRID_H})) AS j(j)
+),
+gray AS (
+  SELECT doc_id, w, h, j, k,
+         299 * ({_RED.replace('doc_id', 'grid.doc_id')})
+         + 587 * ({_GREEN.replace('doc_id', 'grid.doc_id')})
+         + 114 * ({_BLUE.replace('doc_id', 'grid.doc_id')}) AS g
+  FROM grid
+),
+hashed AS (
+  SELECT a.doc_id,
+         CAST(MAX(a.w) AS BIGINT) AS width,
+         CAST(MAX(a.h) AS BIGINT) AS height,
+         CAST(SUM(CASE WHEN b.g > a.g
+                       THEN CAST(1 AS BIGINT) << (a.j * 8 + a.k)
+                       ELSE 0 END) AS BIGINT) AS phash
+  FROM gray a
+  JOIN gray b ON b.doc_id = a.doc_id AND b.j = a.j AND b.k = a.k + 1
+  GROUP BY a.doc_id
+)
+"""
+
+_PHASH_ORACLE = f"WITH {_PHASH_CTE} SELECT doc_id, width, height, phash FROM hashed"
+
+
+@register("multimodal_phash_dedup", _PHASH_ORACLE)
+def multimodal_phash_dedup(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    blobs = d.mapInPandas(encode_media, MEDIA_BLOB_SCHEMA).drop("wav")
+    return blobs.mapInPandas(bmp_phash, PHASH_SCHEMA)
+
+
+_PHASH_GROUPS_ORACLE = f"""
+WITH {_PHASH_CTE}
+SELECT phash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+FROM hashed
+GROUP BY phash
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("multimodal_phash_groups", _PHASH_GROUPS_ORACLE)
+def multimodal_phash_groups(spark, sf_dir):
+    return (
+        multimodal_phash_dedup(spark, sf_dir)
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -354,3 +354,56 @@ def test_curation_decisions_match_policy_replay(spark, sf_dir):
     for d, v in got.items():
         if d >= 2000000:
             assert v[3].startswith("drop"), (d, v)
+
+
+def test_phash_matches_scalar_replay_and_groups(spark, sf_dir):
+    """dHash replay with plain Python loops over the formula pixels
+    (independent of the numpy grid code), and the groups query must
+    equal a groupBy replay of the per-doc hashes."""
+    from collections import Counter
+
+    from syllabus_sense_spark.queries.ext_multimodal3 import (
+        _GRID_H,
+        _GRID_W,
+        multimodal_phash_dedup,
+        multimodal_phash_groups,
+    )
+    from syllabus_sense_spark.tables import load
+
+    ids = [r.doc_id for r in load(spark, sf_dir, "documents").select("doc_id").collect()]
+
+    def phash(d):
+        w, h = 8 + d % 9, 4 + d % 5
+        def gray(x, y):
+            r = (d + x + y) % 256
+            g = (2 * d + 3 * x + y) % 256
+            b = (d + 5 * x + 7 * y) % 256
+            return 299 * r + 587 * g + 114 * b
+        out = 0
+        for j in range(_GRID_H):
+            y = (j * h) // _GRID_H
+            for k in range(_GRID_W - 1):
+                xa, xb = (k * w) // _GRID_W, ((k + 1) * w) // _GRID_W
+                if gray(xb, y) > gray(xa, y):
+                    out |= 1 << (j * 8 + k)
+        return out
+
+    want = {d: (8 + d % 9, 4 + d % 5, phash(d)) for d in ids}
+    got = {
+        r.doc_id: (r.width, r.height, r.phash)
+        for r in multimodal_phash_dedup(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    counts = Counter(v[2] for v in want.values())
+    want_groups = {
+        ph: (n, min(d for d, v in want.items() if v[2] == ph))
+        for ph, n in counts.items()
+        if n >= 2
+    }
+    got_groups = {
+        r.phash: (r.n_docs, r.canonical_doc)
+        for r in multimodal_phash_groups(spark, sf_dir).collect()
+    }
+    assert got_groups == want_groups
+    assert got_groups  # the corpus genuinely produces dup buckets
