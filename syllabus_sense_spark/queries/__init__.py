@@ -213,6 +213,7 @@ _NEW_THIS_ROUND: list[str] = [
     "curation_doc_decisions",
     "multimodal_phash_dedup",
     "multimodal_phash_groups",
+    "dq_histogram_drift_tvd",
 ]
 
 

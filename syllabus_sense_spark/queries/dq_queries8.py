@@ -83,3 +83,76 @@ def dq_table_fingerprint(spark, sf_dir):
             F.sum("d").cast("bigint").alias("sum_digest"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift between two time slices (total-variation distance)
+
+_DRIFT_SPLIT = "1998-07-01"
+_DRIFT_BAND_CENTS = 10_000_000
+
+_DRIFT_ORACLE = f"""
+WITH bucketed AS (
+  SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              // {_DRIFT_BAND_CENTS} AS INT) AS band,
+         CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_DRIFT_SPLIT}'
+              THEN 0 ELSE 1 END AS half
+  FROM orders
+),
+hist AS (
+  SELECT band,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+  FROM bucketed GROUP BY band
+),
+tot AS (
+  SELECT SUM(n_first) AS t_a, SUM(n_second) AS t_b FROM hist
+)
+SELECT h.band, h.n_first, h.n_second,
+       CAST((abs(h.n_first * tot.t_b - h.n_second * tot.t_a) * 1000000)
+            // (2 * tot.t_a * tot.t_b) AS BIGINT) AS drift_ppm
+FROM hist h CROSS JOIN tot
+"""
+
+
+@register("dq_histogram_drift_tvd", _DRIFT_ORACLE)
+def dq_histogram_drift_tvd(spark, sf_dir):
+    """Distribution-drift monitor: total-variation distance between
+    the price-band histograms of two time slices, per band, in exact
+    cross-multiplied integers (|n_a*T_b - n_b*T_a| avoids the two
+    divisions — same SCALE.md rational-comparison recipe as the
+    importance scores; summing ``drift_ppm`` gives the truncated TVD).
+    This is the scheduled "did the feature distribution move"
+    check between a reference window and a fresh ingest — two
+    map-side-combined histogram passes plus a 1-row scalar broadcast,
+    O(bands) output at any scale (BIGINT holds |n·T| up to ~3e18;
+    beyond that the DECIMAL(38,0) lane applies as usual)."""
+    o = load(spark, sf_dir, "orders")
+    bucketed = o.select(
+        F.expr(
+            f"CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            f" DIV {_DRIFT_BAND_CENTS} AS INT)"
+        ).alias("band"),
+        F.when(
+            F.col("o_orderdate").cast("date") < F.lit(_DRIFT_SPLIT).cast("date"),
+            0,
+        )
+        .otherwise(1)
+        .alias("half"),
+    )
+    hist = bucketed.groupBy("band").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_first"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_second"),
+    )
+    tot = hist.agg(
+        F.sum("n_first").alias("t_a"), F.sum("n_second").alias("t_b")
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "n_first",
+        "n_second",
+        F.expr(
+            "CAST((abs(n_first * t_b - n_second * t_a) * 1000000)"
+            " DIV (2 * t_a * t_b) AS BIGINT)"
+        ).alias("drift_ppm"),
+    )

@@ -407,3 +407,43 @@ def test_phash_matches_scalar_replay_and_groups(spark, sf_dir):
     }
     assert got_groups == want_groups
     assert got_groups  # the corpus genuinely produces dup buckets
+
+
+def test_histogram_drift_tvd_replay_and_bounds(spark, sf_dir):
+    """Exact replay of the per-band drift shares; the truncated TVD
+    (their sum) is within [0, 1e6] and counts are conserved."""
+    from collections import Counter
+    from datetime import date
+
+    from syllabus_sense_spark.queries.dq_queries8 import (
+        _DRIFT_BAND_CENTS,
+        _DRIFT_SPLIT,
+        dq_histogram_drift_tvd,
+    )
+    from syllabus_sense_spark.tables import load
+
+    split = date.fromisoformat(_DRIFT_SPLIT)
+    hist: dict[int, list[int]] = {}
+    for r in load(spark, sf_dir, "orders").select("o_totalprice", "o_orderdate").collect():
+        band = int(round(r.o_totalprice * 100)) // _DRIFT_BAND_CENTS
+        half = 0 if r.o_orderdate.date() < split else 1
+        hist.setdefault(band, [0, 0])[half] += 1
+    t_a = sum(v[0] for v in hist.values())
+    t_b = sum(v[1] for v in hist.values())
+    want = {
+        band: (
+            v[0],
+            v[1],
+            abs(v[0] * t_b - v[1] * t_a) * 1_000_000 // (2 * t_a * t_b),
+        )
+        for band, v in hist.items()
+    }
+    got = {
+        r.band: (r.n_first, r.n_second, r.drift_ppm)
+        for r in dq_histogram_drift_tvd(spark, sf_dir).collect()
+    }
+    assert got == want
+    tvd = sum(v[2] for v in got.values())
+    assert 0 <= tvd <= 1_000_000
+    assert sum(v[0] for v in got.values()) == t_a
+    assert sum(v[1] for v in got.values()) == t_b

@@ -97,6 +97,9 @@ ALLOW = {
     # onto per-doc sums — the same scalar-broadcast shape as
     # mixture_resample_to_target
     "training_importance_selection": {"BNLJ"},
+    # 1-row broadcast of the (T_a, T_b) histogram-total scalar
+    # aggregate — the standard scalar-broadcast shape
+    "dq_histogram_drift_tvd": {"BNLJ"},
     "batch_by_length_buckets": {"BNLJ"},
     # 1-row corpus-max-date scalar broadcast onto the customer table —
     # the same scalar-aggregate cross-join shape as mixture_resample
