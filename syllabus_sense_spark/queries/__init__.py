@@ -214,6 +214,11 @@ _NEW_THIS_ROUND: list[str] = [
     "multimodal_phash_dedup",
     "multimodal_phash_groups",
     "dq_histogram_drift_tvd",
+    "agg_filter_clause",
+    "agg_median_exact",
+    "agg_count_if_bools",
+    "agg_any_value_functional",
+    "agg_rollup_grouping_id",
 ]
 
 
@@ -384,6 +389,7 @@ def load_all_queries() -> None:
         relational13,
         ext_datacard2,
         ext_multimodal3,
+        agg_families6,
         source_queries2,
         source_queries3,
         events21,

@@ -447,3 +447,82 @@ def test_histogram_drift_tvd_replay_and_bounds(spark, sf_dir):
     assert 0 <= tvd <= 1_000_000
     assert sum(v[0] for v in got.values()) == t_a
     assert sum(v[1] for v in got.values()) == t_b
+
+
+def test_aggregate_family_surfaces_replay(spark, sf_dir):
+    """Python replay of the new native-aggregate queries: FILTER
+    clause == conditional replay, median == sorted midpoint, boolean
+    aggs == all/any, any_value == the (unique) dependent value,
+    ROLLUP grouping ids label the three levels correctly."""
+    from collections import defaultdict
+
+    from syllabus_sense_spark.queries.agg_families6 import (
+        agg_any_value_functional,
+        agg_count_if_bools,
+        agg_filter_clause,
+        agg_median_exact,
+        agg_rollup_grouping_id,
+    )
+    from syllabus_sense_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders").collect()
+
+    # median
+    cents = defaultdict(list)
+    for r in orders:
+        cents[r.o_orderpriority].append(int(round(r.o_totalprice * 100)))
+    got = {r.o_orderpriority: (r.n_orders, r.median_cents)
+           for r in agg_median_exact(spark, sf_dir).collect()}
+    for k, v in cents.items():
+        v.sort()
+        n = len(v)
+        med = float(v[n // 2]) if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2.0
+        assert got[k] == (n, med)
+
+    # booleans
+    by_status = defaultdict(list)
+    for r in orders:
+        by_status[r.o_orderstatus].append(r.o_totalprice)
+    gotb = {r.o_orderstatus: (r.n_orders, r.n_large, r.all_over_900, r.any_over_500k)
+            for r in agg_count_if_bools(spark, sf_dir).collect()}
+    for k, v in by_status.items():
+        assert gotb[k] == (
+            len(v),
+            sum(1 for x in v if x > 100000),
+            all(x > 900 for x in v),
+            any(x > 500000 for x in v),
+        )
+
+    # any_value: functional dependence -> must equal the customer name
+    names = {r.c_custkey: r.c_name
+             for r in load(spark, sf_dir, "customer").collect()}
+    for r in agg_any_value_functional(spark, sf_dir).collect():
+        assert r.customer_name == names[r.o_custkey]
+        assert r.n_orders >= 10
+
+    # grouping ids: level 0 = leaves, 1 = per-flag, 3 = grand total
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").collect()
+    rows = agg_rollup_grouping_id(spark, sf_dir).collect()
+    by_level = defaultdict(list)
+    for r in rows:
+        by_level[r.level_id].append(r)
+    assert set(by_level) == {0, 1, 3}
+    assert len(by_level[3]) == 1 and by_level[3][0].n_items == len(li)
+    assert sum(r.n_items for r in by_level[0]) == len(li)
+    assert sum(r.n_items for r in by_level[1]) == len(li)
+    assert all(r.linestatus == "<all>" for r in by_level[1])
+
+    # FILTER clause == conditional replay
+    flt = {r.l_returnflag: (r.n_discounted, r.n_return_suppliers)
+           for r in agg_filter_clause(spark, sf_dir).collect()}
+    li2 = load(spark, sf_dir, "lineitem").collect()
+    disc = defaultdict(int)
+    rsup = defaultdict(set)
+    for r in li2:
+        if r.l_discount > 0.05:
+            disc[r.l_returnflag] += 1
+        if r.l_returnflag == "R":
+            rsup[r.l_returnflag].add(r.l_suppkey)
+    for k, (nd, ns) in flt.items():
+        assert nd == disc[k]
+        assert ns == len(rsup[k]) if k == "R" else ns == 0
