@@ -219,6 +219,10 @@ _NEW_THIS_ROUND: list[str] = [
     "agg_count_if_bools",
     "agg_any_value_functional",
     "agg_rollup_grouping_id",
+    "scalar_levenshtein_bands",
+    "scalar_base64_roundtrip",
+    "scalar_printf_format",
+    "relational_generators_stack",
 ]
 
 
@@ -390,6 +394,7 @@ def load_all_queries() -> None:
         ext_datacard2,
         ext_multimodal3,
         agg_families6,
+        scalar_funcs5,
         source_queries2,
         source_queries3,
         events21,

@@ -526,3 +526,33 @@ def test_aggregate_family_surfaces_replay(spark, sf_dir):
     for k, (nd, ns) in flt.items():
         assert nd == disc[k]
         assert ns == len(rsup[k]) if k == "R" else ns == 0
+
+
+def test_scalar_batch5_semantics(spark, sf_dir):
+    """printf zero-pad/hex semantics, base64 round trip is total, and
+    the levenshtein histogram masses every consecutive pair."""
+    from syllabus_sense_spark.queries.scalar_funcs5 import (
+        scalar_base64_roundtrip,
+        scalar_levenshtein_bands,
+        scalar_printf_format,
+    )
+    from syllabus_sense_spark.tables import load
+
+    for r in scalar_printf_format(spark, sf_dir).collect():
+        status, pad, hexpart = r.tag.split("|")
+        assert len(pad) == 3 and pad.isdigit()
+        assert int(hexpart, 16) < 16
+        assert r.n >= 2
+
+    rows = scalar_base64_roundtrip(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(r.n_roundtrip_ok == r.n_docs for r in rows)  # bijection
+
+    lev = scalar_levenshtein_bands(spark, sf_dir).collect()
+    ids = sorted(
+        r.doc_id for r in load(spark, sf_dir, "documents").select("doc_id").collect()
+    )
+    n_pairs = sum(1 for a, b in zip(ids, ids[1:]) if b == a + 1)
+    assert sum(r.n_pairs for r in lev) == n_pairs
+    assert all(0 <= r.dist <= 10 for r in lev)
