@@ -223,6 +223,8 @@ _NEW_THIS_ROUND: list[str] = [
     "scalar_base64_roundtrip",
     "scalar_printf_format",
     "relational_generators_stack",
+    "events_locf_forward_fill",
+    "window_dense_rank_ties",
 ]
 
 
@@ -395,6 +397,7 @@ def load_all_queries() -> None:
         ext_multimodal3,
         agg_families6,
         scalar_funcs5,
+        windows6,
         source_queries2,
         source_queries3,
         events21,

@@ -556,3 +556,51 @@ def test_scalar_batch5_semantics(spark, sf_dir):
     n_pairs = sum(1 for a, b in zip(ids, ids[1:]) if b == a + 1)
     assert sum(r.n_pairs for r in lev) == n_pairs
     assert all(0 <= r.dist <= 10 for r in lev)
+
+
+def test_locf_and_rank_tie_semantics(spark, sf_dir):
+    """LOCF replay: per user in time order, filled value == most
+    recent purchase cents (NULL before the first); rank jumps after
+    ties while dense_rank stays contiguous."""
+    from collections import defaultdict
+
+    from syllabus_sense_spark.queries.windows6 import (
+        events_locf_forward_fill,
+        window_dense_rank_ties,
+    )
+    from syllabus_sense_spark.tables import load
+
+    ev = defaultdict(list)
+    for r in load(spark, sf_dir, "events").collect():
+        ev[r.user_id].append((r.ts, r.event_id, r.event_type, r.value))
+    want = {}
+    for u, rows in ev.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        cur, unfilled, total = None, 0, 0
+        for _, _, et, val in rows:
+            if et == "purchase":
+                cur = int(round(val * 100))
+            if cur is None:
+                unfilled += 1
+            else:
+                total += cur
+        want[u] = (len(rows), unfilled, total)
+    got = {
+        r.user_id: (r.n_events, r.n_unfilled, r.sum_filled_cents)
+        for r in events_locf_forward_fill(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    rows = window_dense_rank_ties(spark, sf_dir).collect()
+    by_flag = defaultdict(list)
+    for r in rows:
+        by_flag[r.l_returnflag].append(r)
+    for flag, rs in by_flag.items():
+        rs.sort(key=lambda r: r.band)
+        # dense ranks are 1..k contiguous; rank = 1 + rows preceding
+        seen = 0
+        for i, r in enumerate(rs):
+            assert r.dense_rank == i + 1
+            assert r.first_rank == seen + 1
+            seen += r.n_tied
+        assert any(r.n_tied >= 2 for r in rs)  # ties actually occur
