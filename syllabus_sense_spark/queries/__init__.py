@@ -225,6 +225,7 @@ _NEW_THIS_ROUND: list[str] = [
     "relational_generators_stack",
     "events_locf_forward_fill",
     "window_dense_rank_ties",
+    "map_higher_order_pipeline",
 ]
 
 
@@ -398,6 +399,7 @@ def load_all_queries() -> None:
         agg_families6,
         scalar_funcs5,
         windows6,
+        scalar_funcs6,
         source_queries2,
         source_queries3,
         events21,

@@ -604,3 +604,31 @@ def test_locf_and_rank_tie_semantics(spark, sf_dir):
             assert r.first_rank == seen + 1
             seen += r.n_tied
         assert any(r.n_tied >= 2 for r in rs)  # ties actually occur
+
+
+def test_map_higher_order_pipeline_replay(spark, sf_dir):
+    """Scalar replay of the map pipeline: per order, the three fees
+    through the rate zip and the filter; aggregates match exactly."""
+    from collections import defaultdict
+
+    from syllabus_sense_spark.queries.scalar_funcs6 import (
+        map_higher_order_pipeline,
+    )
+    from syllabus_sense_spark.tables import load
+
+    agg = defaultdict(lambda: [0, 0])
+    for r in load(spark, sf_dir, "orders").select("o_totalprice").collect():
+        c = int(round(r.o_totalprice * 100))
+        fees = {"base": c, "tax": (c * 7) // 100, "ship": c // 50}
+        rates = {"base": 100, "tax": 107, "ship": 102}
+        for k, chg in fees.items():
+            v = (chg * rates[k]) // 100
+            if v >= 500000:
+                agg[k][0] += 1
+                agg[k][1] += v
+    got = {
+        r.fee: (r.n_fees, r.total_cents)
+        for r in map_higher_order_pipeline(spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    assert "base" in got  # the filter keeps large fees
