@@ -226,6 +226,7 @@ _NEW_THIS_ROUND: list[str] = [
     "events_locf_forward_fill",
     "window_dense_rank_ties",
     "map_higher_order_pipeline",
+    "events_sessionize_dynamic_gap",
 ]
 
 
@@ -400,6 +401,7 @@ def load_all_queries() -> None:
         scalar_funcs5,
         windows6,
         scalar_funcs6,
+        events24,
         source_queries2,
         source_queries3,
         events21,

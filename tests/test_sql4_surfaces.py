@@ -632,3 +632,56 @@ def test_map_higher_order_pipeline_replay(spark, sf_dir):
     }
     assert got == {k: tuple(v) for k, v in agg.items()}
     assert "base" in got  # the filter keeps large fees
+
+
+def test_dynamic_gap_sessionize_replay_and_bracketing(spark, sf_dir):
+    """Python interval-merge replay of the dynamic-gap sessions, plus
+    bracketing: session count sits between the all-60m and all-30m
+    fixed-gap counts (longer gaps merge more)."""
+    from collections import defaultdict
+
+    from syllabus_sense_spark.queries.events24 import (
+        events_sessionize_dynamic_gap,
+    )
+    from syllabus_sense_spark.tables import load
+
+    ev = defaultdict(list)
+    for r in load(spark, sf_dir, "events").collect():
+        us = int(r.ts.timestamp() * 1_000_000)
+        gap = 3_600_000_000 if r.event_type == "purchase" else 1_800_000_000
+        ev[r.user_id].append((us, r.event_id, gap, r.event_type, r.value))
+
+    def sessions(rows, fixed=None):
+        rows = sorted(rows)
+        out, cur = [], None
+        for us, _, gap, et, val in rows:
+            g = fixed if fixed is not None else gap
+            if cur is None or us >= cur["end"]:
+                if cur:
+                    out.append(cur)
+                cur = {"start": us, "end": us + g, "n": 0, "p": 0, "v": 0.0}
+            cur["end"] = max(cur["end"], us + g)
+            cur["n"] += 1
+            cur["p"] += et == "purchase"
+            cur["v"] += val
+        if cur:
+            out.append(cur)
+        return out
+
+    want = {}
+    n_dyn = n_30 = n_60 = 0
+    for u, rows in ev.items():
+        ss = sessions(rows)
+        n_dyn += len(ss)
+        n_30 += len(sessions(rows, fixed=1_800_000_000))
+        n_60 += len(sessions(rows, fixed=3_600_000_000))
+        for s in ss:
+            want[(u, s["start"])] = (s["end"], s["n"], s["p"])
+    got = {}
+    for r in events_sessionize_dynamic_gap(spark, sf_dir).collect():
+        start = int(r.session_start.timestamp() * 1_000_000)
+        end = int(r.session_end.timestamp() * 1_000_000)
+        got[(r.user_id, start)] = (end, r.n_events, r.n_purchases)
+    assert got == want
+    assert n_60 <= n_dyn <= n_30
+    assert n_60 < n_30  # the two gap tiers genuinely differ here
