@@ -227,6 +227,7 @@ _NEW_THIS_ROUND: list[str] = [
     "window_dense_rank_ties",
     "map_higher_order_pipeline",
     "events_sessionize_dynamic_gap",
+    "streaming_dynamic_gap_drain",
 ]
 
 

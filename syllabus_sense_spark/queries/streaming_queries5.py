@@ -230,3 +230,61 @@ def streaming_full_outer_join_drain(spark, sf_dir):
     )
     assert q.awaitTermination(600), "availableNow stream drain timed out"
     return spark.sql(f"SELECT * FROM {name}")
+
+
+_DYN_GAP_US = (
+    "CASE WHEN event_type = 'purchase' THEN 3600000000 ELSE 1800000000 END"
+)
+
+_DYN_SESSION_DRAIN_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type,
+         epoch_us(ts) AS ts_us,
+         {_DYN_GAP_US} AS gap_us
+  FROM events
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN MAX(ts_us + gap_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+           OR ts_us >= MAX(ts_us + gap_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev
+),
+numbered AS (
+  SELECT *, SUM(new_session) OVER (
+              PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT MIN(ts) AS session_start,
+       make_timestamp(MAX(ts_us + gap_us)) AS session_end,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases
+FROM numbered
+GROUP BY user_id, sid
+"""
+
+
+@register("streaming_dynamic_gap_drain", _DYN_SESSION_DRAIN_ORACLE)
+def streaming_dynamic_gap_drain(spark, sf_dir):
+    """availableNow drain of the DYNAMIC-gap streaming sessionizer
+    (per-event timeout in the state-store session operator): the
+    drained memory-sink table must hash-match the batch interval-merge
+    oracle exactly — no session split or merged across micro-batch
+    boundaries. Batch twin: events24.events_sessionize_dynamic_gap."""
+    from ..streaming.events import stream_session_windows_dynamic
+
+    q = stream_session_windows_dynamic(
+        spark, sf_dir, query_name="harness_dynamic_gap_drain"
+    )
+    assert q.awaitTermination(600), "availableNow stream drain timed out"
+    return spark.sql(
+        "SELECT session_start, session_end, user_id, n_events, n_purchases"
+        " FROM harness_dynamic_gap_drain"
+    )

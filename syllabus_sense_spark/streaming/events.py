@@ -277,3 +277,43 @@ def stream_sliding_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_session_windows_dynamic(
+    spark: SparkSession, sf_dir: str, query_name: str = "session_windows_dynamic"
+):
+    """Streaming sessionization with a PER-EVENT gap (purchase keeps
+    the session alive 60 minutes, anything else 30): the dynamic-gap
+    form of ``F.session_window``, state-store session merging with
+    per-event timeouts. Watermark bounds session state exactly as in
+    the fixed-gap twin; the batch twin is
+    queries/events24.events_sessionize_dynamic_gap."""
+    events = _with_event_time(_event_stream(spark, sf_dir))
+    gap = F.expr(
+        "CASE WHEN event_type = 'purchase' THEN '60 minutes'"
+        " ELSE '30 minutes' END"
+    )
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchases"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "n_purchases",
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -685,3 +685,26 @@ def test_dynamic_gap_sessionize_replay_and_bracketing(spark, sf_dir):
     assert got == want
     assert n_60 <= n_dyn <= n_30
     assert n_60 < n_30  # the two gap tiers genuinely differ here
+
+
+def test_streaming_dynamic_gap_equals_batch_twin(spark, sf_dir):
+    """The drained streaming dynamic-gap sessions must equal the batch
+    session_window form row-for-row (state-store merging across
+    micro-batches == one-shot batch merging)."""
+    from syllabus_sense_spark.queries.events24 import (
+        events_sessionize_dynamic_gap,
+    )
+    from syllabus_sense_spark.queries.streaming_queries5 import (
+        streaming_dynamic_gap_drain,
+    )
+
+    stream_rows = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.n_purchases)
+        for r in streaming_dynamic_gap_drain(spark, sf_dir).collect()
+    }
+    batch_rows = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.n_purchases)
+        for r in events_sessionize_dynamic_gap(spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
+    assert stream_rows
