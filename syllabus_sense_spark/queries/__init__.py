@@ -228,6 +228,7 @@ _NEW_THIS_ROUND: list[str] = [
     "map_higher_order_pipeline",
     "events_sessionize_dynamic_gap",
     "streaming_dynamic_gap_drain",
+    "scalar_csv_roundtrip",
 ]
 
 

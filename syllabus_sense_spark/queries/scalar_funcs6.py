@@ -75,3 +75,58 @@ def map_higher_order_pipeline(spark, sf_dir):
             F.sum("v").cast("bigint").alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedded-CSV parse (from_csv / to_csv)
+
+_CSV_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_roundtrip_ok,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS cents
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("scalar_csv_roundtrip", _CSV_ORACLE)
+def scalar_csv_roundtrip(spark, sf_dir):
+    """Embedded-CSV columns: to_csv(struct) -> from_csv(schema) round
+    trip — the 'CSV line inside a string column' ingestion surface.
+    The oracle aggregates the ORIGINAL columns; the Spark side
+    aggregates the PARSED ones and counts field-exact round trips, so
+    a quoting/typing bug in either direction breaks the hash (cents
+    differ or n_roundtrip_ok < n_rows)."""
+    o = load(spark, sf_dir, "orders")
+    line = F.to_csv(
+        F.struct(
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    parsed = o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", line.alias("line")
+    ).withColumn(
+        "p",
+        F.from_csv(
+            F.col("line"), "o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT"
+        ),
+    )
+    ok = (
+        (F.col("p.o_orderkey") == F.col("o_orderkey"))
+        & (F.col("p.o_orderstatus") == F.col("o_orderstatus"))
+        & (
+            F.col("p.cents")
+            == (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+    )
+    return parsed.groupBy(F.col("p.o_orderstatus").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("bigint").alias("n_roundtrip_ok"),
+        F.sum("p.cents").cast("bigint").alias("cents"),
+    )
