@@ -71,15 +71,35 @@ LEFT JOIN monthly m ON m.month = s.month
 
 @register("sql_recursive_month_spine", _SPINE_ORACLE)
 def sql_recursive_month_spine(spark, sf_dir):
+    # Recursion-granularity rule (measured, SCALE.md): every recursive
+    # STEP is a full sequential Spark job, so recurse over the COARSE
+    # unit (years, ~7 steps) and fan the fine unit (12 months) out
+    # inside a step with explode — same result as the per-month
+    # recursion, 80 sequential jobs -> 7 (11 s -> ~1 s at any SF).
+    # DuckDB (single-process) recurses per month in the oracle; the
+    # results are identical.
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql("""
-      WITH RECURSIVE spine(m) AS (
-        SELECT CAST(min(date_trunc('MONTH', CAST(o_orderdate AS DATE))) AS DATE)
-        FROM orders
+      WITH RECURSIVE years(y) AS (
+        SELECT year(min(CAST(o_orderdate AS DATE))) FROM orders
         UNION ALL
-        SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM spine
-        WHERE m < (SELECT CAST(max(date_trunc('MONTH', CAST(o_orderdate AS DATE)))
-                           AS DATE) FROM orders)
+        SELECT y + 1 FROM years
+        WHERE y < (SELECT year(max(CAST(o_orderdate AS DATE))) FROM orders)
+      ),
+      bounds AS (
+        SELECT substr(CAST(CAST(date_trunc('MONTH',
+                 min(CAST(o_orderdate AS DATE))) AS DATE) AS STRING), 1, 7)
+                 AS lo,
+               substr(CAST(CAST(date_trunc('MONTH',
+                 max(CAST(o_orderdate AS DATE))) AS DATE) AS STRING), 1, 7)
+                 AS hi
+        FROM orders
+      ),
+      spine AS (
+        SELECT concat(CAST(y AS STRING), '-', lpad(CAST(mo AS STRING), 2, '0'))
+                 AS month
+        FROM years
+        LATERAL VIEW explode(sequence(1, 12)) t AS mo
       ),
       monthly AS (
         SELECT substr(CAST(CAST(date_trunc('MONTH', CAST(o_orderdate AS DATE))
@@ -92,8 +112,9 @@ def sql_recursive_month_spine(spark, sf_dir):
       SELECT s.month,
              COALESCE(m.n_orders, CAST(0 AS BIGINT)) AS n_orders,
              COALESCE(m.rev_cents, CAST(0 AS BIGINT)) AS rev_cents
-      FROM (SELECT substr(CAST(m AS STRING), 1, 7) AS month FROM spine) s
+      FROM spine s CROSS JOIN bounds b
       LEFT JOIN monthly m ON m.month = s.month
+      WHERE s.month >= b.lo AND s.month <= b.hi
     """)
 
 
