@@ -229,6 +229,7 @@ _NEW_THIS_ROUND: list[str] = [
     "events_sessionize_dynamic_gap",
     "streaming_dynamic_gap_drain",
     "scalar_csv_roundtrip",
+    "multimodal_audio_fingerprint",
 ]
 
 

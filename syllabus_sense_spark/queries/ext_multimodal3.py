@@ -160,3 +160,87 @@ def multimodal_phash_groups(spark, sf_dir):
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint (dHash analog over decoded PCM samples)
+
+_AFP_POINTS = 57  # 56 sign-of-delta bits, nonnegative in a signed BIGINT
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("afp", T.LongType(), True),
+    ]
+)
+
+
+def _audio_fp(s: np.ndarray) -> int:
+    """56-bit sign-of-delta fingerprint over an integer sample grid —
+    the audio analog of the image dHash: deterministic integer grid
+    (k*n DIV 57), bit k set iff s[g_{k+1}] > s[g_k]. No resampling
+    filter, no float — engine-exact."""
+    n = len(s)
+    g = (np.arange(_AFP_POINTS, dtype=np.int64) * n) // _AFP_POINTS
+    v = s[g].astype(np.int64)
+    bits = v[1:] > v[:-1]
+    return int((bits * (1 << np.arange(_AFP_POINTS - 1, dtype=np.int64))).sum())
+
+
+def wav_fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .ext_multimodal2 import decode_wav_samples
+
+    for pdf in batches:
+        recs = []
+        for did, payload in zip(pdf["doc_id"], pdf["wav"]):
+            s = decode_wav_samples(payload)
+            if s is None or len(s) < _AFP_POINTS:
+                recs.append((int(did), None, None))
+                continue
+            recs.append((int(did), len(s), _audio_fp(s)))
+        yield pd.DataFrame(
+            recs, columns=[f.name for f in AUDIO_FP_SCHEMA.fields]
+        ).astype({"doc_id": "int64"})
+
+
+# The oracle replays the sample formula s(i) = (doc_id*31 + i*17) %
+# 65536 - 32768 with n = 64 + doc_id % 64 samples (ext_multimodal2's
+# generator), samples the same integer grid, and packs the same bits.
+_AUDIO_FP_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+),
+grid AS (
+  SELECT d.doc_id, d.n, k.k,
+         (k.k * d.n) // {_AFP_POINTS} AS i
+  FROM dims d, UNNEST(range({_AFP_POINTS})) AS k(k)
+),
+vals AS (
+  SELECT doc_id, n, k,
+         (doc_id * 31 + i * 17) % 65536 - 32768 AS v
+  FROM grid
+),
+packed AS (
+  SELECT a.doc_id,
+         CAST(MAX(a.n) AS BIGINT) AS n_samples,
+         CAST(SUM(CASE WHEN b.v > a.v
+                       THEN CAST(1 AS BIGINT) << a.k ELSE 0 END) AS BIGINT)
+           AS afp
+  FROM vals a JOIN vals b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+  GROUP BY a.doc_id
+)
+SELECT doc_id, n_samples, afp FROM packed
+"""
+
+
+@register("multimodal_audio_fingerprint", _AUDIO_FP_ORACLE)
+def multimodal_audio_fingerprint(spark, sf_dir):
+    """Audio dedup fingerprint over REAL decoded PCM bytes (RIFF chunk
+    walk → int16 samples → integer-grid sign-of-delta hash); the
+    oracle recomputes it from the generating formula, so hash green
+    certifies the container walk + endianness + grid + packing.
+    Same map-only scale posture as multimodal_phash_dedup."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    blobs = d.mapInPandas(encode_media, MEDIA_BLOB_SCHEMA).drop("bmp")
+    return blobs.mapInPandas(wav_fingerprint, AUDIO_FP_SCHEMA)

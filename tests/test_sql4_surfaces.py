@@ -708,3 +708,33 @@ def test_streaming_dynamic_gap_equals_batch_twin(spark, sf_dir):
     }
     assert stream_rows == batch_rows
     assert stream_rows
+
+
+def test_audio_fingerprint_scalar_replay(spark, sf_dir):
+    """Scalar-loop replay of the audio sign-of-delta fingerprint from
+    the PCM formula (independent of the numpy grid code)."""
+    from syllabus_sense_spark.queries.ext_multimodal3 import (
+        _AFP_POINTS,
+        multimodal_audio_fingerprint,
+    )
+    from syllabus_sense_spark.tables import load
+
+    ids = [r.doc_id for r in load(spark, sf_dir, "documents").select("doc_id").collect()]
+
+    def afp(d):
+        n = 64 + d % 64
+        def s(i):
+            return (d * 31 + i * 17) % 65536 - 32768
+        out = 0
+        for k in range(_AFP_POINTS - 1):
+            ga, gb = (k * n) // _AFP_POINTS, ((k + 1) * n) // _AFP_POINTS
+            if s(gb) > s(ga):
+                out |= 1 << k
+        return out
+
+    want = {d: (64 + d % 64, afp(d)) for d in ids}
+    got = {
+        r.doc_id: (r.n_samples, r.afp)
+        for r in multimodal_audio_fingerprint(spark, sf_dir).collect()
+    }
+    assert got == want
