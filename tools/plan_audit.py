@@ -100,6 +100,9 @@ ALLOW = {
     # 1-row broadcast of the (T_a, T_b) histogram-total scalar
     # aggregate — the standard scalar-broadcast shape
     "dq_histogram_drift_tvd": {"BNLJ"},
+    # 1-row broadcast of the (min,max)-month scalar-aggregate bounds
+    # cross-joined onto the ~80-row spine — scalar-broadcast shape
+    "sql_recursive_month_spine": {"BNLJ"},
     "batch_by_length_buckets": {"BNLJ"},
     # 1-row corpus-max-date scalar broadcast onto the customer table —
     # the same scalar-aggregate cross-join shape as mixture_resample
