@@ -230,6 +230,7 @@ _NEW_THIS_ROUND: list[str] = [
     "streaming_dynamic_gap_drain",
     "scalar_csv_roundtrip",
     "multimodal_audio_fingerprint",
+    "multimodal_phash_near_pairs",
 ]
 
 

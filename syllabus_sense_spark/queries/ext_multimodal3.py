@@ -244,3 +244,90 @@ def multimodal_audio_fingerprint(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id")
     blobs = d.mapInPandas(encode_media, MEDIA_BLOB_SCHEMA).drop("bmp")
     return blobs.mapInPandas(wav_fingerprint, AUDIO_FP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# banded near-match over the image hashes (the SimHash recipe applied
+# to the perceptual hash): candidates from 8-bit band agreement over
+# the DISTINCT hash table, verified by exact Hamming distance
+
+_PHASH_BANDS = 7  # 56 bits / 8-bit bands
+_PHASH_HAMMING_MAX = 6
+
+
+@register(
+    "multimodal_phash_near_pairs",
+    f"""
+WITH {_PHASH_CTE},
+hv AS (
+  SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM hashed GROUP BY phash
+),
+banded AS (
+  SELECT phash, n_docs, b.b AS band_idx,
+         (phash >> (8 * b.b)) & 255 AS band_v
+  FROM hv, UNNEST(range({_PHASH_BANDS})) AS b(b)
+),
+cand AS (
+  SELECT DISTINCT a.phash AS ph_a, a.n_docs AS n_docs_a,
+                  c.phash AS ph_b, c.n_docs AS n_docs_b
+  FROM banded a
+  JOIN banded c ON c.band_idx = a.band_idx AND c.band_v = a.band_v
+               AND c.phash > a.phash
+)
+SELECT ph_a, ph_b, n_docs_a, n_docs_b,
+       CAST(bit_count(CAST(xor(ph_a, ph_b) AS BIGINT)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(ph_a, ph_b) AS BIGINT)) <= {_PHASH_HAMMING_MAX}
+""",
+)
+def multimodal_phash_near_pairs(spark, sf_dir):
+    """NEAR-duplicate image groups: the SimHash banding recipe over
+    the 56-bit perceptual hash, at HASH granularity — exact-duplicate
+    images already collapse into one hash bucket
+    (multimodal_phash_groups), so near-match candidates are generated
+    over the DISTINCT hash table (844 hashes for 5000 images at
+    sf0.1), never over documents: a pair within Hamming <= 6 must
+    agree exactly on one of the 7 8-bit bands (pigeonhole), the band
+    equi-join proposes it, and only candidates pay the bit_count
+    verify. Each output row carries both buckets' doc counts, so
+    doc-level near-dup mass is readable without materializing the
+    quadratic doc-pair expansion — the same dedup-ladder shape as
+    dedup_simhash (distinct-fingerprint candidates, counts carried)."""
+    ph = (
+        multimodal_phash_dedup(spark, sf_dir)
+        .groupBy("phash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    banded = ph.select(
+        "phash",
+        "n_docs",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PHASH_BANDS - 1}),"
+                f" b -> struct(b AS band_idx,"
+                f" shiftright(phash, 8 * b) & 255 AS band_v))"
+            )
+        ).alias("band"),
+    ).select("phash", "n_docs", "band.band_idx", "band.band_v")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_v") == F.col("b.band_v"))
+            & (F.col("b.phash") > F.col("a.phash")),
+        )
+        .select(
+            F.col("a.phash").alias("ph_a"),
+            F.col("a.n_docs").alias("n_docs_a"),
+            F.col("b.phash").alias("ph_b"),
+            F.col("b.n_docs").alias("n_docs_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(ph_a ^ ph_b)").cast("bigint")
+    return cand.select(
+        "ph_a", "ph_b", "n_docs_a", "n_docs_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= _PHASH_HAMMING_MAX)

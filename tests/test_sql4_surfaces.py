@@ -738,3 +738,31 @@ def test_audio_fingerprint_scalar_replay(spark, sf_dir):
         for r in multimodal_audio_fingerprint(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_phash_near_pairs_pigeonhole_complete(spark, sf_dir):
+    """Candidate generation is complete: EVERY distinct-hash pair with
+    Hamming <= 6 appears (pigeonhole over 7 bands guarantees it — the
+    brute-force check over distinct hashes proves no pair is lost)."""
+    from itertools import combinations
+
+    from syllabus_sense_spark.queries.ext_multimodal3 import (
+        _PHASH_HAMMING_MAX,
+        multimodal_phash_dedup,
+        multimodal_phash_near_pairs,
+    )
+
+    hashes = sorted(
+        {r.phash for r in multimodal_phash_dedup(spark, sf_dir).collect()}
+    )
+    want = {
+        (a, b, bin(a ^ b).count("1"))
+        for a, b in combinations(hashes, 2)
+        if bin(a ^ b).count("1") <= _PHASH_HAMMING_MAX
+    }
+    got = {
+        (r.ph_a, r.ph_b, r.hamming)
+        for r in multimodal_phash_near_pairs(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want  # near pairs genuinely exist in the corpus
