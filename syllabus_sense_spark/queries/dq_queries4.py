@@ -45,6 +45,10 @@ _BENFORD_CASE = "CASE first_digit " + " ".join(
     f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
 ) + " END"
 
+# DuckDB types SUM(COUNT(*)) OVER () as HUGEINT, so every expression
+# touching `total` must CAST back to BIGINT or the driver's
+# type-sensitive value-hasher sees int128 where Spark emits int64
+# (round-7 driver mismatch: rows/schema green, hash red).
 _BENFORD_ORACLE = f"""
 WITH cents AS (
   SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
@@ -60,9 +64,9 @@ counts AS (
 )
 SELECT CAST(first_digit AS INT) AS first_digit,
        CAST(n AS BIGINT) AS n,
-       n * 1000000 // total AS obs_ppm,
+       CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
        CAST({_BENFORD_CASE} AS BIGINT) AS benford_ppm,
-       ABS(n * 1000000 // total - {_BENFORD_CASE}) AS delta_ppm
+       CAST(ABS(n * 1000000 // total - {_BENFORD_CASE}) AS BIGINT) AS delta_ppm
 FROM counts
 """
 
