@@ -137,10 +137,13 @@ def asof_join(
         F.col("__is_probe"),
         match.alias("__match"),
     )
-    out = filled.filter(F.col("__is_probe") == 1).select(
+    probes = filled.filter(F.col("__is_probe") == 1)
+    if how == "inner":
+        # A real match always carries a non-null __rt (the winning
+        # reference row's own time), so this keeps matched rows whose
+        # value columns are legitimately NULL.
+        probes = probes.filter(F.col("__match").isNotNull())
+    return probes.select(
         *[F.col(c) for c in left_cols],
         *[F.col(f"__match.{c}").alias(c) for c in value_cols],
     )
-    if how == "inner":
-        out = out.filter(F.col(value_cols[0]).isNotNull())
-    return out

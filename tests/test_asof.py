@@ -49,6 +49,30 @@ def test_asof_basic_and_ties(spark):
     assert {r.probe_id for r in inner} == {1, 3, 4}
 
 
+def test_asof_inner_keeps_null_valued_match(spark):
+    """how='inner' drops only UNMATCHED probes: a matched reference
+    row whose first value column is NULL must survive (the match test
+    is on the carried struct, not on value_cols[0])."""
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-05")),  # matches the NULL-val row
+            (2, 10, _ts("2024-01-01")),  # no match → dropped
+        ],
+        "probe_id long, key long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-04"), None, 7)],
+        "key long, rt timestamp, val long, val2 long",
+    )
+    inner = asof_join(
+        left, right, on="key", left_time="t", right_time="rt",
+        value_cols=["val", "val2"], how="inner",
+    ).collect()
+    assert len(inner) == 1
+    assert inner[0].probe_id == 1
+    assert inner[0].val is None and inner[0].val2 == 7
+
+
 def test_asof_multikey_and_full_collision(spark):
     """Composite join keys, plus the degenerate tiebreak case: two
     reference rows identical in (key, ts, tiebreak) — the carried
