@@ -96,25 +96,37 @@ def _wav_encode(doc_id: int) -> bytes:
     )
 
 
-def encode_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """(doc_id) → (doc_id, bmp binary, wav binary). The encode side of
-    the round trip — a stand-in for blobs already sitting in a binary
-    parquet column."""
+def encode_bmp_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id) → (doc_id, bmp binary). The encode side of the round
+    trip — a stand-in for blobs already sitting in a binary parquet
+    column. Kind-specific so an image query never pays the WAV encode
+    (and its Arrow transfer), and vice versa."""
     for pdf in batches:
         ids = pdf["doc_id"].astype("int64")
         yield pd.DataFrame(
-            {
-                "doc_id": ids,
-                "bmp": [_bmp_encode(int(d)) for d in ids],
-                "wav": [_wav_encode(int(d)) for d in ids],
-            }
+            {"doc_id": ids, "bmp": [_bmp_encode(int(d)) for d in ids]}
         )
 
 
-MEDIA_BLOB_SCHEMA = T.StructType(
+def encode_wav_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id) → (doc_id, wav binary); see ``encode_bmp_blobs``."""
+    for pdf in batches:
+        ids = pdf["doc_id"].astype("int64")
+        yield pd.DataFrame(
+            {"doc_id": ids, "wav": [_wav_encode(int(d)) for d in ids]}
+        )
+
+
+BMP_BLOB_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("bmp", T.BinaryType(), False),
+    ]
+)
+
+WAV_BLOB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
         T.StructField("wav", T.BinaryType(), False),
     ]
 )
@@ -236,7 +248,7 @@ GROUP BY doc_id, w, h
 @register("multimodal_pixel_stats", _PIXEL_ORACLE)
 def multimodal_pixel_stats(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id")
-    blobs = d.mapInPandas(encode_media, MEDIA_BLOB_SCHEMA).drop("wav")
+    blobs = d.mapInPandas(encode_bmp_blobs, BMP_BLOB_SCHEMA)
     return blobs.mapInPandas(bmp_pixel_stats, PIXEL_STATS_SCHEMA)
 
 
@@ -298,5 +310,5 @@ GROUP BY doc_id, n_samples
 @register("multimodal_wav_pcm_stats", _WAV_ORACLE)
 def multimodal_wav_pcm_stats(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id")
-    blobs = d.mapInPandas(encode_media, MEDIA_BLOB_SCHEMA).drop("bmp")
+    blobs = d.mapInPandas(encode_wav_blobs, WAV_BLOB_SCHEMA)
     return blobs.mapInPandas(wav_sample_stats, WAV_STATS_SCHEMA)

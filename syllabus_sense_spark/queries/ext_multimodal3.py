@@ -43,14 +43,16 @@ from pyspark.sql import types as T
 from ..tables import load
 from . import register
 from .ext_multimodal2 import (
-    MEDIA_BLOB_SCHEMA,
+    BMP_BLOB_SCHEMA,
+    WAV_BLOB_SCHEMA,
     _BLUE,
     _GREEN,
     _H,
     _RED,
     _W,
     decode_bmp_pixels,
-    encode_media,
+    encode_bmp_blobs,
+    encode_wav_blobs,
 )
 
 _GRID_W = 9
@@ -134,7 +136,7 @@ _PHASH_ORACLE = f"WITH {_PHASH_CTE} SELECT doc_id, width, height, phash FROM has
 @register("multimodal_phash_dedup", _PHASH_ORACLE)
 def multimodal_phash_dedup(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id")
-    blobs = d.mapInPandas(encode_media, MEDIA_BLOB_SCHEMA).drop("wav")
+    blobs = d.mapInPandas(encode_bmp_blobs, BMP_BLOB_SCHEMA)
     return blobs.mapInPandas(bmp_phash, PHASH_SCHEMA)
 
 
@@ -242,7 +244,7 @@ def multimodal_audio_fingerprint(spark, sf_dir):
     certifies the container walk + endianness + grid + packing.
     Same map-only scale posture as multimodal_phash_dedup."""
     d = load(spark, sf_dir, "documents").select("doc_id")
-    blobs = d.mapInPandas(encode_media, MEDIA_BLOB_SCHEMA).drop("bmp")
+    blobs = d.mapInPandas(encode_wav_blobs, WAV_BLOB_SCHEMA)
     return blobs.mapInPandas(wav_fingerprint, AUDIO_FP_SCHEMA)
 
 
