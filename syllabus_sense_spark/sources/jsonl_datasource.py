@@ -84,21 +84,22 @@ class JsonlSinkWriter(DataSourceWriter):
 
     # --- driver side ---------------------------------------------------
     def commit(self, messages) -> None:
-        keep = set()
+        # mode("overwrite"): retire pre-existing shards BEFORE any new
+        # shard becomes visible (the FileOutputCommitter overwrite
+        # order) — a crash mid-commit can leave partial NEW output, but
+        # never a mix of old and new shards. This job's output is still
+        # invisible here (dot-prefixed temps), so nothing of it is lost.
+        if self.overwrite:
+            incoming = {m.final_name for m in messages if m is not None}
+            for name in os.listdir(self.path):
+                if name.endswith(".jsonl") and name not in incoming:
+                    os.remove(os.path.join(self.path, name))
         for m in messages:
             if m is None:
                 continue
             src = os.path.join(self.path, m.tmp_name)
             dst = os.path.join(self.path, m.final_name)
             os.rename(src, dst)  # atomic publish
-            keep.add(m.final_name)
-        # mode("overwrite"): retire pre-existing shards so stale
-        # part files never mix with this job's output. New names carry
-        # a fresh uuid, so `keep` exactly identifies this job's files.
-        if self.overwrite:
-            for name in os.listdir(self.path):
-                if name.endswith(".jsonl") and name not in keep:
-                    os.remove(os.path.join(self.path, name))
         # sweep orphans: failed/speculative attempts' temps
         for name in os.listdir(self.path):
             if name.startswith(".tmp-"):
