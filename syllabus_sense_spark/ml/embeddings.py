@@ -32,17 +32,15 @@ from pyspark.ml.feature import (
     Normalizer,
     RegexTokenizer,
 )
-from pyspark.ml.functions import vector_to_array
-from pyspark.ml.linalg import Vectors, VectorUDT
+from pyspark.ml.functions import array_to_vector, vector_to_array
 from pyspark.sql import DataFrame, functions as F
 
 N_FEATURES = 1 << 14
 
-# The one unavoidable row UDF in this module: MLlib's VectorUDT has no
-# built-in array<double> constructor expression, so the bridge into
-# LSH/KMeans estimators must cross Python once per row. Scale twins in
-# queries/ext_similarity* skip MLlib (and this bridge) entirely.
-_to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
+# JVM-side array<double> -> VectorUDT bridge into the LSH/KMeans
+# estimators (no Python crossing). Scale twins in
+# queries/ext_similarity* skip MLlib entirely.
+_to_vec = array_to_vector
 
 
 def tfidf_embeddings(documents: DataFrame, text_col: str = "text") -> DataFrame:
