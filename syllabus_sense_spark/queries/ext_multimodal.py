@@ -113,16 +113,85 @@ def byte_histogram_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         )
 
 
-@register("multimodal_feature_extract")  # rows-only: byte-level BLOB math
+BYTE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sum_bytes", T.LongType(), False),
+        T.StructField("hist6", T.LongType(), False),
+    ]
+)
+
+
+def byte_stats_exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Exact-integer sibling of ``byte_histogram_features``: byte
+    count, byte-value sum, and the bin-6 (high nibble 0x6_: ASCII
+    'a'..'o') histogram count — the same numpy-over-Arrow byte path,
+    reduced to integers so the query is oracle-checkable."""
+    import numpy as np
+
+    for pdf in batches:
+        recs = []
+        for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+            recs.append(
+                (
+                    int(did),
+                    int(arr.size),
+                    int(arr.astype(np.int64).sum()),
+                    int((arr >> 4 == 6).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            recs, columns=[f.name for f in BYTE_STATS_SCHEMA.fields]
+        ).astype({"doc_id": "int64"})
+
+
+# DuckDB has no per-byte BLOB subscript, but hex(encode(text)) exposes
+# every byte as a hex-digit pair — the oracle replays the numpy byte
+# math from that string. ppm columns are integer-exact (floor DIV of
+# nonnegative ints in both engines).
+_FEATURE_ORACLE = """
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) > 0
+),
+b AS (
+  SELECT doc_id, n, i.i,
+         CAST(('0x' || substr(h, CAST(2 * i.i + 1 AS INT), 2)) AS BIGINT) AS byte
+  FROM hx, UNNEST(range(n)) AS i(i)
+)
+SELECT doc_id,
+  CAST(MAX(n) AS BIGINT) AS n_bytes,
+  CAST(SUM(byte) AS BIGINT) AS sum_bytes,
+  CAST(SUM(byte) * 1000000 // MAX(n) AS BIGINT) AS mean_byte_e6,
+  CAST(SUM(CASE WHEN byte // 16 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS hist6,
+  CAST(SUM(CASE WHEN byte // 16 = 6 THEN 1 ELSE 0 END) * 1000000 // MAX(n)
+       AS BIGINT) AS bin6_ppm
+FROM b GROUP BY doc_id
+"""
+
+
+@register("multimodal_feature_extract", _FEATURE_ORACLE)
 def multimodal_feature_extract(spark, sf_dir):
+    """Byte-level feature extraction over the binary payload — REAL
+    numpy math in the Arrow batch (the seam a CLIP/mel extractor plugs
+    into; the float-vector tier is ``byte_histogram_features``, law-
+    tested), reduced to exact integers so the driver hash-checks the
+    byte path end to end. Empty payloads are dropped on both sides."""
     d = load(spark, sf_dir, "documents")
-    media = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
-    out = media.mapInPandas(byte_histogram_features, FEATURE_SCHEMA)
+    media = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    ).filter(F.length("payload") > 0)
+    out = media.mapInPandas(byte_stats_exact, BYTE_STATS_SCHEMA)
     return out.select(
         "doc_id",
-        F.round("mean_byte", 6).alias("mean_byte_r"),
-        F.round(F.element_at("features", 7), 6).alias("bin6_r"),
-        F.size("features").alias("dim"),
+        "n_bytes",
+        "sum_bytes",
+        F.expr("sum_bytes * 1000000 DIV n_bytes").alias("mean_byte_e6"),
+        "hist6",
+        F.expr("hist6 * 1000000 DIV n_bytes").alias("bin6_ppm"),
     )
 
 

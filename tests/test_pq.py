@@ -149,6 +149,19 @@ def test_assign_codes_picks_nearest_centroid(spark):
         assert r.code == best
 
 
+def test_pq_pipeline_is_deterministic_run_to_run(spark, sf_dir):
+    """'Deterministic once seeded' pinned: two independent builds of
+    the full similarity_pq_adc pipeline (fresh codebook training each
+    time) return the IDENTICAL row multiset — seeds are lowest
+    vec_ids, argmin ties break on code index, no RNG anywhere."""
+    from syllabus_sense_spark.queries import QUERIES, load_all_queries
+
+    load_all_queries()
+    a = sorted(map(tuple, QUERIES["similarity_pq_adc"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["similarity_pq_adc"](spark, sf_dir).collect()))
+    assert a == b
+
+
 def test_search_semantic_docs_pq_recall_vs_exact(spark, sf_dir):
     """The PQ-backed RAG query must recover ≥0.7 of the exact
     retrieval's top-3 doc ids per query and return hydrated rows

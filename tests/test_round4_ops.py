@@ -100,6 +100,35 @@ def test_compression_ratio_laws(spark, sf_dir):
     assert avg < 0.7
 
 
+def test_compression_ratio_pins_zlib_output_exactly(spark, sf_dir):
+    """zlib is deterministic at a fixed level: the query's ratio must
+    equal round(len(zlib.compress(text, 6)) / len(text), 6) replayed
+    independently here — an exact check, not a band (the strongest
+    check a no-zlib-in-DuckDB rows-only query can bear)."""
+    import zlib
+
+    from syllabus_sense_spark.queries.ext_text4 import text_compression_ratio
+    from syllabus_sense_spark.tables import load
+
+    texts = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents")
+        .filter("doc_id < 25")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = text_compression_ratio(spark, sf_dir).filter("doc_id < 25").collect()
+    assert len(rows) == len(texts) > 0
+    for r in rows:
+        t = texts[r.doc_id]
+        expected = (
+            round(len(zlib.compress(t.encode("utf-8"), 6)) / len(t), 6)
+            if t
+            else None
+        )
+        assert r.compression_ratio == expected, r.doc_id
+
+
 def test_compression_ratio_orders_repetitive_below_random(spark):
     import hashlib
 
