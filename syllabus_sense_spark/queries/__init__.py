@@ -45,37 +45,26 @@ def register(name: str, oracle: str | None = None):
 # last-green round, so the oldest evidence rotates back into the
 # 50-slot window first and stale green rows get re-confirmed.
 _FORCE_RECHECK = [
-    # round-7 rows-only -> hash-checked oracle upgrades (highest
-    # evidence value: a green row here changes the COMPONENT status
-    # of A1/A8/A9/A13 from rows-only to oracle-certified):
-    "docx_parse_topics",  # golden VALUES oracle over the real fixture
-    "pipeline_extract_subtopics",  # md5-replay oracle
-    "pipeline_plan_questions",  # same
-    "pipeline_flagship_questions",  # same (full A8-A16 chain + JSON parity)
-    # round-7 plan changes invalidating earlier green rows:
-    "dedup_simhash",  # fingerprint build moved to session artifact table
-    "dedup_semantic_clusters",  # per-cell GEMM verify + cell artifact table
-    "dedup_components",  # connected_components prev-label fold
-    "dedup_canonical_keep",  # same (shares connected_components)
-    "dedup_minhash_lsh",  # r6 per-doc shingle-count persisted with fp table
-    "dedup_containment",  # grouped candidate expansion
-    "dedup_incremental_index",  # shared session-persistent fingerprint table
-    "dedup_prefix_filter",  # prefix-index artifact + array_intersect verify
-    "sink_pyds_jsonl_roundtrip",  # r6 overwrite-retires-shards commit change
-    "graph_pagerank_trade",  # trade-edge session artifact
-    "graph_triangle_census",  # copurchase snapshot artifact
-    "graph_label_propagation",  # same
-    # round-7 continuation: asof_join's carried struct gained the
-    # reference-time field (direction='nearest' support), so the two
-    # existing as-of greens predate the operator change:
-    "events_asof_last_order",
-    "events_asof_inner",
+    # Round-8 state: all round-7 force entries that landed green r07
+    # rows are pruned (docx/pipeline oracle upgrades, the dedup plan
+    # changes, sink_pyds_jsonl_roundtrip). What remains is stale greens
+    # whose code changed after their last driver row, oldest change
+    # first.
+    # round-8 rows-only -> hash-checked oracle upgrade (hex(encode())
+    # byte replay): the r2 row is rows-only vintage, re-earn it as a
+    # hash row.
+    "multimodal_feature_extract",
+    # round-8 changes invalidating earlier green rows:
+    "events_asof_inner",  # how='inner' now keeps null-valued matches
+    "events_asof_last_order",  # r7 carried-struct change, still unrechecked
+    # round-7 plan changes never rechecked (artifact-table moves):
+    "graph_pagerank_trade",
+    "graph_triangle_census",
+    "graph_label_propagation",
     # round-5 changes invalidating earlier green rows:
     "text_lang_id_heuristic",  # round(…,6) col -> integer-scaled
     "events_anomaly_zscore",  # same
     "search_semantic_docs",  # sim_r -> integer-scaled
-    "dedup_minhash_lsh",  # shared session-persistent fingerprint table
-    "dedup_incremental_index",  # same
     "similarity_ivf_cells",  # multi-probe (probe-2) + integer-scaled sim
     "similarity_topk_bruteforce",  # sim_r -> integer-scaled
     "similarity_cosine_blocked",  # same
@@ -89,55 +78,34 @@ _FORCE_RECHECK = [
 ]
 
 _NEW_THIS_ROUND: list[str] = [
-    # Round-7 state: CORRECTNESS_r06 landed; every name green there
-    # (or in any earlier round) is pruned per the registry recipe.
-    # What remains is the never-driver-checked backlog from rounds
-    # 5-6 (r05 artifacts never landed), kept in original order so
-    # the driver's 50-slot window drains oldest-first.
-    # front-listed from block-2 backlog: the round-6 judge asked for all
-    # five local-green streaming drains inside the round-7 window
-    "streaming_dsv2_replay_drain",
-    "events_ab_test_proportions",
-    "graph_kcore_peel",
-    "items_cooccurrence_cosine",
-    "text_pmi_collocations",
-    "training_quota_apportionment",
-    "events_stickiness_dau_wau",
-    "events_attribution_last_touch",
+    # Round-8 state: pruned to exactly the never-driver-checked
+    # backlog (102 names; every name green in CORRECTNESS_r07 or
+    # earlier is gone). The round-7 judge directed the round-8/9
+    # windows at this backlog, naming the entries below as must-land:
+    # the failed benford row (oracle cast fixed this round), the
+    # round-7 multimodal wave, PCA, the as-of forward/nearest pair,
+    # and the named stragglers. They lead; the rest keeps the old
+    # drain order (oldest additions first).
     "dq_benford_first_digit",
-    "dq_profile_columns",
-    "orders_mom_growth",
-    "orders_ship_lag_sla",
-    "dedup_containment",
-    "streaming_pyds_jsonl_sink_drain",
-    "streaming_stateful_counts_drain",
-    "split_group_aware",
-    "training_hard_negatives",
-    "events_equidepth_deciles",
-    "sample_stratified_hamilton",
-    "catalog_view_stack",
-    "streaming_sliding_hourly_drain",
-    "streaming_upsert_latest_drain",
-    "events_burst_detection",
-    "orders_cohort_ltv",
-    "dedup_minhash_calibration",
-    "events_changepoint_cusum",
-    "events_anomaly_mad",
-    "events_funnel_latency",
-    "orders_revenue_waterfall",
-    "events_user_streaks",
-    "dq_suspected_duplicate_orders",
-    "sketch_kmv_set_ops",
-    "sql_execute_immediate_params",
-    "sql_session_variables",
-    "part_substitution_candidates",
-    "supplier_scorecard",
-    "training_dataset_manifest",
-    "dedup_cluster_report",
+    "multimodal_pixel_stats",
+    "multimodal_wav_pcm_stats",
+    "multimodal_phash_dedup",
+    "multimodal_phash_groups",
+    "multimodal_audio_fingerprint",
+    "multimodal_phash_near_pairs",
+    "ml_pca_power_iteration",
+    "events_asof_next_order",
+    "events_asof_nearest_order",
+    "sql_recursive_month_spine",
+    "streaming_dynamic_gap_drain",
+    "sink_roundtrip_partitioned",
+    "source_federated_union",
+    "observe_metrics_orders",
+    "jsonl_quarantine_stats",
+    "search_semantic_docs_pq",
     "ml_feature_hashing_vectors",
     "events_user_diversity_simpson",
     "window_rank_movers",
-    "observe_metrics_orders",
     "pandas_api_customer_rollup",
     "sql_named_parameters",
     "stat_crosstab_status_priority",
@@ -160,7 +128,6 @@ _NEW_THIS_ROUND: list[str] = [
     "events_dispersion_test",
     "ml_eval_confusion_matrix",
     "orders_repeat_purchase_rate",
-    "source_federated_union",
     "events_attribution_first_touch",
     "events_weekend_split",
     "orders_open_aging",
@@ -177,7 +144,6 @@ _NEW_THIS_ROUND: list[str] = [
     "agg_trimmed_winsorized",
     "events_daily_peaks",
     "text_length_quantile_shift",
-    # round-7 additions (new this round, never driver-checked):
     "training_preference_pairs",
     "training_best_of_n",
     "embedding_random_projection",
@@ -186,8 +152,6 @@ _NEW_THIS_ROUND: list[str] = [
     "streaming_outer_join_drain",
     "sql_scripting_median_bisect",
     "streaming_state_reader",
-    "events_asof_next_order",
-    "events_asof_nearest_order",
     "training_curriculum_stages",
     "sample_priority_wor",
     "graph_bfs_levels",
@@ -199,8 +163,6 @@ _NEW_THIS_ROUND: list[str] = [
     "udtf_table_partition_stats",
     "pandas_api_rolling_weekly",
     "sql_identifier_clause",
-    "ml_pca_power_iteration",
-    "sql_recursive_month_spine",
     "sql_recursive_custkey_chain",
     "sql_create_function_margin",
     "sql_table_function_price_bands",
@@ -211,8 +173,6 @@ _NEW_THIS_ROUND: list[str] = [
     "ml_eval_retrieval_mrr",
     "ml_feature_robust_scaler",
     "curation_doc_decisions",
-    "multimodal_phash_dedup",
-    "multimodal_phash_groups",
     "dq_histogram_drift_tvd",
     "agg_filter_clause",
     "agg_median_exact",
@@ -227,10 +187,7 @@ _NEW_THIS_ROUND: list[str] = [
     "window_dense_rank_ties",
     "map_higher_order_pipeline",
     "events_sessionize_dynamic_gap",
-    "streaming_dynamic_gap_drain",
     "scalar_csv_roundtrip",
-    "multimodal_audio_fingerprint",
-    "multimodal_phash_near_pairs",
 ]
 
 
@@ -451,13 +408,13 @@ def load_all_queries() -> None:
     last_green = _evidence_from_past_rounds()
     # Never-checked queries outrank stale-green re-checks: a query
     # with NO driver row ever is a bigger evidence hole than one
-    # whose old green predates a shared-code change. But a pure
-    # backlog-first order starves _FORCE_RECHECK for as long as the
-    # backlog exceeds the 50-slot window (round-6 ADVICE), so stale
-    # invalidated greens are INTERLEAVED one per three never-checked
-    # names: the window still drains ~38 backlog entries per round
-    # while the riskiest re-checks (oracle upgrades and this round's
-    # plan changes lead the force list) land rows immediately.
+    # whose old green predates a shared-code change. While the
+    # never-checked backlog still exceeds the 50-slot window, the
+    # whole window goes to it (round-7 judge: drain the backlog;
+    # ~50 entries/round puts it under one window within two rounds).
+    # Once it fits, stale invalidated greens are INTERLEAVED one per
+    # three never-checked names (round-6 ADVICE: don't starve
+    # _FORCE_RECHECK behind a long backlog indefinitely).
     never = [
         n for n in _NEW_THIS_ROUND if n in QUERIES and n not in last_green
     ]
@@ -472,7 +429,7 @@ def load_all_queries() -> None:
     si = 0
     for i, n in enumerate(never):
         front.append(n)
-        if (i + 1) % 3 == 0 and si < len(stale):
+        if len(never) <= 50 and (i + 1) % 3 == 0 and si < len(stale):
             front.append(stale[si])
             si += 1
     front += stale[si:]
