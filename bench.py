@@ -84,6 +84,13 @@ HEADLINE = [
     "training_importance_selection",
     "dq_table_fingerprint",
     "text_ngram_novelty",
+    # round-8 additions (new user-facing operators lacking a perf
+    # trendline): forward/nearest as-of directions (same single-shuffle
+    # union+window plan, nearest runs two window passes over one
+    # exchange) and dynamic-gap sessionization (per-event gap column)
+    "events_asof_next_order",
+    "events_asof_nearest_order",
+    "events_sessionize_dynamic_gap",
 ]
 
 # Reported alongside but EXCLUDED from the headline total: availableNow
