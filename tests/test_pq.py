@@ -151,15 +151,31 @@ def test_assign_codes_picks_nearest_centroid(spark):
 
 def test_pq_pipeline_is_deterministic_run_to_run(spark, sf_dir):
     """'Deterministic once seeded' pinned: two independent builds of
-    the full similarity_pq_adc pipeline (fresh codebook training each
-    time) return the IDENTICAL row multiset — seeds are lowest
-    vec_ids, argmin ties break on code index, no RNG anywhere."""
-    from syllabus_sense_spark.queries import QUERIES, load_all_queries
+    the full PQ pipeline — fresh codebook training each time, straight
+    through the operators so the session artifact memo can't mask a
+    nondeterministic trainer — return the IDENTICAL row multiset
+    (seeds are lowest vec_ids, argmin ties break on code index, no
+    RNG anywhere)."""
+    from syllabus_sense_spark.operators.pq import (
+        assign_codes,
+        pq_search,
+        subvectors,
+        train_codebook,
+    )
+    from syllabus_sense_spark.tables import load
 
-    load_all_queries()
-    a = sorted(map(tuple, QUERIES["similarity_pq_adc"](spark, sf_dir).collect()))
-    b = sorted(map(tuple, QUERIES["similarity_pq_adc"](spark, sf_dir).collect()))
-    assert a == b
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def build():
+        subs = subvectors(emb, dim=64)
+        cents = train_codebook(subs)
+        codes = assign_codes(subs, cents)
+        return sorted(
+            map(tuple, pq_search(emb, codes, cents, queries, dim=64, k=10).collect())
+        )
+
+    assert build() == build()
 
 
 def test_search_semantic_docs_pq_recall_vs_exact(spark, sf_dir):
