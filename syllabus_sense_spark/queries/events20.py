@@ -36,7 +36,7 @@ t AS (
 )
 SELECT event_type, hour_of_day,
        CAST(n AS BIGINT) AS n,
-       n * 1000000 // total AS share_ppm,
+       CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
        CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS INT) AS is_peak
 FROM t
 """

@@ -27,10 +27,10 @@ SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_sents) AS BIGINT) AS n_sentences,
        CAST(SUM(n_words) AS BIGINT) AS n_words,
-       SUM(n_words) * 1000000 // GREATEST(SUM(n_sents), 1)
-         AS words_per_sentence_e6,
-       SUM(n_chars) * 1000000 // GREATEST(SUM(n_words), 1)
-         AS chars_per_word_e6
+       CAST(SUM(n_words) * 1000000 // GREATEST(SUM(n_sents), 1)
+            AS BIGINT) AS words_per_sentence_e6,
+       CAST(SUM(n_chars) * 1000000 // GREATEST(SUM(n_words), 1)
+            AS BIGINT) AS chars_per_word_e6
 FROM d GROUP BY source
 """
 

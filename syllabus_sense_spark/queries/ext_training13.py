@@ -88,7 +88,7 @@ s AS (
 )
 SELECT CAST(n AS BIGINT) AS n_days,
        CAST(sx AS BIGINT) AS total_events,
-       sx * 1000000 // n AS mean_e6,
+       CAST(sx * 1000000 // n AS BIGINT) AS mean_e6,
        CAST(FLOOR(CAST(n * sxx - CAST(sx AS DECIMAL(19,0)) * sx AS DOUBLE)
                   * 1000000.0
                   / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)

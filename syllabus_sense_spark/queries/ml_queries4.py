@@ -26,10 +26,10 @@ m AS (
   FROM pred GROUP BY 1, 2
 )
 SELECT true_lang, pred_lang, CAST(n AS BIGINT) AS n,
-       n * 1000000 // SUM(n) OVER (PARTITION BY true_lang)
-         AS true_share_ppm,
-       n * 1000000 // SUM(n) OVER (PARTITION BY pred_lang)
-         AS pred_share_ppm
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY true_lang)
+            AS BIGINT) AS true_share_ppm,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY pred_lang)
+            AS BIGINT) AS pred_share_ppm
 FROM m
 """
 

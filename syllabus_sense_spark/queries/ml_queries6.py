@@ -119,7 +119,7 @@ def ml_eval_retrieval_mrr(spark, sf_dir):
 
 _SCALER_ORACLE = """
 WITH codes AS (
-  SELECT i.i AS dim,
+  SELECT CAST(i.i AS INT) AS dim,
          CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1000.0 + 0.5)
               AS BIGINT) AS c
   FROM embeddings, UNNEST(range(64)) AS i(i)

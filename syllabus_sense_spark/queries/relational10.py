@@ -26,7 +26,8 @@ hist AS (
 )
 SELECT CAST(n_lines AS BIGINT) AS n_lines,
        CAST(n_orders AS BIGINT) AS n_orders,
-       n_orders * 1000000 // (SELECT SUM(n_orders) FROM hist) AS share_ppm
+       CAST(n_orders * 1000000 // (SELECT SUM(n_orders) FROM hist)
+            AS BIGINT) AS share_ppm
 FROM hist
 """
 
@@ -122,8 +123,8 @@ SELECT CAST(yr AS INT) AS yr,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
        CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_repeat,
-       SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
-         AS repeat_ppm
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS repeat_ppm
 FROM cy GROUP BY yr
 """
 
