@@ -78,6 +78,42 @@ def test_empty_partitions_still_commit(spark):
     assert sorted(r["id"] for r in rows) == [0, 1]
 
 
+def test_overwrite_crash_mid_commit_never_mixes_old_and_new():
+    """The overwrite commit retires stale shards BEFORE publishing
+    (FileOutputCommitter order): if the commit dies half-way through
+    its renames, a reader may see PARTIAL new output but never a mix
+    of old and new shards. Simulated by driving commit() directly with
+    a second message whose temp file is missing (rename raises)."""
+    from syllabus_sense_spark.sources.jsonl_datasource import (
+        JsonlCommitMessage,
+        JsonlSinkWriter,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="jsonl_sink_c_")
+    with open(os.path.join(tmp, "part-old-aaaa.jsonl"), "w") as f:
+        f.write('{"id": -1}\n')
+    with open(os.path.join(tmp, ".tmp-new1"), "w") as f:
+        f.write('{"id": 1}\n')
+
+    class _Schema:  # writer only reads fieldNames()
+        @staticmethod
+        def fieldNames():
+            return ["id"]
+
+    w = JsonlSinkWriter({"path": tmp}, _Schema(), overwrite=True)
+    msgs = [
+        JsonlCommitMessage(".tmp-new1", "part-00000-new1.jsonl"),
+        JsonlCommitMessage(".tmp-missing", "part-00001-new2.jsonl"),
+    ]
+    with pytest.raises(OSError):
+        w.commit(msgs)
+    visible = sorted(
+        n for n in os.listdir(tmp) if n.endswith(".jsonl")
+    )
+    # old shard retired BEFORE the crash; first new shard published
+    assert visible == ["part-00000-new1.jsonl"]
+
+
 def test_overwrite_retires_stale_shards(spark):
     """mode('overwrite') must not mix old part files with new output:
     pre-existing *.jsonl shards are retired at commit."""
