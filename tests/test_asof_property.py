@@ -127,6 +127,53 @@ def test_asof_forward_nearest_match_pandas(probes, refs, direction):
     assert got == want
 
 
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    probes=_probes,
+    refs=st.lists(
+        st.tuples(
+            _keys,
+            _times,
+            st.one_of(st.none(), st.integers(min_value=0, max_value=99)),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_asof_inner_drops_exactly_the_unmatched(probes, refs):
+    """Property of the round-8 inner fix: for reference rows whose
+    value column may be NULL, how='inner' keeps exactly the probes the
+    left join matched (carried reference time non-null) — matched rows
+    with NULL values survive, and surviving values equal the left
+    join's."""
+    spark = _spark()
+    left_rows = [(i, k, t) for i, (k, t) in enumerate(probes)]
+    # rt duplicated as a value column: non-null iff the probe matched
+    right_rows = [(k, t, v, t) for (k, t, v) in refs]
+
+    left = spark.createDataFrame(left_rows, "probe_id long, key long, t long")
+    right = spark.createDataFrame(
+        right_rows or [(None, None, None, None)],
+        "key long, rt long, val long, rt_v long",
+    ).filter("key IS NOT NULL")
+
+    kw = dict(
+        on="key", left_time="t", right_time="rt",
+        value_cols=["val", "rt_v"], tiebreak="rt_v",
+    )
+    outer = {r.probe_id: (r.val, r.rt_v) for r in asof_join(left, right, **kw).collect()}
+    inner = {r.probe_id: (r.val, r.rt_v) for r in asof_join(left, right, how="inner", **kw).collect()}
+
+    matched = {pid for pid, (_, rt_v) in outer.items() if rt_v is not None}
+    assert set(inner) == matched
+    for pid in inner:
+        assert inner[pid] == outer[pid]
+
+
 def test_asof_direction_tiebreaks():
     """Pinned tie semantics: equal-rt reference rows resolve to the
     greatest tiebreak in EVERY direction, and an exact nearest
