@@ -32,15 +32,22 @@ def test_priority_list_names_all_resolve(registry):
 
 
 def test_window_is_spent_on_evidence_holes(registry):
-    """Every query in the driver's 50-slot window must LACK current
-    green driver evidence — either never checked, failed at its latest
-    row, or force-listed because code changed after its last green.
-    A green-and-unchanged query in the window is a wasted slot."""
+    """While evidence holes (never-checked + force-listed stale) could
+    fill the driver's 50-slot window, every window slot must go to one
+    — a green-and-unchanged query in the window is a wasted slot. Once
+    holes run short, the tail legitimately back-fills with the
+    oldest-green rotation, so the assertion scopes to the hole count."""
     last_green = registry._evidence_from_past_rounds()
-    window = list(registry.QUERIES)[:50]
+    names = list(registry.QUERIES)
+    holes = [
+        n
+        for n in names
+        if n not in last_green or n in registry._FORCE_RECHECK
+    ]
+    budget = min(50, len(holes))
     wasted = [
         n
-        for n in window
+        for n in names[:budget]
         if n in last_green and n not in registry._FORCE_RECHECK
     ]
     assert wasted == [], f"window slots wasted on green queries: {wasted}"
