@@ -15,7 +15,11 @@ and speculative execution:
    by SUCCESSFUL tasks into place (rename = atomic publish on the
    same filesystem) and sweeps any orphaned temps (failed attempts,
    speculative losers);
-3. ``abort()`` deletes all temps — a failed job publishes nothing.
+3. ``abort()`` deletes all temps — a failed job publishes nothing —
+   UNLESS ``commit()`` had already started mutating the directory: a
+   crashed commit leaves every byte recoverable (old shards as
+   ``.retired-*``, unpublished new shards as ``.tmp-*``), and abort
+   preserves that state instead of sweeping it.
 
 This is the Hadoop FileOutputCommitter v1 shape in miniature: a
 task's output becomes visible only through the driver's commit of
@@ -63,6 +67,10 @@ class JsonlSinkWriter(DataSourceWriter):
             )
         self.fields = schema.fieldNames()
         self.overwrite = overwrite
+        # set once commit() starts mutating the directory; from then
+        # on abort() must preserve temps/retired files (recoverable
+        # crash state) instead of sweeping them
+        self._commit_started = False
 
     # --- executor side -------------------------------------------------
     def write(self, iterator) -> JsonlCommitMessage:
@@ -86,26 +94,48 @@ class JsonlSinkWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         # mode("overwrite"): retire pre-existing shards BEFORE any new
         # shard becomes visible (the FileOutputCommitter overwrite
-        # order) — a crash mid-commit can leave partial NEW output, but
-        # never a mix of old and new shards. This job's output is still
-        # invisible here (dot-prefixed temps), so nothing of it is lost.
+        # order) — a reader never sees a mix of old and new shards.
+        # Retirement is a RENAME to an invisible ``.retired-*`` name,
+        # not a delete, so every crash state stays recoverable:
+        #   - crash mid-retire / before publish: the directory can
+        #     read as EMPTY, but every old shard survives as
+        #     ``.retired-<name>`` and the new data as ``.tmp-*``;
+        #   - crash mid-publish: partial new output is visible; the
+        #     rest of the new data is still in ``.tmp-*``, the old
+        #     generation in ``.retired-*``.
+        # abort() preserves both once _commit_started is set; retired
+        # files are deleted only after EVERY publish rename succeeded.
+        self._commit_started = True
         if self.overwrite:
             incoming = {m.final_name for m in messages if m is not None}
             for name in os.listdir(self.path):
                 if name.endswith(".jsonl") and name not in incoming:
-                    os.remove(os.path.join(self.path, name))
+                    os.rename(
+                        os.path.join(self.path, name),
+                        os.path.join(self.path, f".retired-{name}"),
+                    )
         for m in messages:
             if m is None:
                 continue
             src = os.path.join(self.path, m.tmp_name)
             dst = os.path.join(self.path, m.final_name)
             os.rename(src, dst)  # atomic publish
+        # full new generation visible: the old one can go now
+        for name in os.listdir(self.path):
+            if name.startswith(".retired-"):
+                os.remove(os.path.join(self.path, name))
         # sweep orphans: failed/speculative attempts' temps
         for name in os.listdir(self.path):
             if name.startswith(".tmp-"):
                 os.remove(os.path.join(self.path, name))
 
     def abort(self, messages) -> None:
+        if self._commit_started:
+            # A partially-run commit is a recoverable crash state
+            # (old shards in .retired-*, unpublished new shards in
+            # .tmp-*, all invisible to readers). Sweeping here would
+            # make the lost window unrecoverable — preserve it.
+            return
         for name in os.listdir(self.path):
             if name.startswith(".tmp-"):
                 os.remove(os.path.join(self.path, name))

@@ -82,8 +82,11 @@ def test_overwrite_crash_mid_commit_never_mixes_old_and_new():
     """The overwrite commit retires stale shards BEFORE publishing
     (FileOutputCommitter order): if the commit dies half-way through
     its renames, a reader may see PARTIAL new output but never a mix
-    of old and new shards. Simulated by driving commit() directly with
-    a second message whose temp file is missing (rename raises)."""
+    of old and new shards — and every byte stays recoverable (old
+    shards as .retired-*, unpublished new shards as .tmp-*), with
+    abort() preserving that state instead of sweeping it. Simulated by
+    driving commit() directly with a second message whose temp file is
+    missing (rename raises), then abort() as Spark would."""
     from syllabus_sense_spark.sources.jsonl_datasource import (
         JsonlCommitMessage,
         JsonlSinkWriter,
@@ -94,6 +97,8 @@ def test_overwrite_crash_mid_commit_never_mixes_old_and_new():
         f.write('{"id": -1}\n')
     with open(os.path.join(tmp, ".tmp-new1"), "w") as f:
         f.write('{"id": 1}\n')
+    with open(os.path.join(tmp, ".tmp-new3"), "w") as f:
+        f.write('{"id": 3}\n')
 
     class _Schema:  # writer only reads fieldNames()
         @staticmethod
@@ -104,14 +109,35 @@ def test_overwrite_crash_mid_commit_never_mixes_old_and_new():
     msgs = [
         JsonlCommitMessage(".tmp-new1", "part-00000-new1.jsonl"),
         JsonlCommitMessage(".tmp-missing", "part-00001-new2.jsonl"),
+        JsonlCommitMessage(".tmp-new3", "part-00002-new3.jsonl"),
     ]
     with pytest.raises(OSError):
         w.commit(msgs)
-    visible = sorted(
-        n for n in os.listdir(tmp) if n.endswith(".jsonl")
-    )
+    w.abort(msgs)  # Spark aborts after a failed commit
+    visible = sorted(n for n in os.listdir(tmp) if not n.startswith("."))
     # old shard retired BEFORE the crash; first new shard published
     assert visible == ["part-00000-new1.jsonl"]
+    hidden = sorted(n for n in os.listdir(tmp) if n.startswith("."))
+    # abort after a partial publish preserves the crash state: the old
+    # generation and the unpublished new shard are both recoverable
+    assert ".retired-part-old-aaaa.jsonl" in hidden
+    assert ".tmp-new3" in hidden
+    with open(os.path.join(tmp, ".retired-part-old-aaaa.jsonl")) as f:
+        assert json.loads(f.read())["id"] == -1
+
+
+def test_overwrite_commit_success_leaves_no_hidden_files(spark):
+    """The happy path must not accumulate .retired-* debris: after a
+    successful overwrite commit the directory holds exactly the new
+    generation's shards."""
+    from syllabus_sense_spark.sources.jsonl_datasource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    tmp = tempfile.mkdtemp(prefix="jsonl_sink_h_")
+    _write(spark, tmp, n=10, parts=2)
+    df = spark.range(50, 53).selectExpr("id", "id * 2 AS dbl").repartition(1)
+    df.write.format("jsonl_sink").option("path", tmp).mode("overwrite").save()
+    assert [n for n in os.listdir(tmp) if n.startswith(".")] == []
 
 
 def test_overwrite_retires_stale_shards(spark):
