@@ -233,6 +233,50 @@ def _evidence_from_past_rounds() -> dict[str, int]:
     return {name: rnd for name, (rnd, green) in latest.items() if green}
 
 
+def _ordered(
+    registered: list[str],
+    last_green: dict[str, int],
+    new_this_round: list[str],
+    force_recheck: list[str],
+    window: int = 50,
+) -> list[str]:
+    """Pure ordering policy (unit-testable without the registry):
+
+    - never-checked queries (no green driver row ever) lead, new-this-
+      round names first, then registration order;
+    - while the never-checked backlog exceeds the driver window, the
+      WHOLE window goes to it; once it fits, force-listed stale greens
+      are interleaved one per three never-checked names;
+    - any stale names left over follow the never block;
+    - the already-green tail sorts by ascending last-green round so the
+      oldest evidence rotates back into the window first (stable for
+      ties: registration order).
+    """
+    reg_set = set(registered)
+    never = [n for n in new_this_round if n in reg_set and n not in last_green]
+    seen = set(never)
+    never += [n for n in registered if n not in last_green and n not in seen]
+    never_set = set(never)
+    stale: list[str] = []
+    for n in force_recheck + new_this_round:
+        if n in reg_set and n not in never_set and n not in stale:
+            stale.append(n)
+    front: list[str] = []
+    si = 0
+    for i, n in enumerate(never):
+        front.append(n)
+        if len(never) <= window and (i + 1) % 3 == 0 and si < len(stale):
+            front.append(stale[si])
+            si += 1
+    front += stale[si:]
+    front_set = set(front)
+    tail = sorted(
+        (n for n in registered if n not in front_set),
+        key=lambda n: last_green.get(n, 0),
+    )
+    return front + tail
+
+
 def load_all_queries() -> None:
     """Import every query module (idempotent) to fill the registry,
     then reorder it so queries without a prior CORRECTNESS row come
@@ -405,7 +449,6 @@ def load_all_queries() -> None:
         relational3,
     )
 
-    last_green = _evidence_from_past_rounds()
     # Never-checked queries outrank stale-green re-checks: a query
     # with NO driver row ever is a bigger evidence hole than one
     # whose old green predates a shared-code change. While the
@@ -414,33 +457,14 @@ def load_all_queries() -> None:
     # ~50 entries/round puts it under one window within two rounds).
     # Once it fits, stale invalidated greens are INTERLEAVED one per
     # three never-checked names (round-6 ADVICE: don't starve
-    # _FORCE_RECHECK behind a long backlog indefinitely).
-    never = [
-        n for n in _NEW_THIS_ROUND if n in QUERIES and n not in last_green
-    ]
-    never += [
-        n for n in QUERIES if n not in last_green and n not in never
-    ]
-    stale: list[str] = []
-    for n in _FORCE_RECHECK + _NEW_THIS_ROUND:
-        if n in QUERIES and n not in never and n not in stale:
-            stale.append(n)
-    front: list[str] = []
-    si = 0
-    for i, n in enumerate(never):
-        front.append(n)
-        if len(never) <= 50 and (i + 1) % 3 == 0 and si < len(stale):
-            front.append(stale[si])
-            si += 1
-    front += stale[si:]
-    # Already-green tail, oldest evidence first, so the 50-slot window
-    # re-confirms round-1-vintage greens before recent ones. Ties keep
-    # registration order (stable sort).
-    tail = sorted(
-        (n for n in QUERIES if n not in front),
-        key=lambda n: last_green.get(n, 0),
+    # _FORCE_RECHECK behind a long backlog indefinitely). Policy lives
+    # in _ordered() — pure, unit-tested on synthetic registries.
+    order = _ordered(
+        list(QUERIES),
+        _evidence_from_past_rounds(),
+        _NEW_THIS_ROUND,
+        _FORCE_RECHECK,
     )
-    order = front + tail
     for registry in (QUERIES, ORACLE):
         reordered = {n: registry[n] for n in order if n in registry}
         registry.clear()

@@ -155,6 +155,21 @@ def _persisted_fingerprints(
 session_artifact = _persisted_fingerprints
 
 
+def clear_session_artifacts() -> None:
+    """Drop every memoized session artifact (unpersisting cached
+    plans) so the next probe rebuilds from scratch. Audits that must
+    prove a re-execution property use this — e.g. the partition-count
+    invariance audit, where an artifact materialized under the OLD
+    shuffle width would otherwise be silently reused by the second
+    run, weakening PASS to "probe of a stale index matched"."""
+    for df in _FP_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — a dead session is fine here
+            pass
+    _FP_CACHE.clear()
+
+
 def base_fingerprints(spark, sf_dir: str) -> DataFrame:
     """(doc_id, h) for the raw documents corpus — the persisted index."""
     return _persisted_fingerprints(

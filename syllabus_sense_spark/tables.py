@@ -47,6 +47,19 @@ _LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _PERSIST_MAX_BYTES = 4 * 1024 * 1024
 
 
+def clear_load_cache() -> None:
+    """Drop the per-session table memo (unpersisting the small-table
+    copies). Companion to ``queries.ext_dedup.clear_session_artifacts``
+    for audits that must re-execute everything from the parquet scans
+    up under a changed runtime config."""
+    for df in _LOAD_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — a dead session is fine here
+            pass
+    _LOAD_CACHE.clear()
+
+
 def _disk_size(path: str) -> int:
     if os.path.isdir(path):
         return sum(

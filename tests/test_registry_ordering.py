@@ -62,6 +62,70 @@ def test_never_checked_outrank_stale_rechecks(registry):
     never = [n for n in names if n not in last_green]
     if len(never) > 50:
         assert all(n not in last_green for n in names[:50])
+    else:
+        # interleave active: within the front block every green name
+        # must be force-listed (a re-check), never a wasted slot, and
+        # all never-checked names still precede the green tail
+        block = names[: len(never) + len(registry._FORCE_RECHECK)]
+        greens_in_block = [n for n in block if n in last_green]
+        assert all(n in registry._FORCE_RECHECK for n in greens_in_block)
+        assert set(never) <= set(block)
+
+
+def test_interleave_policy_on_synthetic_registry():
+    """Unit-test the pure ordering policy across both branches —
+    including the 1-per-3 interleave the live registry only exercises
+    once the backlog fits the window."""
+    from syllabus_sense_spark.queries import _ordered
+
+    # --- backlog fits the window: stale re-checks interleave 1-per-3
+    registered = [f"g{i}" for i in range(8)] + [f"n{i}" for i in range(6)]
+    last_green = {f"g{i}": i % 4 + 1 for i in range(8)}  # rounds 1..4
+    order = _ordered(
+        registered,
+        last_green,
+        new_this_round=[f"n{i}" for i in range(6)],
+        force_recheck=["g3", "g5", "g7"],
+        window=50,
+    )
+    assert order[:8] == ["n0", "n1", "n2", "g3", "n3", "n4", "n5", "g5"]
+    # leftover stale follows the never block...
+    assert order[8] == "g7"
+    # ...and the green tail sorts by ascending last-green round
+    tail = order[9:]
+    rounds = [last_green[n] for n in tail]
+    assert rounds == sorted(rounds)
+
+    # --- backlog exceeds the window: NO interleave, stale after never
+    many_never = [f"n{i}" for i in range(7)]
+    order = _ordered(
+        many_never + ["g0", "g1"],
+        {"g0": 1, "g1": 2},
+        new_this_round=many_never,
+        force_recheck=["g1"],
+        window=5,
+    )
+    assert order == many_never + ["g1", "g0"]
+
+    # --- stale exhausted mid-interleave: remaining never unaffected
+    order = _ordered(
+        ["a", "b", "c", "d", "e", "f", "g0"],
+        {"g0": 1},
+        new_this_round=["a", "b", "c", "d", "e", "f"],
+        force_recheck=["g0"],
+        window=50,
+    )
+    assert order == ["a", "b", "c", "g0", "d", "e", "f"]
+
+    # --- names not registered are ignored in both priority lists
+    order = _ordered(
+        ["x", "g0"],
+        {"g0": 1},
+        new_this_round=["ghost", "x"],
+        force_recheck=["phantom"],
+        window=50,
+    )
+    assert order == ["x", "g0"]
 
 
 def test_oracle_keys_subset_of_queries(registry):

@@ -47,6 +47,20 @@ def _multiset(rows, cols):
     return Counter(tuple(_key(r[i]) for i in order) for r in rows)
 
 
+def _clear_session_memos() -> None:
+    """Drop every per-session memo (table loads, artifact indexes) so
+    the second pass re-executes EVERYTHING under the new width. An
+    artifact (fingerprint table, IVF cells, graph edge snapshot)
+    materialized during the first pass would otherwise be silently
+    probed by the second — PASS would then mean "stale-index probe
+    matched", not partition-count invariance of the build itself."""
+    from syllabus_sense_spark import tables
+    from syllabus_sense_spark.queries import ext_dedup
+
+    ext_dedup.clear_session_artifacts()
+    tables.clear_load_cache()
+
+
 def main() -> int:
     from syllabus_sense_spark import queries as q
     from syllabus_sense_spark.session import get_spark
@@ -54,38 +68,56 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     q.load_all_queries()
+    names = [n for n in q.QUERIES if not only or n in only]
     spark = get_spark("stability-audit")
     default = spark.conf.get("spark.sql.shuffle.partitions")
 
+    # Two full passes (not per-query A/B): session artifacts amortize
+    # across queries WITHIN a pass exactly as in production, and the
+    # memo clear between passes guarantees the width-7 pass rebuilds
+    # every artifact at width 7.
+    def run_pass(width: str) -> dict[str, tuple[list, list[str]] | Exception]:
+        spark.conf.set("spark.sql.shuffle.partitions", width)
+        out: dict[str, tuple[list, list[str]] | Exception] = {}
+        for name in names:
+            try:
+                df = q.QUERIES[name](spark, sf_dir)
+                out[name] = (df.collect(), df.columns)
+            except Exception as exc:  # noqa: BLE001 — report, keep scanning
+                out[name] = exc
+        return out
+
+    try:
+        pass_a = run_pass(default)
+        _clear_session_memos()
+        pass_b = run_pass("7")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default)
+        _clear_session_memos()
+
     failed = []
-    for name, fn in q.QUERIES.items():
-        if only and name not in only:
-            continue
-        try:
-            spark.conf.set("spark.sql.shuffle.partitions", default)
-            a = fn(spark, sf_dir).collect()
-            cols = None
-            spark.conf.set("spark.sql.shuffle.partitions", "7")
-            df_b = fn(spark, sf_dir)
-            cols = df_b.columns
-            b = df_b.collect()
-        except Exception as exc:  # noqa: BLE001 — report, keep scanning
+    for name in names:
+        a, b = pass_a[name], pass_b[name]
+        if isinstance(a, Exception) or isinstance(b, Exception):
+            exc = a if isinstance(a, Exception) else b
             failed.append(name)
             print(f"ERR  {name}: {type(exc).__name__}: {exc}"[:160])
             continue
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", default)
+        (rows_a, _), (rows_b, cols) = a, b
         if name not in q.ORACLE:
-            ok = len(a) == len(b)
+            ok = len(rows_a) == len(rows_b)
             tag = "rows-only"
         else:
-            ok = _multiset(a, cols) == _multiset(b, cols)
+            ok = _multiset(rows_a, cols) == _multiset(rows_b, cols)
             tag = "exact"
         if ok:
-            print(f"PASS {name} ({tag}, {len(a)} rows)")
+            print(f"PASS {name} ({tag}, {len(rows_a)} rows)")
         else:
             failed.append(name)
-            print(f"FAIL {name}: {len(a)} rows @ {default} parts vs {len(b)} @ 7")
+            print(
+                f"FAIL {name}: {len(rows_a)} rows @ {default} parts"
+                f" vs {len(rows_b)} @ 7"
+            )
 
     print(f"\n{len(failed)} unstable" if failed else "\nall stable")
     return 1 if failed else 0

@@ -11,21 +11,36 @@ before they burned driver window slots).
 
 For each registered oracle this audit builds the DuckDB relation (type
 inference only — nothing executes) and the Spark DataFrame, then flags
-column-type pairs outside the benign equivalences. Calibrated-benign
-pairs (proven by existing green driver rows): DuckDB BIGINT vs Spark
-int (`regexp_functions`, green r2) and DuckDB JSON vs Spark string
-(`json_roundtrip`, green r3).
+column-type pairs that are not PROVEN benign. Proof comes from two
+sources:
+
+- a hand-seeded identity list (`_OK`), plus
+- auto-calibration against driver evidence: every (duckdb, spark) type
+  pair carried by a query whose LATEST CORRECTNESS_r*.json row is
+  hash-green has, by that row, been hashed equal by the driver — the
+  pair is benign everywhere, not just in that query.
+
+Auto-calibration keeps the audit's flag list honest as new oracles
+land: benign-but-unlisted pairs (INTEGER vs bigint, FLOAT vs double)
+stop flagging the moment any query carrying them earns a green row,
+while genuinely unproven widenings (HUGEINT) keep flagging — no
+width-class normalization that could silently bless the exact bug
+class the audit exists to catch.
 
 Usage: python tools/type_audit.py [sf_dir]   # exits 1 if flagged
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
 
-# (duckdb_type, spark_type) pairs that hash identically on the driver
+# (duckdb_type, spark_type) identity pairs — hash-equal by definition
 _OK = {
     ("BIGINT", "bigint"),
     ("INTEGER", "int"),
@@ -33,21 +48,43 @@ _OK = {
     ("VARCHAR", "string"),
     ("DATE", "date"),
     ("BOOLEAN", "boolean"),
-    # calibrated benign by green driver rows (see module docstring):
+    # calibrated benign by green driver rows before auto-calibration
+    # existed (see module docstring):
     ("BIGINT", "int"),
     ("JSON", "string"),
 }
 
 
-def _pair_ok(duck: str, spark: str) -> bool:
+def _pair_ok(duck: str, spark: str, calibrated: set) -> bool:
     d, s = duck.upper(), spark.lower()
-    if (d, s) in _OK:
+    if (d, s) in _OK or (d, s) in calibrated:
         return True
     if d.startswith("TIMESTAMP") and s.startswith("timestamp"):
         return True
     if d.startswith("DECIMAL") and s.startswith("decimal"):
         return True
     return False
+
+
+def _driver_hash_green() -> set[str]:
+    """Names whose LATEST driver row is hash-green. Rows-only greens
+    (err == no_oracle) prove nothing about type hashing and are
+    excluded."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in sorted(
+        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    ):
+        try:
+            data = json.load(open(path))
+        except Exception:  # noqa: BLE001 — a malformed round file is skipped
+            continue
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        for name, row in data.items():
+            if isinstance(row, dict):
+                latest[name] = (rnd, row.get("hash_match") is True)
+    return {n for n, (_, green) in latest.items() if green}
 
 
 def main() -> int:
@@ -67,7 +104,9 @@ def main() -> int:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    flagged = 0
+    # pass 1: per-query column-type pairs from both engines
+    pairs: dict[str, dict[str, tuple[str, str | None]]] = {}
+    errors: list[str] = []
     for name, sql in q.ORACLE.items():
         try:
             rel = con.sql(sql)
@@ -78,17 +117,35 @@ def main() -> int:
             }
         except Exception as exc:  # noqa: BLE001 — report, keep scanning
             print(f"ERR  {name}: {type(exc).__name__}: {exc}"[:160])
-            flagged += 1
+            errors.append(name)
             continue
-        for col, dtype in duck.items():
-            stype = sk.get(col)
+        pairs[name] = {col: (dtype, sk.get(col)) for col, dtype in duck.items()}
+
+    # pass 2: every pair a hash-green driver row carried is proven.
+    # Stale greens (code changed after their row, queued for re-check)
+    # prove nothing about their CURRENT pairs — exclude them.
+    green = _driver_hash_green() - set(q._FORCE_RECHECK)
+    calibrated = {
+        (d.upper(), s.lower())
+        for name in pairs
+        if name in green
+        for d, s in pairs[name].values()
+        if s is not None
+    }
+
+    flagged = len(errors)
+    for name, cols in pairs.items():
+        for col, (dtype, stype) in cols.items():
             if stype is None:
                 print(f"FLAG {name}.{col}: {dtype} vs MISSING IN SPARK")
                 flagged += 1
-            elif not _pair_ok(dtype, stype):
+            elif not _pair_ok(dtype, stype, calibrated):
                 print(f"FLAG {name}.{col}: duckdb {dtype} vs spark {stype}")
                 flagged += 1
-    print(f"{len(q.ORACLE)} oracles scanned, {flagged} flags")
+    print(
+        f"{len(q.ORACLE)} oracles scanned, {flagged} flags"
+        f" ({len(calibrated)} driver-calibrated pairs)"
+    )
     return 1 if flagged else 0
 
 
