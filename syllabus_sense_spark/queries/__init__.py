@@ -188,6 +188,11 @@ _NEW_THIS_ROUND: list[str] = [
     "map_higher_order_pipeline",
     "events_sessionize_dynamic_gap",
     "scalar_csv_roundtrip",
+    # round-9 addition (round-8 judge item 6): width-invariance as a
+    # driver-hashed row. Appended LAST so the judge-ordered r9 window
+    # (50/50 never-checked backlog) is untouched; lands with the r10
+    # spill.
+    "stability_width_invariance",
 ]
 
 
@@ -422,6 +427,7 @@ def load_all_queries() -> None:
         scalar_funcs4,
         catalog_queries,
         sink_queries3,
+        stability_queries,
         ext_training4,
         events7,
         relational5,
