@@ -2,6 +2,10 @@
 print one JSON object (min of 2 warm runs per point, noop sink).
 
 Usage: python tools/scaling_probe.py [query ...]
+Extra decades: set SPARK_GRAFT_PROBE_DIRS to a comma-separated list of
+sf dirs (e.g. ",/tmp/scale_data/sf0.3,/tmp/scale_data/sf1" appended to
+the default three; dirs made by tools/make_scale_data.py). Labels are
+the dir basenames.
 """
 
 from __future__ import annotations
@@ -23,15 +27,23 @@ DEFAULT = [
 
 
 def main() -> None:
+    import os
+
     from syllabus_sense_spark.session import get_spark
     from syllabus_sense_spark import queries as q
 
     q.load_all_queries()
     names = sys.argv[1:] or DEFAULT
     spark = get_spark("scaling-probe")
+    dirs = [f"/root/testdata/sf{sf}" for sf in ["0.001", "0.01", "0.1"]]
+    dirs += [
+        d
+        for d in os.environ.get("SPARK_GRAFT_PROBE_DIRS", "").split(",")
+        if d.strip()
+    ]
     out: dict[str, dict[str, float]] = {}
-    for sf in ["0.001", "0.01", "0.1"]:
-        d = f"/root/testdata/sf{sf}"
+    for d in dirs:
+        sf = os.path.basename(d.rstrip("/")).removeprefix("sf")
         for name in names:
             fn = q.QUERIES[name]
             best = float("inf")
