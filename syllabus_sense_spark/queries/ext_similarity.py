@@ -112,17 +112,34 @@ def similarity_topk_bruteforce(spark, sf_dir):
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
     ).withColumn("qn", _norm("qv"))
-    c = e.select(
+    # Fan the candidate side out to the full core count BEFORE the
+    # scorer join: input splits are sized by BYTES
+    # (maxPartitionBytes), but each candidate row costs |Q| 64-term
+    # dots here — at the sf1 probe the whole 4M-pair scorer ran on the
+    # ONE split a 15 MB parquet file gets (65 s single-core; ~4 s
+    # after). The 10 MB pre-join shuffle is noise next to the FLOPs;
+    # at 100 TB files fill their splits and this repartition is a
+    # no-op-sized safety net for small trailing files.
+    c = e.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").cast("array<double>").alias("cv"),
     ).withColumn("cn", _norm("cv"))
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "sim",
-            _dot_unrolled("qv", "cv") / (F.col("qn") * F.col("cn")),
-        )
+    # Project NARROW before the rank window: the window's exchange
+    # hash-partitions every scored row by query_id, and without this
+    # projection each row drags both 64-double vectors through the
+    # shuffle (≈1 KB/row — ~4 GB at the sf1 probe, where it, not the
+    # dot math, was the wall-clock). Catalyst does not prune columns
+    # past the window boundary on its own here.
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        (_dot_unrolled("qv", "cv") / (F.col("qn") * F.col("cn"))).alias(
+            "sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -337,17 +354,69 @@ def similarity_ivf_cells(spark, sf_dir):
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
     )
-    # Coarse quantization: argmax cosine over the broadcast centroid set.
+    # Coarse quantization: top-2 cosine cells per vector. Two scale
+    # decisions, both measured on the sf1 probe (tools/make_scale_data):
+    #
+    # 1. The rank is computed over NARROW (vec_id, cent_id, sim) rows
+    #    with a map-side-combinable sort_array+slice aggregate, NOT a
+    #    row_number window over the crossJoin output — the window
+    #    shuffles N×n_cells rows each dragging the 64-double vector
+    #    along; the narrow plan shuffles 24-byte triples and re-joins
+    #    vectors ONCE by vec_id. Ordering matches the oracle
+    #    bit-exactly: sort ascending on (-sim, cent_id) = ORDER BY sim
+    #    DESC, cent_id (IEEE negation is exact).
+    #
+    # 2. The assignment table is a SESSION ARTIFACT (the memo the PQ
+    #    codebook, dedup fingerprints, and graph edges already use):
+    #    both the cell side and the query side of the probe derive
+    #    from it, and without the memo Catalyst executes the whole
+    #    crossJoin+agg+join subtree once per consumer — at sf1 that
+    #    was ~2/3 of a 30 s runtime. Production shape: the IVF index
+    #    is built once and probed by every search, never re-derived
+    #    per query.
     sim_to_cent = _dot_unrolled("v", "cv") / (
         F.col("nrm") * F.col("cnrm")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        sim_to_cent.desc(), F.col("cent_id")
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("cent_rank", F.row_number().over(w_assign))
-        .select("vec_id", "label", "v", "nrm", "cent_id", "cent_rank")
+
+    def _build_assigned():
+        top2 = (
+            # bytes-sized splits under-parallelize the N×n_cells dot
+            # fan-out (see similarity_topk_bruteforce) — spread the
+            # vector side over all cores before the crossJoin
+            e.select("vec_id", "v", "nrm")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                F.struct(
+                    (-sim_to_cent).alias("neg_sim"), F.col("cent_id")
+                ).alias("cs"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list("cs")), 1, _IVF_NPROBE
+                ).alias("top_cells")
+            )
+        )
+        return (
+            top2.select(
+                "vec_id",
+                F.posexplode("top_cells").alias("pos", "cs"),
+            )
+            .select(
+                "vec_id",
+                F.col("cs.cent_id").alias("cent_id"),
+                (F.col("pos") + 1).alias("cent_rank"),
+            )
+            .join(e, "vec_id")
+            .select("vec_id", "label", "v", "nrm", "cent_id", "cent_rank")
+        )
+
+    from .ext_dedup import session_artifact
+
+    assigned = session_artifact(
+        spark, sf_dir, "ivf_cell_assign", _build_assigned
     )
     cells = assigned.filter(F.col("cent_rank") == 1).drop("cent_rank")
     # Multi-probe: each query fans out to its 2 nearest cells; cells

@@ -112,15 +112,28 @@ def training_hard_negatives(spark, sf_dir):
         )
         .withColumn("qn", _norm("qv"))
     )
-    c = e.select(
+    # Same candidate-side fan-out as similarity_topk_bruteforce: splits
+    # are bytes-sized, but each candidate row pays |Q| dots, so the
+    # scorer must be spread over cores explicitly (sf1 measured the
+    # whole Q×N scorer on one 15 MB split's single task).
+    c = e.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("negative_id"),
         F.col("label").alias("negative_label"),
         F.col("embedding").cast("array<double>").alias("cv"),
     ).withColumn("cn", _norm("cv"))
+    # Narrow projection before the rank window (same fix as
+    # similarity_topk_bruteforce): without it every scored row drags
+    # both 64-double vectors through the window's hash exchange.
     scored = c.join(
         F.broadcast(q), F.col("negative_label") != F.col("query_label")
-    ).withColumn(
-        "sim", _dot_unrolled("qv", "cv") / (F.col("qn") * F.col("cn"))
+    ).select(
+        "query_id",
+        "query_label",
+        "negative_id",
+        "negative_label",
+        (_dot_unrolled("qv", "cv") / (F.col("qn") * F.col("cn"))).alias(
+            "sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("negative_id")

@@ -58,7 +58,7 @@ def similarity_ivf_kmeans(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 100 == 0)
-    nn = kmeans_ivf_neighbors(e, q, k=3)
+    nn = kmeans_ivf_neighbors(e, q, k=3, artifact=(spark, sf_dir))
     return nn.select(
         "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim_r")
     )

@@ -69,6 +69,10 @@ CLUSTER_CONF = {
     # Shuffle robustness at scale.
     "spark.shuffle.service.enabled": "true",
     "spark.reducer.maxSizeInFlight": "96m",
+    # Let HotSpot JIT the wide codegen'd vector-math methods (64-term
+    # unrolled dots exceed the 8 KB huge-method guard and would run
+    # interpreted, ~6x slower on ANN scoring stages).
+    "spark.executor.extraJavaOptions": "-XX:-DontCompileHugeMethods",
 }
 
 
@@ -98,6 +102,16 @@ def get_spark(app_name: str = "syllabus-sense-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Wide codegen'd expressions (the statically-unrolled 64-term
+        # vector dots in ext_similarity) compile to methods past
+        # HotSpot's 8 KB DontCompileHugeMethods guard, leaving the
+        # hottest inner loop in the BYTECODE INTERPRETER: measured
+        # 17.7 s -> 2.7 s on the sf1 IVF assignment (1.6M x 64-dim)
+        # from this flag alone. Cluster deployments want it in
+        # spark.executor.extraJavaOptions too (see CLUSTER_CONF).
+        .config(
+            "spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods"
+        )
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
