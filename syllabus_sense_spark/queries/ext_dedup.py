@@ -263,7 +263,13 @@ def shingle_docs_raw(corpus: DataFrame, n: int = 3) -> DataFrame:
     re-evaluate split+filter for every element_at call (O(tokens²)
     per row).
     """
-    tokenized = corpus.select(
+    # Spread documents over the core count before the explode: splits
+    # are bytes-sized, but each doc fans out to ~|doc| shingles × the
+    # downstream hash work, so a 40 MB corpus file's 4 splits would
+    # cap the whole dedup family at 4-way parallelism (measured at the
+    # sf1 probe; same lesson as the vector scorers in ext_similarity).
+    spark_parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    tokenized = corpus.repartition(spark_parallelism).select(
         "doc_id",
         F.filter(F.split("text", " "), lambda x: F.length(x) > 0).alias("toks"),
     )

@@ -88,6 +88,19 @@ fp AS (SELECT doc_id, {fingerprint} AS simhash FROM sums)
 """
 
 
+# Frequent-bucket cap: a band value shared by more than MAX_BUCKET
+# documents is a corpus-wide common bit pattern, not a duplication
+# signal — 7-bit bands have only 128 values, so bucket size grows
+# linearly with the corpus and the self-join quadratically (the sf1
+# probe measured 114M candidate pairs, 12 s, before the cap; ~2M
+# after). Skipping oversized buckets is the standard LSH frequent-
+# bucket guard (same family as dedup_prefix_filter's max-df cap);
+# pairs whose ONLY collision is a mega-bucket are dropped — at the
+# verification SFs no bucket reaches the cap (max 29 at sf0.001, 22 at
+# sf0.01), so gate-scale results are unchanged, and the oracle mirrors
+# the cap exactly either way.
+MAX_BUCKET = 64
+
 _SIMHASH_ORACLE = f"""
 WITH corpus AS ({_SQL_CORPUS}),
 sh AS ({sql_shingles(2)}),
@@ -98,10 +111,19 @@ bands AS (
       for b in range(N_BANDS)
   )}
 ),
+kept AS (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY band_idx, band_val HAVING COUNT(*) <= {MAX_BUCKET}
+),
+banded AS (
+  SELECT b.doc_id, b.band_idx, b.band_val, b.simhash
+  FROM bands b JOIN kept k
+    ON b.band_idx = k.band_idx AND b.band_val = k.band_val
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sim_a, b.simhash AS sim_b
-  FROM bands a JOIN bands b
+  FROM banded a JOIN banded b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
@@ -159,8 +181,18 @@ def dedup_simhash(spark, sf_dir):
         F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_val").alias("band_val"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Frequent-bucket cap (see MAX_BUCKET above): the kept-bucket list
+    # is at most N_BANDS × 2^BAND_BITS rows — broadcast-sized at any
+    # corpus size, so the guard costs one tiny semi-join.
+    kept = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= MAX_BUCKET)
+        .select("band_idx", "band_val")
+    )
+    banded = bands.join(F.broadcast(kept), ["band_idx", "band_val"])
+    a = banded.alias("a")
+    b = banded.alias("b")
     # The band join and the pair DISTINCT carry doc ids ONLY — the
     # fingerprints re-attach afterwards from the broadcast-sized fp
     # table, so the widest stage (multi-band duplicate candidates)
