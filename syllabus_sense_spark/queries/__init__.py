@@ -57,6 +57,27 @@ _FORCE_RECHECK = [
     # round-8 changes invalidating earlier green rows:
     "events_asof_inner",  # how='inner' now keeps null-valued matches
     "events_asof_last_order",  # r7 carried-struct change, still unrechecked
+    # round-9 scale fixes whose query BODY changed (third-decade probe
+    # findings; each re-verified at 3 SFs + width-stability locally):
+    "dedup_simhash",  # frequent-bucket cap (no-op at sf0.01, capped >0.1)
+    "training_hard_negatives",  # narrow pre-window proj + candidate fan-out
+    "window_distinct_users_running",  # first-appearance rewrite of the
+    # running-distinct (collect_set RANGE frame was O(rows×users)/type)
+    # (similarity_cosine_blocked: already force-listed below for the
+    # r5 change; the r9 per-block applyInPandas matrix rewrite is the
+    # bigger reason now)
+    "streaming_dsv2_replay_drain",  # batchRows now scales with the
+    # table (fixed 5000 = 200 micro-batch startups at sf1)
+    "training_negative_sampling",  # candidate-side fan-out repartition
+    "search_hybrid_rrf",  # same + narrow pre-window projection
+    # (search_semantic_docs got the same two fixes — already listed
+    # below for the r5 change; ml_eval_retrieval_mrr too but it has no
+    # green row yet, it sits in the r9 window)
+    # NOTE the round-9 shared-path change (shingle_docs_raw now spreads
+    # the corpus over cores before tokenizing) is partitioning-only,
+    # UPSTREAM of the distinct fingerprint artifact: transitive
+    # consumers keep identical results (stability audit re-run
+    # 365/365 after the change) and are NOT force-listed.
     # round-7 plan changes never rechecked (artifact-table moves):
     "graph_pagerank_trade",
     "graph_triangle_census",

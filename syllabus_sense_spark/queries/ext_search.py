@@ -56,10 +56,18 @@ def search_semantic_docs(spark, sf_dir):
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    scored = e.join(
+    # Candidate-side fan-out + narrow pre-window projection — the two
+    # exact-scorer rules from ext_similarity.py (bytes-sized splits
+    # under-parallelize the Q×N dot fan-out; the rank window must not
+    # drag the 64-double vectors through its exchange).
+    scored = e.repartition(spark.sparkContext.defaultParallelism).join(
         F.broadcast(q), F.col("vec_id") != F.col("query_id")
-    ).withColumn(
-        "sim", _dot_unrolled("qv", "v") / (F.col("qn") * F.col("nrm"))
+    ).select(
+        "query_id",
+        "vec_id",
+        (_dot_unrolled("qv", "v") / (F.col("qn") * F.col("nrm"))).alias(
+            "sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     hits = (

@@ -161,9 +161,19 @@ def search_hybrid_rrf(spark, sf_dir):
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    sem_scored = e.join(
+    # Candidate-side fan-out + narrow pre-window projection (the
+    # exact-scorer rules from ext_similarity.py): the semantic ranker
+    # was the hybrid's sf1 wall-clock for the same two reasons as
+    # search_semantic_docs.
+    sem_scored = e.repartition(spark.sparkContext.defaultParallelism).join(
         F.broadcast(qv), F.col("vec_id") != F.col("query_id")
-    ).withColumn("sim", _dot_unrolled("qv", "v") / (F.col("qn") * F.col("nrm")))
+    ).select(
+        "query_id",
+        "vec_id",
+        (_dot_unrolled("qv", "v") / (F.col("qn") * F.col("nrm"))).alias(
+            "sim"
+        ),
+    )
     w_sem = Window.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
     sem = (
         sem_scored.withColumn("rs", F.row_number().over(w_sem).cast("long"))

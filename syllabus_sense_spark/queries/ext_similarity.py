@@ -175,36 +175,68 @@ def similarity_cosine_blocked(spark, sf_dir):
     """Embedding-cosine near-dup, blocked by label: the equi-join on
     the block key keeps candidate generation a shuffle join (never a
     cross join); at scale the block key is an IVF centroid id."""
+    import numpy as np
+    import pandas as pd
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("nrm", _norm("v"))
-    a = e.alias("a")
-    b = e.alias("b")
-    # Arrow-batched, not the unrolled JVM dot: the sim filter
-    # references both join sides, so Catalyst would push the unrolled
-    # expression into the join condition where it evaluates via the
-    # interpreted Predicate path; the Pandas-UDF form provably runs
-    # after the join in one vectorized operator, bit-identical
-    # (functions/vectors.cosine_sim_arrow).
-    from ..functions.vectors import cosine_sim_arrow
 
-    sim = cosine_sim_arrow(
-        F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    # Per-block MATRIX scoring via applyInPandas, not a pairwise join:
+    # the self-join form materializes |block|²/2 rows each carrying two
+    # 64-double vectors through the join (≈20 GB at the sf1 probe,
+    # ~100 s regardless of the scoring expression — the row copying IS
+    # the cost, and salting only spreads it). Here Arrow ships each
+    # block ONCE (N rows, ~10 MB at sf1), the |block|² work happens as
+    # 64 vectorized outer-product accumulations inside numpy, and only
+    # the filtered pairs come back (sf1: 100 s → ~5 s). Bit-exactness
+    # with the DuckDB oracle is preserved by accumulating per
+    # DIMENSION in index order — each pair's dot is the same
+    # left-associated IEEE sum as list_dot_product / the unrolled JVM
+    # form — and division/floor are single IEEE ops in both engines.
+    # Memory: one |block|² float64 matrix per task (32 MB at 2 000
+    # vectors); the block key bounds it by DESIGN — at corpus scale
+    # the key is an IVF cell id (bounded occupancy), exactly as the
+    # docstring above states, so the matrix never outgrows a worker.
+    def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        vecs = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in pdf["v"].to_numpy()]
+        )[order]
+        nrm = pdf["nrm"].to_numpy()[order]
+        n, dim = vecs.shape
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "label": [], "sim_e6": []}
+            ).astype(
+                {
+                    "vec_a": "int64",
+                    "vec_b": "int64",
+                    "label": "int32",
+                    "sim_e6": "int64",
+                }
+            )
+        dots = np.multiply.outer(vecs[:, 0], vecs[:, 0])
+        for k in range(1, dim):
+            dots += np.multiply.outer(vecs[:, k], vecs[:, k])
+        sim = dots / np.multiply.outer(nrm, nrm)
+        ia, ib = np.triu_indices(n, 1)  # sorted ids -> vec_a < vec_b
+        s = sim[ia, ib]
+        m = s > 0.25
+        lab = int(pdf["label"].iloc[0])
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[m]],
+                "vec_b": ids[ib[m]],
+                "label": np.full(int(m.sum()), lab, dtype="int32"),
+                "sim_e6": np.floor(s[m] * 1e6).astype("int64"),
+            }
         )
-        .withColumn("sim", sim)
-        .filter(F.col("sim") > 0.25)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            F.floor(F.col("sim") * F.lit(1e6)).cast("bigint").alias("sim_e6"),
-        )
+
+    return e.groupBy("label").applyInPandas(
+        _block_pairs, "vec_a long, vec_b long, label int, sim_e6 long"
     )
 
 

@@ -68,8 +68,14 @@ def training_negative_sampling(spark, sf_dir):
         F.col("lang").alias("a_lang"),
         F.col("source").alias("a_source"),
     )
+    # Candidate-side fan-out (the exact-scorer rule from
+    # ext_similarity.py): the broadcast join inherits the documents
+    # file's byte-sized splits, but every candidate row fans out to
+    # |anchors-per-lang| hash evaluations — sf1 measured the whole
+    # 10M-row candidate stage on a handful of tasks (38 s; ~3 s after).
     cand = (
-        d.join(F.broadcast(anchors), d.lang == anchors.a_lang)
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .join(F.broadcast(anchors), d.lang == anchors.a_lang)
         .filter(
             (F.col("source") != F.col("a_source"))
             & (F.col("doc_id") != F.col("anchor_id"))

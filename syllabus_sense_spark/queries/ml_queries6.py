@@ -86,14 +86,24 @@ def ml_eval_retrieval_mrr(spark, sf_dir):
         )
         .withColumn("qn", _norm("qv"))
     )
-    c = e.select(
+    # Candidate-side fan-out + narrow pre-window projection (the
+    # exact-scorer rules from ext_similarity.py).
+    c = e.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("nlabel"),
         F.col("embedding").cast("array<double>").alias("cv"),
     ).withColumn("cn", _norm("cv"))
     scored = c.join(
         F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
-    ).withColumn("sim", _dot_unrolled("qv", "cv") / (F.col("qn") * F.col("cn")))
+    ).select(
+        "query_id",
+        "qlabel",
+        "neighbor_id",
+        "nlabel",
+        (_dot_unrolled("qv", "cv") / (F.col("qn") * F.col("cn"))).alias(
+            "sim"
+        ),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )

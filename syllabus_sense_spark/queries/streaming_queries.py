@@ -120,10 +120,24 @@ def streaming_dsv2_replay_drain(spark, sf_dir):
     from ..sources.events_stream_datasource import register_events_replay
 
     register_events_replay(spark)
+    # Batch size scales with the table (parquet footer count, driver-
+    # side, no scan): a FIXED 5000-row batch replays a 1M-row corpus
+    # in 200 micro-batches and the per-batch planning/startup tax
+    # dominates (247 s at the sf1 probe; ~16 s with ~16 batches). The
+    # floor keeps ≥2 batches at every verification SF, so the
+    # offset-boundary exactness this query exists to prove is still
+    # exercised.
+    import pyarrow.parquet as pq
+
+    try:
+        total = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    except Exception:
+        total = 0
+    batch_rows = max(5000, total // 16)
     events = (
         spark.readStream.format("events_replay")
         .option("path", f"{sf_dir}/events.parquet")
-        .option("batchRows", "5000")
+        .option("batchRows", str(batch_rows))
         .load()
     )
     agg = events.groupBy("event_type").agg(

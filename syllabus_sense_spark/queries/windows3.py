@@ -21,8 +21,14 @@ from . import register
 # --------------------------------------------------------------------------
 # Running distinct users per event type by day. The oracle states the
 # semantics as a correlated distinct-count (engine-neutral); Spark
-# computes it as collect_set over an offset-free RANGE frame (all rows
-# of the same day see the full day's set), reduced per (type, day).
+# computes it with the FIRST-APPEARANCE transform: a user counts
+# toward day d iff their first event of that type is <= d, so
+# min(day) per (type, user) -> new-user counts per day -> running SUM
+# over days. The direct form (collect_set over a running RANGE frame)
+# re-materializes a growing set per row — O(rows × users) per type,
+# measured 10 s at the sf1 probe vs 1 s for this plan, and the set
+# itself would exceed executor memory long before 100 TB. Same rows,
+# bit-identical counts; the running SUM window state is one long.
 # --------------------------------------------------------------------------
 
 _DISTINCT_WINDOW_ORACLE = """
@@ -46,17 +52,27 @@ def window_distinct_users_running(spark, sf_dir):
         F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
         "user_id",
     )
-    per_day = e.distinct()  # (type, day, user) triples
+    firsts = e.groupBy("event_type", "user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    new_per_day = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    days = e.select("event_type", "day").distinct()
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = per_day.withColumn(
-        "cum_users", F.size(F.collect_set("user_id").over(w)).cast("bigint")
-    )
-    return cum.groupBy("event_type", "day").agg(
-        F.max("cum_users").alias("distinct_users_cum")
+    return (
+        days.join(new_per_day, ["event_type", "day"], "left")
+        .withColumn(
+            "distinct_users_cum",
+            F.sum(F.coalesce(F.col("new_users"), F.lit(0)))
+            .over(w)
+            .cast("bigint"),
+        )
+        .select("event_type", "day", "distinct_users_cum")
     )
 
 

@@ -34,6 +34,14 @@ RUNTIME_CONF = {
     # CLUSTER_CONF either way.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Recursive CTEs here do BULK work (every row advances one hop per
+    # step — the SCALE.md recursion granularity rule), so the working
+    # set is rows × depth and the 1M default row limit binds at data
+    # scale, not at logic errors (first hit: the sf1 probe's customer
+    # ancestor chain, 150k keys × depth 9 = 1.35M rows). Depth stays
+    # guarded by cteRecursionLevelLimit=100; every registry recursion
+    # is log- or calendar-bounded well under it.
+    "spark.sql.cteRecursionRowLimit": "1000000000",
     # The harness events.parquet stores TIMESTAMP(NANOS), which the
     # vectorized reader rejects; read as long and convert in the loader.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
