@@ -192,17 +192,26 @@ def kmeans_ivf_neighbors(
         # through the session memo, one fit total. Direct calls (the
         # recall/determinism laws in tests) skip the memo and fit
         # fresh, so the memo can never mask a nondeterministic
-        # trainer. Cells memoize first; the centroid builder only
-        # fires in the same pass (state is filled by _fit_cells),
-        # never on a later cache hit.
+        # trainer. The memo kind carries n_cells — the one fit
+        # parameter that changes the artifact — so a same-session call
+        # with a different k trains its own quantizer instead of
+        # silently probing a stale one; and the centroid builder
+        # refits when `state` is empty (cells cached by an earlier
+        # pass whose centroid memoization never landed), so both
+        # artifacts always come from one trainer run.
         from ..queries.ext_dedup import session_artifact
+
+        def _cent_from_same_fit() -> DataFrame:
+            if "cent" not in state:
+                _fit_cells()
+            return state["cent"]
 
         aspark, sf_dir = artifact
         cells = session_artifact(
-            aspark, sf_dir, "kmeans_ivf_cells", _fit_cells
+            aspark, sf_dir, f"kmeans_ivf_cells_k{n_cells}", _fit_cells
         )
         cent_df = session_artifact(
-            aspark, sf_dir, "kmeans_ivf_cent", lambda: state["cent"]
+            aspark, sf_dir, f"kmeans_ivf_cent_k{n_cells}", _cent_from_same_fit
         )
     else:
         cells = _fit_cells()

@@ -235,8 +235,15 @@ def similarity_cosine_blocked(spark, sf_dir):
             }
         )
 
-    return e.groupBy("label").applyInPandas(
-        _block_pairs, "vec_a long, vec_b long, label int, sim_e6 long"
+    # Null labels never block with anything (the oracle's equi-join
+    # drops them); filter them out so the grouped-map never sees a
+    # NULL group (current data has none — this pins the semantics).
+    return (
+        e.filter(F.col("label").isNotNull())
+        .groupBy("label")
+        .applyInPandas(
+            _block_pairs, "vec_a long, vec_b long, label int, sim_e6 long"
+        )
     )
 
 
@@ -376,8 +383,33 @@ FROM ranked WHERE rank <= 3
 """
 
 
-@register("similarity_ivf_cells", _IVF_ORACLE)
-def similarity_ivf_cells(spark, sf_dir):
+def ivf_assignments(spark, sf_dir):
+    """The IVF index as a session artifact: (vec_id, label, v, nrm,
+    cent_id, cent_rank) for each vector's ``_IVF_NPROBE`` nearest
+    cells. Shared by every consumer of the index — the similarity
+    probe below and the hard-negative miner in ext_training10 — so
+    the quantization subtree runs once per (application, corpus).
+
+    Coarse quantization: top-2 cosine cells per vector. Two scale
+    decisions, both measured on the sf1 probe (tools/make_scale_data):
+
+    1. The rank is computed over NARROW (vec_id, cent_id, sim) rows
+       with a map-side-combinable sort_array+slice aggregate, NOT a
+       row_number window over the crossJoin output — the window
+       shuffles N×n_cells rows each dragging the 64-double vector
+       along; the narrow plan shuffles 24-byte triples and re-joins
+       vectors ONCE by vec_id. Ordering matches the oracle
+       bit-exactly: sort ascending on (-sim, cent_id) = ORDER BY sim
+       DESC, cent_id (IEEE negation is exact).
+
+    2. The assignment table is a SESSION ARTIFACT (the memo the PQ
+       codebook, dedup fingerprints, and graph edges already use):
+       both the cell side and the query side of the probe derive
+       from it, and without the memo Catalyst executes the whole
+       crossJoin+agg+join subtree once per consumer — at sf1 that
+       was ~2/3 of a 30 s runtime. Production shape: the IVF index
+       is built once and probed by every search, never re-derived
+       per query."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("nrm", _norm("v"))
@@ -386,26 +418,6 @@ def similarity_ivf_cells(spark, sf_dir):
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
     )
-    # Coarse quantization: top-2 cosine cells per vector. Two scale
-    # decisions, both measured on the sf1 probe (tools/make_scale_data):
-    #
-    # 1. The rank is computed over NARROW (vec_id, cent_id, sim) rows
-    #    with a map-side-combinable sort_array+slice aggregate, NOT a
-    #    row_number window over the crossJoin output — the window
-    #    shuffles N×n_cells rows each dragging the 64-double vector
-    #    along; the narrow plan shuffles 24-byte triples and re-joins
-    #    vectors ONCE by vec_id. Ordering matches the oracle
-    #    bit-exactly: sort ascending on (-sim, cent_id) = ORDER BY sim
-    #    DESC, cent_id (IEEE negation is exact).
-    #
-    # 2. The assignment table is a SESSION ARTIFACT (the memo the PQ
-    #    codebook, dedup fingerprints, and graph edges already use):
-    #    both the cell side and the query side of the probe derive
-    #    from it, and without the memo Catalyst executes the whole
-    #    crossJoin+agg+join subtree once per consumer — at sf1 that
-    #    was ~2/3 of a 30 s runtime. Production shape: the IVF index
-    #    is built once and probed by every search, never re-derived
-    #    per query.
     sim_to_cent = _dot_unrolled("v", "cv") / (
         F.col("nrm") * F.col("cnrm")
     )
@@ -447,9 +459,12 @@ def similarity_ivf_cells(spark, sf_dir):
 
     from .ext_dedup import session_artifact
 
-    assigned = session_artifact(
-        spark, sf_dir, "ivf_cell_assign", _build_assigned
-    )
+    return session_artifact(spark, sf_dir, "ivf_cell_assign", _build_assigned)
+
+
+@register("similarity_ivf_cells", _IVF_ORACLE)
+def similarity_ivf_cells(spark, sf_dir):
+    assigned = ivf_assignments(spark, sf_dir)
     cells = assigned.filter(F.col("cent_rank") == 1).drop("cent_rank")
     # Multi-probe: each query fans out to its 2 nearest cells; cells
     # are disjoint, so the probe join yields each candidate pair once.

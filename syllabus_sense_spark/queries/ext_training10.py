@@ -150,3 +150,105 @@ def training_hard_negatives(spark, sf_dir):
             F.floor(F.col("sim") * F.lit(1e6)).cast("bigint").alias("sim_e6"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# The 100 TB path of the miner above, as a REGISTERED query with its
+# own driver row (round-9 verdict item 6): candidate generation swaps
+# the exact Q×N scorer for the IVF index — each query scores only the
+# corpus vectors in its 2 nearest cells (equi-join on cell id, never a
+# cross join), the label-mismatch predicate rides the same join. The
+# index is the deterministic seeded-centroid IVF from ext_similarity
+# (session artifact, shared with similarity_ivf_cells), which is fully
+# derivable in SQL — so unlike most ANN paths this one is HASH-checked
+# end-to-end, not just recall-bounded: the DuckDB oracle mirrors the
+# quantization, the probe, and the ranking exactly. Recall vs the
+# exact tier is additionally asserted in
+# tests/test_dedup_similarity.py (planted structure: a query's own
+# cell contains its high-sim neighborhood by construction).
+# --------------------------------------------------------------------------
+
+_HARDNEG_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 251 = 0),
+assigned AS (
+  SELECT vec_id, label, v, cent_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY vec_id
+      ORDER BY {_SQL_COSINE.format(a="v", b="cv")} DESC, cent_id
+    ) AS cent_rank
+  FROM e CROSS JOIN cent
+),
+cells AS (SELECT vec_id, label, v, cent_id FROM assigned WHERE cent_rank = 1),
+q AS (
+  SELECT vec_id AS query_id, label AS query_label, v AS qv,
+         cent_id AS qcell
+  FROM assigned WHERE vec_id % 100 = 0 AND cent_rank <= 2
+),
+scored AS (
+  SELECT q.query_id, q.query_label,
+         c.vec_id AS negative_id, c.label AS negative_label,
+         {_SQL_COSINE.format(a="q.qv", b="c.v")} AS sim
+  FROM q JOIN cells c
+    ON c.cent_id = q.qcell AND c.label <> q.query_label
+),
+ranked AS (
+  SELECT *,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, negative_id
+    ) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, negative_id, negative_label, rank,
+       CAST(floor(sim * 1e6) AS BIGINT) AS sim_e6
+FROM ranked WHERE rank <= 3
+"""
+
+
+@register("training_hard_negatives_ivf", _HARDNEG_IVF_ORACLE)
+def training_hard_negatives_ivf(spark, sf_dir):
+    from .ext_similarity import _IVF_NPROBE, ivf_assignments
+
+    assigned = ivf_assignments(spark, sf_dir)
+    cells = assigned.filter(F.col("cent_rank") == 1).drop("cent_rank")
+    q = assigned.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("cent_rank") <= _IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cent_id").alias("qcell"),
+    )
+    # Cells are disjoint, so each (query, candidate) pair appears at
+    # most once across the 2 probes; the label-mismatch predicate
+    # subsumes the self-exclusion (a vector never mismatches its own
+    # label).
+    scored = cells.join(
+        F.broadcast(q),
+        (F.col("cent_id") == F.col("qcell"))
+        & (F.col("label") != F.col("query_label")),
+    ).select(
+        "query_id",
+        "query_label",
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        (_dot_unrolled("qv", "v") / (F.col("qn") * F.col("nrm"))).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "query_label",
+            "negative_id",
+            "negative_label",
+            "rank",
+            F.floor(F.col("sim") * F.lit(1e6)).cast("bigint").alias("sim_e6"),
+        )
+    )

@@ -123,17 +123,18 @@ def streaming_dsv2_replay_drain(spark, sf_dir):
     # Batch size scales with the table (parquet footer count, driver-
     # side, no scan): a FIXED 5000-row batch replays a 1M-row corpus
     # in 200 micro-batches and the per-batch planning/startup tax
-    # dominates (247 s at the sf1 probe; ~16 s with ~16 batches). The
-    # floor keeps ≥2 batches at every verification SF, so the
-    # offset-boundary exactness this query exists to prove is still
-    # exercised.
+    # dominates (247 s at the sf1 probe; ~16 s with ~16 batches).
+    # Capping the batch at total//2 keeps ≥2 micro-batches whenever
+    # the table has ≥2 rows — even sf0.001's 1000-row events table —
+    # so the offset-boundary exactness this query exists to prove is
+    # exercised at EVERY verification SF, not just the larger ones.
     import pyarrow.parquet as pq
 
     try:
         total = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
     except Exception:
         total = 0
-    batch_rows = max(5000, total // 16)
+    batch_rows = max(min(5000, max(1, total // 2)), total // 16)
     events = (
         spark.readStream.format("events_replay")
         .option("path", f"{sf_dir}/events.parquet")

@@ -21,6 +21,13 @@ and speculative execution:
    ``.retired-*``, unpublished new shards as ``.tmp-*``), and abort
    preserves that state instead of sweeping it.
 
+Recovery window: a crashed commit's preserved state survives any
+number of LATER append-mode commits' retired-file handling (each
+commit deletes only the ``.retired-*`` names it created itself), but
+the orphan ``.tmp-*`` sweep in any later successful commit is
+indiscriminate — recover a crash (or accept its loss) before the next
+job commits to the same directory.
+
 This is the Hadoop FileOutputCommitter v1 shape in miniature: a
 task's output becomes visible only through the driver's commit of
 that task's message, so a partition retried twice still publishes
@@ -106,6 +113,7 @@ class JsonlSinkWriter(DataSourceWriter):
         # abort() preserves both once _commit_started is set; retired
         # files are deleted only after EVERY publish rename succeeded.
         self._commit_started = True
+        retired_this_run: list[str] = []
         if self.overwrite:
             incoming = {m.final_name for m in messages if m is not None}
             for name in os.listdir(self.path):
@@ -114,17 +122,28 @@ class JsonlSinkWriter(DataSourceWriter):
                         os.path.join(self.path, name),
                         os.path.join(self.path, f".retired-{name}"),
                     )
+                    retired_this_run.append(f".retired-{name}")
         for m in messages:
             if m is None:
                 continue
             src = os.path.join(self.path, m.tmp_name)
             dst = os.path.join(self.path, m.final_name)
             os.rename(src, dst)  # atomic publish
-        # full new generation visible: the old one can go now
-        for name in os.listdir(self.path):
-            if name.startswith(".retired-"):
-                os.remove(os.path.join(self.path, name))
-        # sweep orphans: failed/speculative attempts' temps
+        # Full new generation visible: the old one can go now — but
+        # ONLY the shards THIS commit retired. A ``.retired-*`` left
+        # by an earlier crashed overwrite is someone else's preserved
+        # crash state; an append-mode commit (which retires nothing)
+        # must never destroy it.
+        for name in retired_this_run:
+            os.remove(os.path.join(self.path, name))
+        # sweep orphans: failed/speculative attempts' temps from THIS
+        # run. Task attempts of this job are the only writers of
+        # ``.tmp-*`` since commit() began; published shards were
+        # renamed away above, so what remains here is this job's
+        # failed/speculative attempts plus any pre-existing orphans —
+        # the recovery window for an earlier crash's ``.tmp-*`` thus
+        # lasts until the next successful commit to the directory
+        # (documented in the module docstring).
         for name in os.listdir(self.path):
             if name.startswith(".tmp-"):
                 os.remove(os.path.join(self.path, name))

@@ -156,3 +156,36 @@ def test_overwrite_retires_stale_shards(spark):
             with open(os.path.join(tmp, n)) as f:
                 rows += [json.loads(line) for line in f]
     assert sorted(r["id"] for r in rows) == [100, 101, 102]
+
+
+def test_append_commit_preserves_foreign_crash_state():
+    """A commit deletes only the .retired-* names IT created: an
+    append-mode commit (which retires nothing) running after another
+    job's crashed overwrite must leave that job's preserved crash
+    state (.retired-* shards) intact — the recovery window documented
+    in the module docstring."""
+    from syllabus_sense_spark.sources.jsonl_datasource import (
+        JsonlCommitMessage,
+        JsonlSinkWriter,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="jsonl_sink_p_")
+    # another job's crash state: a retired old generation
+    with open(os.path.join(tmp, ".retired-part-old-bbbb.jsonl"), "w") as f:
+        f.write('{"id": -7}\n')
+    with open(os.path.join(tmp, ".tmp-app1"), "w") as f:
+        f.write('{"id": 9}\n')
+
+    class _Schema:
+        @staticmethod
+        def fieldNames():
+            return ["id"]
+
+    w = JsonlSinkWriter({"path": tmp}, _Schema(), overwrite=False)
+    w.commit([JsonlCommitMessage(".tmp-app1", "part-00000-app1.jsonl")])
+    assert ".retired-part-old-bbbb.jsonl" in os.listdir(tmp)
+    with open(os.path.join(tmp, ".retired-part-old-bbbb.jsonl")) as f:
+        assert json.loads(f.read())["id"] == -7
+    # the new shard published normally
+    visible = [n for n in os.listdir(tmp) if not n.startswith(".")]
+    assert visible == ["part-00000-app1.jsonl"]

@@ -66,10 +66,10 @@ def _pair_ok(duck: str, spark: str, calibrated: set) -> bool:
     return False
 
 
-def _driver_hash_green() -> set[str]:
-    """Names whose LATEST driver row is hash-green. Rows-only greens
-    (err == no_oracle) prove nothing about type hashing and are
-    excluded."""
+def _driver_hash_green() -> dict[str, int]:
+    """name -> round of the LATEST driver row, for names whose latest
+    row is hash-green. Rows-only greens (err == no_oracle) prove
+    nothing about type hashing and are excluded."""
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, tuple[int, bool]] = {}
     for path in sorted(
@@ -84,7 +84,67 @@ def _driver_hash_green() -> set[str]:
         for name, row in data.items():
             if isinstance(row, dict):
                 latest[name] = (rnd, row.get("hash_match") is True)
-    return {n for n, (_, green) in latest.items() if green}
+    return {n: rnd for n, (rnd, green) in latest.items() if green}
+
+
+def _src_hash(q, name: str) -> str:
+    """Fingerprint of a query's CURRENT implementation: the registered
+    function's source plus its oracle SQL. Calibration trusts a green
+    row only while this fingerprint still matches the one recorded
+    when the row was first observed."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(q.QUERIES[name])
+    except Exception:  # noqa: BLE001 — builtins/callables without source
+        src = repr(q.QUERIES[name])
+    return hashlib.sha256(
+        (src + "\n--oracle--\n" + q.ORACLE.get(name, "")).encode()
+    ).hexdigest()[:16]
+
+
+def _green_ledger(q, green: dict[str, int], force: set[str]) -> set[str]:
+    """Names whose green row is proven CURRENT: the query source at
+    green-observation time equals the source now.
+
+    The ledger (tools/green_src_hashes.json, committed) records each
+    name's source fingerprint the first time an audit runs after its
+    latest green round — audits run at round start, before any edit,
+    so the recorded hash is the hash the driver actually checked.
+    A query edited later WITHOUT a force-recheck listing then simply
+    stops matching its ledger entry and drops out of calibration,
+    closing the hole where an unlisted stale green could bless an
+    unproven type pair audit-wide. (The fingerprint covers the
+    registered function body + oracle SQL, not helpers it calls —
+    helper edits remain the force-recheck policy's job; output types
+    are almost always decided in the function body anyway.)"""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "tools", "green_src_hashes.json")
+    try:
+        ledger: dict[str, dict] = json.load(open(path))
+    except Exception:  # noqa: BLE001 — first run bootstraps the ledger
+        ledger = {}
+    changed = False
+    for name, rnd in green.items():
+        if name not in q.QUERIES or name in force:
+            continue  # stale by policy — record only after the re-green
+        ent = ledger.get(name)
+        if ent is None or ent.get("round", -1) < rnd:
+            ledger[name] = {"round": rnd, "src": _src_hash(q, name)}
+            changed = True
+    if changed:
+        with open(path, "w") as f:
+            json.dump(ledger, f, indent=0, sort_keys=True)
+            f.write("\n")
+    return {
+        name
+        for name, rnd in green.items()
+        if name in ledger
+        and ledger[name]["round"] == rnd
+        and name in q.QUERIES
+        and ledger[name]["src"] == _src_hash(q, name)
+    }
 
 
 def main() -> int:
@@ -122,9 +182,14 @@ def main() -> int:
         pairs[name] = {col: (dtype, sk.get(col)) for col, dtype in duck.items()}
 
     # pass 2: every pair a hash-green driver row carried is proven.
-    # Stale greens (code changed after their row, queued for re-check)
-    # prove nothing about their CURRENT pairs — exclude them.
-    green = _driver_hash_green() - set(q._FORCE_RECHECK)
+    # Stale greens prove nothing about their CURRENT pairs — excluded
+    # two ways: the force-recheck list (policy), and the green-time
+    # source-hash ledger (mechanical: the fingerprint recorded when
+    # the green row was first observed must equal the fingerprint
+    # now, so an edit the policy missed still drops the query from
+    # calibration).
+    force = set(q._FORCE_RECHECK)
+    green = _green_ledger(q, _driver_hash_green(), force) - force
     calibrated = {
         (d.upper(), s.lower())
         for name in pairs
