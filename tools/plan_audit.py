@@ -43,6 +43,10 @@ ALLOW = {
     "graph_triangle_census": {"SMJ"},
     "similarity_topk_bruteforce": {"BNLJ"},
     "similarity_ivf_cells": {"BNLJ"},
+    # probes the same ivf_assignments artifact as similarity_ivf_cells:
+    # the index build's N x broadcast-8-row-centroid crossJoin is the
+    # intended BNLJ; the probe itself is an equi hash join on cell id
+    "training_hard_negatives_ivf": {"BNLJ"},
     # probe-2 assignment: query set x broadcast 8-row centroid table —
     # the same intentional broadcast-tiny-side shape as ivf_cells
     "similarity_ivf_kmeans": {"BNLJ"},
