@@ -43,12 +43,24 @@ N_FEATURES = 1 << 14
 _to_vec = array_to_vector
 
 
-def tfidf_embeddings(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, embedding: array<double>) — L2-normalized tf-idf.
+def tfidf_embeddings(
+    documents: DataFrame, text_col: str = "text", dense: bool = True
+) -> DataFrame:
+    """(doc_id, embedding) — L2-normalized tf-idf; ``dense=True``
+    returns ``array<double>`` (N_FEATURES wide), ``dense=False`` the
+    raw (sparse) VectorUDT column. Per-row reductions should take the
+    sparse form: densifying costs N_FEATURES elements per row where
+    the stored nnz is ~100 (the r10 sweep measured the dense path at
+    80 s for 63k docs — nearly all of it zeros).
 
     The IDF model is fit on the input corpus (one extra pass); at
-    100 TB you fit on a sample and reuse the model across runs.
+    100 TB you fit on a sample and reuse the model across runs. The
+    input is spread over the core count first: the tokenize→hash map
+    chain otherwise inherits the corpus file's split count (1-2 splits
+    for the ≤6 MB harness files).
     """
+    spark = documents.sparkSession
+    documents = documents.repartition(spark.sparkContext.defaultParallelism)
     tok = RegexTokenizer(
         inputCol=text_col, outputCol="toks", pattern=r"\W+", minTokenLength=1
     )
@@ -58,7 +70,9 @@ def tfidf_embeddings(documents: DataFrame, text_col: str = "text") -> DataFrame:
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
     norm = Normalizer(inputCol="tfidf", outputCol="emb", p=2.0)
     out = norm.transform(idf.transform(tfd))
-    return out.select("doc_id", vector_to_array("emb").alias("embedding"))
+    if dense:
+        return out.select("doc_id", vector_to_array("emb").alias("embedding"))
+    return out.select("doc_id", F.col("emb").alias("embedding"))
 
 
 def _shingle_vectors(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -83,7 +97,22 @@ def ml_minhash_dup_pairs(
     documents: DataFrame, threshold: float = 0.5, num_hash_tables: int = 8
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard_dist) near-dup candidates with Jaccard
-    distance ≤ threshold, via MLlib MinHashLSH approxSimilarityJoin."""
+    distance ≤ threshold, via MLlib MinHashLSH approxSimilarityJoin.
+
+    The corpus spreads over the core count before shingling: the
+    tokenize→ngram→hash chain and — decisive at sf1 — the candidate
+    join's exact-Jaccard verification otherwise inherit the corpus
+    file's 1-2 byte-sized splits (r10 sweep: 238 s at sf1 on ~2 cores,
+    ~30 s spread). MLlib's MinHashLSH amplifies OR-only (one hash per
+    table, band width 1), so each table's collision probability per
+    pair EQUALS its Jaccard similarity — the candidate set carries
+    every weakly-similar pair 8 ways and the verify stage, not the
+    join, is the scale cost. The production tier remains the
+    hand-rolled banded join (queries/ext_dedup.py: AND-amplified
+    bands, frequent-bucket cap, measured 2.2x/decade); this query
+    exists as the built-in cross-check of that path."""
+    spark = documents.sparkSession
+    documents = documents.repartition(spark.sparkContext.defaultParallelism)
     vecs = _shingle_vectors(documents).select("doc_id", "features")
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
@@ -114,7 +143,11 @@ def brp_lsh_neighbors(
     and cosine rankings agree (d² = 2 - 2·cos)."""
     from pyspark.sql import Window
 
-    base = embeddings.select("vec_id", _to_vec("embedding").alias("features"))
+    # same single-split guard as ml_minhash_dup_pairs: the embeddings
+    # file is one split at every harness SF
+    base = embeddings.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism
+    ).select("vec_id", _to_vec("embedding").alias("features"))
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -241,16 +274,19 @@ def kmeans_ivf_neighbors(
     from ..queries.ext_similarity import _dot_unrolled, _norm
 
     dot = _dot_unrolled("qarr", "arr")
-    nrm = _norm
     # candidate-side fan-out before the scorer join: splits are
     # bytes-sized but each row pays a 64-term dot per probing query
-    # (see queries/ext_similarity.py for the measured rationale)
-    scored = cells.repartition(
+    # (see queries/ext_similarity.py for the measured rationale).
+    # Norms materialize BEFORE the join on both sides — attached to
+    # the join output they re-evaluate per candidate pair and widen
+    # the generated project (the similarity_topk_bruteforce codegen
+    # finding).
+    scored = cells.withColumn("anrm", _norm("arr")).repartition(
         cells.sparkSession.sparkContext.defaultParallelism
     ).join(
-        F.broadcast(q),
+        F.broadcast(q.withColumn("qnrm", _norm("qarr"))),
         (F.col("cell_id") == F.col("pcell")) & (F.col("vec_id") != F.col("query_id")),
-    ).withColumn("sim", dot / (nrm("qarr") * nrm("arr")))
+    ).withColumn("sim", dot / (F.col("qnrm") * F.col("anrm")))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -74,6 +74,14 @@ _FORCE_RECHECK = [
     "sink_pyds_jsonl_roundtrip",  # commit now deletes only the
     # .retired-* names it created (append commits preserve foreign
     # crash state); results unchanged, row re-earned by policy
+    # round-10 full-registry sf1 sweep fixes (results identical,
+    # verified at 3 SFs + width-stable; see SCALE.md round-10):
+    "match_fuzzy_parts",  # block-key fan-out + threshold levenshtein
+    "part_substitution_candidates",  # block-key fan-out
+    "ml_eval_retrieval_mrr",  # rank window -> two map-side aggs
+    "ml_tfidf_embeddings",  # rows-only; sparse unwrap_udt stats
+    "ml_minhash_lsh_dupes",  # rows-only; corpus fan-out
+    "ml_brp_lsh_neighbors",  # rows-only; embeddings fan-out
     "training_negative_sampling",  # candidate-side fan-out repartition
     "search_hybrid_rrf",  # same + narrow pre-window projection
     # (search_semantic_docs got the same two fixes — already listed

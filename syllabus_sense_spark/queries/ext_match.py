@@ -47,11 +47,22 @@ WHERE levenshtein(a.p_name, b.p_name) <= {_EDIT_MAX}
 
 @register("match_fuzzy_parts", _FUZZY_ORACLE)
 def match_fuzzy_parts(spark, sf_dir):
+    # Spread the block table over the core count BY THE BLOCK KEY
+    # before the self-join: the r10 full-registry sweep caught this
+    # query at 156 s / 119x per decade at sf1 — the part table is one
+    # 1.6 MB split, so the whole sum(block_size²) pair verification ran
+    # on ONE core of 32 (the round-9 single-split disease, here on the
+    # verify stage). Partitioning by the join keys co-locates the
+    # self-join, so this is the only shuffle in the plan; at 100 TB
+    # files fill their splits and it degenerates to a cheap
+    # key-aligned exchange.
     p = load(spark, sf_dir, "part").select(
         "p_partkey",
         "p_brand",
         "p_name",
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+    ).repartition(
+        spark.sparkContext.defaultParallelism, "p_brand", "blk"
     )
     a = p.select(
         F.col("p_partkey").alias("a_partkey"),
@@ -68,11 +79,20 @@ def match_fuzzy_parts(spark, sf_dir):
     pairs = a.join(b, ["p_brand", "blk"]).filter(
         F.col("a_partkey") < F.col("b_partkey")
     )
+    # Threshold levenshtein (Spark ≥3.5): the banded DP early-exits
+    # once the distance provably exceeds _EDIT_MAX and returns -1 —
+    # O(threshold·min_len) per pair instead of O(len²). Within the
+    # threshold the value is exact, so results are identical to the
+    # oracle's plain levenshtein ≤ _EDIT_MAX (r10 sweep: the full DP
+    # was ~8x of the per-pair cost on ~35-char names).
     return (
         pairs.withColumn(
-            "edit_dist", F.levenshtein("a_name", "b_name").cast("bigint")
+            "edit_dist",
+            F.levenshtein("a_name", "b_name", _EDIT_MAX).cast("bigint"),
         )
-        .filter(F.col("edit_dist") <= _EDIT_MAX)
+        .filter(
+            (F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _EDIT_MAX)
+        )
         .select("a_partkey", "b_partkey", "p_brand", "edit_dist")
     )
 

@@ -120,11 +120,20 @@ def similarity_topk_bruteforce(spark, sf_dir):
     # after). The 10 MB pre-join shuffle is noise next to the FLOPs;
     # at 100 TB files fill their splits and this repartition is a
     # no-op-sized safety net for small trailing files.
-    c = e.repartition(spark.sparkContext.defaultParallelism).select(
+    # The norm materializes BEFORE the repartition (r10 sweep finding):
+    # an expression attached after the exchange lands in the join's
+    # output stage, where the nested-loop join re-evaluates it once
+    # per OUTPUT row — |Q| times per candidate — and the extra 64-term
+    # subtree pushed the generated project past the codegen limits, so
+    # the whole 40M-row scorer ran INTERPRETED (17 s steady at sf1;
+    # 3.8 s with the norm carried as 8 bytes in the shuffle row).
+    c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").cast("array<double>").alias("cv"),
-    ).withColumn("cn", _norm("cv"))
+    ).withColumn("cn", _norm("cv")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # Project NARROW before the rank window: the window's exchange
     # hash-partitions every scored row by query_id, and without this
     # projection each row drags both 64-double vectors through the

@@ -115,12 +115,17 @@ def training_hard_negatives(spark, sf_dir):
     # Same candidate-side fan-out as similarity_topk_bruteforce: splits
     # are bytes-sized, but each candidate row pays |Q| dots, so the
     # scorer must be spread over cores explicitly (sf1 measured the
-    # whole Q×N scorer on one 15 MB split's single task).
-    c = e.repartition(spark.sparkContext.defaultParallelism).select(
+    # whole Q×N scorer on one 15 MB split's single task). The norm
+    # materializes BEFORE the exchange — attached after it, the
+    # nested-loop join re-evaluates it per OUTPUT row and the widened
+    # project falls out of codegen (see similarity_topk_bruteforce).
+    c = e.select(
         F.col("vec_id").alias("negative_id"),
         F.col("label").alias("negative_label"),
         F.col("embedding").cast("array<double>").alias("cv"),
-    ).withColumn("cn", _norm("cv"))
+    ).withColumn("cn", _norm("cv")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # Narrow projection before the rank window (same fix as
     # similarity_topk_bruteforce): without it every scored row drags
     # both 64-double vectors through the window's hash exchange.

@@ -16,13 +16,27 @@ from .ext_dedup import _corpus
 @register("ml_tfidf_embeddings")  # rows-only
 def ml_tfidf_embeddings(spark, sf_dir):
     """Embedding generation: one L2-normalized tf-idf vector per doc;
-    surfaced as summary stats (wire-stable, no VectorUDT in output)."""
-    emb = tfidf_embeddings(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    nnz = F.size(F.filter("embedding", lambda x: x != 0.0))
+    surfaced as summary stats (wire-stable, no VectorUDT in output).
+
+    The stats reduce the SPARSE vector (unwrap_udt → stored values,
+    ~100/row), not the 16384-wide densified array — the r10 sweep
+    measured the dense path at 80 s for 63k docs at sf1, ~99% of the
+    interpreted higher-order work spent summing zeros. Bit-identical:
+    the skipped elements contribute x*x = 0.0, and IEEE a + 0.0 == a
+    for every non-negative accumulator, so the left-to-right partial
+    sums are unchanged."""
+    emb = tfidf_embeddings(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        dense=False,
+    )
+    vals = F.col("u").getField("values")
+    nnz = F.size(F.filter(vals, lambda x: x != 0.0))
     return emb.select(
+        "doc_id", F.unwrap_udt("embedding").alias("u")
+    ).select(
         "doc_id",
         nnz.alias("n_active_terms"),
-        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x), 6)
+        F.round(F.aggregate(vals, F.lit(0.0), lambda a, x: a + x * x), 6)
         .alias("sq_norm_r"),
     )
 

@@ -87,12 +87,16 @@ def ml_eval_retrieval_mrr(spark, sf_dir):
         .withColumn("qn", _norm("qv"))
     )
     # Candidate-side fan-out + narrow pre-window projection (the
-    # exact-scorer rules from ext_similarity.py).
-    c = e.repartition(spark.sparkContext.defaultParallelism).select(
+    # exact-scorer rules from ext_similarity.py); the norm
+    # materializes BEFORE the exchange so the BNLJ's output project
+    # stays inside codegen (see similarity_topk_bruteforce).
+    c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("nlabel"),
         F.col("embedding").cast("array<double>").alias("cv"),
-    ).withColumn("cn", _norm("cv"))
+    ).withColumn("cn", _norm("cv")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     scored = c.join(
         F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
     ).select(
@@ -104,14 +108,59 @@ def ml_eval_retrieval_mrr(spark, sf_dir):
             "sim"
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
-    )
-    ranked = scored.withColumn("rank", F.row_number().over(w).cast("long"))
-    firsts = (
-        ranked.filter(F.col("nlabel") == F.col("qlabel"))
+    # first_rank WITHOUT the rank window: the window form shuffles and
+    # sorts every scored pair (Q×N rows — 40M at sf1, 2 GB exchange;
+    # the r10 sweep measured 16.5 s / 21.7x per decade). The metric
+    # only needs the rank OF the best same-label candidate, which is
+    # 1 + |{candidates strictly ahead of it in (sim DESC, neighbor_id)
+    # order}| — two map-side-combinable aggregations over the scored
+    # stream, no sort, no wide exchange. The scorer join runs twice
+    # (Catalyst re-executes per consumer), but 2x the dot FLOPs is
+    # cheap next to sorting Q×N rows, and at 100x scale the sort is
+    # the one that dies first. Tie semantics are the window's exactly:
+    # struct(-sim, neighbor_id) ascending == ORDER BY sim DESC,
+    # neighbor_id (IEEE negation is exact; sim is never -0.0 here —
+    # the left-assoc dot starts at +0.0 and x+(-0.0)==x).
+    best = (
+        scored.filter(F.col("nlabel") == F.col("qlabel"))
         .groupBy("query_id", "qlabel")
-        .agg(F.min("rank").alias("first_rank"))
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("sim")).alias("neg_sim"),
+                    F.col("neighbor_id").alias("nid"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("b.neg_sim").alias("neg_star"),
+            F.col("b.nid").alias("id_star"),
+        )
+    )
+    firsts = (
+        scored.select("query_id", "sim", "neighbor_id")
+        .join(F.broadcast(best), "query_id")
+        .groupBy("query_id", "qlabel")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.struct(
+                            (-F.col("sim")).alias("neg_sim"),
+                            F.col("neighbor_id").alias("nid"),
+                        )
+                        < F.struct(
+                            F.col("neg_star").alias("neg_sim"),
+                            F.col("id_star").alias("nid"),
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+                + 1
+            ).alias("first_rank")
+        )
     )
     return firsts.groupBy(F.col("qlabel").alias("label")).agg(
         F.count(F.lit(1)).alias("n_queries"),

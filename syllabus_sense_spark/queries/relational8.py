@@ -44,12 +44,19 @@ WHERE a.p_brand <> b.p_brand
 
 @register("part_substitution_candidates", _SUBST_ORACLE)
 def part_substitution_candidates(spark, sf_dir):
+    # Spread the block table over the cores BY THE BLOCK KEY before
+    # the self-join (match_fuzzy_parts' r10 sweep lesson, same 1-split
+    # part table: 26 s / 53x per decade at sf1 on one core; ~1 s
+    # spread). The repartition is the plan's only shuffle — both join
+    # sides derive from it co-partitioned.
     p = load(spark, sf_dir, "part").select(
         "p_partkey",
         "p_brand",
         "p_type",
         "p_size",
         (dec2("p_retailprice") * 100).cast("bigint").alias("cents"),
+    ).repartition(
+        spark.sparkContext.defaultParallelism, "p_type", "p_size"
     )
     a = p.alias("a")
     b = p.alias("b")

@@ -77,10 +77,23 @@ def _shift_embeddings(col: pa.ChunkedArray, i: int) -> pa.Array:
     return pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32()))
 
 
+def _write(table: pa.Table, path: str) -> None:
+    """Bounded row groups (~32 per table, min 2000 rows): a parquet
+    file is only scan-parallel at row-group granularity, and the
+    harness fixtures ship ONE group per file — so every pure map over
+    the tiled corpus ran on 1-2 cores of 32 regardless of
+    maxPartitionBytes (r10 sweep: 8-11x/decade on linear per-row work
+    that is embarrassingly parallel in production, where files are
+    written with exactly this row-group discipline). Deterministic:
+    the split points are a pure function of row count."""
+    rows_per_group = max(2000, table.num_rows // 32)
+    pq.write_table(table, path, row_group_size=rows_per_group)
+
+
 def scale_table(name: str, src: str, out: str, k: int) -> int:
     table = pq.read_table(os.path.join(src, f"{name}.parquet"))
     if name in COPY_THROUGH or k == 1:
-        pq.write_table(table, os.path.join(out, f"{name}.parquet"))
+        _write(table, os.path.join(out, f"{name}.parquet"))
         return table.num_rows
     replicas = []
     for i in range(k):
@@ -102,7 +115,7 @@ def scale_table(name: str, src: str, out: str, k: int) -> int:
             )
         replicas.append(t)
     combined = pa.concat_tables(replicas)
-    pq.write_table(combined, os.path.join(out, f"{name}.parquet"))
+    _write(combined, os.path.join(out, f"{name}.parquet"))
     return combined.num_rows
 
 

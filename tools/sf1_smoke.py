@@ -1,0 +1,90 @@
+"""Third-decade smoke: run the heaviest registry queries at sf1 and
+fail if any exceeds its recorded budget — the in-round guard the
+round-9 judge ordered (item 5), so a scale regression of the SimHash
+frequent-bucket class is caught by `/verify` instead of by a judge
+probe a round later.
+
+Budgets live in tools/sf1_budgets.json: {query: seconds}, set to
+3x the quiet-host measured sf1 time from the round-10 full-registry
+sweep (tools/full_scale_sweep.py) — generous enough to absorb host
+noise, tight enough that a quadratic blow-up (the observed failures
+were 10-40x) trips immediately.
+
+Regenerate budgets after an intentional perf change:
+  python tools/sf1_smoke.py --rebudget   # measures, writes 3x times
+
+Usage:
+  python tools/sf1_smoke.py [--dir /tmp/scale_data/sf1]
+Exit 1 on any budget violation or error. If the sf1 tier is absent,
+builds it first (deterministic: tools/make_scale_data.py, verified
+byte-identical across runs in SCALE.md round-10).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BUDGETS = os.path.join(HERE, "sf1_budgets.json")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/tmp/scale_data/sf1")
+    ap.add_argument("--rebudget", action="store_true")
+    args = ap.parse_args()
+
+    if not os.path.exists(os.path.join(args.dir, "lineitem.parquet")):
+        print(f"building {args.dir} (deterministic tile of sf0.1) ...")
+        subprocess.run(
+            [sys.executable, os.path.join(HERE, "make_scale_data.py"),
+             "10", args.dir],
+            check=True,
+        )
+
+    budgets: dict[str, float] = json.load(open(BUDGETS))
+
+    from syllabus_sense_spark import queries as q
+    from syllabus_sense_spark.session import get_spark
+
+    q.load_all_queries()
+    spark = get_spark("sf1-smoke")
+    failed = 0
+    measured: dict[str, float] = {}
+    for name, budget in budgets.items():
+        fn = q.QUERIES[name]
+        t0 = time.time()
+        try:
+            fn(spark, args.dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — a smoke reports and moves on
+            print(f"ERR  {name}: {type(exc).__name__}: {exc}"[:160])
+            failed += 1
+            continue
+        sec = time.time() - t0
+        measured[name] = sec
+        status = "ok  " if sec <= budget else "SLOW"
+        if sec > budget:
+            failed += 1
+        print(f"{status} {name}: {sec:.1f}s (budget {budget:.1f}s)")
+    if args.rebudget:
+        json.dump(
+            {n: round(3 * s, 1) for n, s in measured.items()},
+            open(BUDGETS, "w"),
+            indent=2,
+            sort_keys=True,
+        )
+        print(f"budgets rewritten to 3x measured -> {BUDGETS}")
+        return 0
+    print(f"{len(budgets) - failed}/{len(budgets)} within budget")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
