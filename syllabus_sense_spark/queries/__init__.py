@@ -82,6 +82,9 @@ _FORCE_RECHECK = [
     "ml_tfidf_embeddings",  # rows-only; sparse unwrap_udt stats
     "ml_minhash_lsh_dupes",  # rows-only; corpus fan-out
     "ml_brp_lsh_neighbors",  # rows-only; embeddings fan-out
+    "streaming_static_enrich_drain",  # memory sink -> parquet sink
+    # (O(N)-output drain was collecting the whole stream through the
+    # driver; files now written executor-side)
     "training_negative_sampling",  # candidate-side fan-out repartition
     "search_hybrid_rrf",  # same + narrow pre-window projection
     # (search_semantic_docs got the same two fixes — already listed

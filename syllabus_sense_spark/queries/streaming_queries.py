@@ -48,11 +48,21 @@ JOIN customer c ON c.c_custkey = e.user_id
 
 @register("streaming_static_enrich_drain", _ENRICH_ORACLE)
 def streaming_static_enrich_drain(spark, sf_dir):
+    """Drains to a PARQUET sink, not memory: the enrichment passes the
+    whole event stream through (O(N) output rows), and a memory sink
+    funnels all of it through the driver single-threaded — 10/11 s at
+    the sf1 probe, an OOM at the next decade. Files are written
+    executor-side in parallel and read back for the comparison."""
+    import tempfile
+
     from ..streaming import stream_enrich_static_dim
 
-    q = stream_enrich_static_dim(spark, sf_dir, query_name="harness_enrich_drain")
+    out = tempfile.mkdtemp(prefix="enrich_drain_")
+    q = stream_enrich_static_dim(
+        spark, sf_dir, query_name="harness_enrich_drain", output_dir=out
+    )
     assert q.awaitTermination(600), "availableNow stream drain timed out"
-    return spark.sql("SELECT * FROM harness_enrich_drain").select(
+    return spark.read.parquet(out).select(
         "event_id", "user_id", "event_type", "ts", "customer_name", "nation_key"
     )
 
@@ -123,18 +133,21 @@ def streaming_dsv2_replay_drain(spark, sf_dir):
     # Batch size scales with the table (parquet footer count, driver-
     # side, no scan): a FIXED 5000-row batch replays a 1M-row corpus
     # in 200 micro-batches and the per-batch planning/startup tax
-    # dominates (247 s at the sf1 probe; ~16 s with ~16 batches).
-    # Capping the batch at total//2 keeps ≥2 micro-batches whenever
-    # the table has ≥2 rows — even sf0.001's 1000-row events table —
-    # so the offset-boundary exactness this query exists to prove is
-    # exercised at EVERY verification SF, not just the larger ones.
+    # dominates (247 s at the sf1 probe). The tax is ~1.1 s per batch
+    # of pure Python-DataSource planning regardless of SF (the r10
+    # sweep measured the drain FLAT at ~18 s for 16 batches at both
+    # sf0.1 and sf1), so the batch count is pinned small: total//4
+    # gives 4-5 micro-batches — several offset boundaries to prove
+    # exactness across — and the total//2 cap keeps ≥2 batches even
+    # at sf0.001's 1000-row table, so every verification SF exercises
+    # at least one boundary.
     import pyarrow.parquet as pq
 
     try:
         total = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
     except Exception:
         total = 0
-    batch_rows = max(min(5000, max(1, total // 2)), total // 16)
+    batch_rows = max(min(5000, max(1, total // 2)), total // 4)
     events = (
         spark.readStream.format("events_replay")
         .option("path", f"{sf_dir}/events.parquet")

@@ -181,7 +181,10 @@ def stream_view_purchase_join(
 
 
 def stream_enrich_static_dim(
-    spark: SparkSession, sf_dir: str, query_name: str = "enrich_dim"
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "enrich_dim",
+    output_dir: str | None = None,
 ):
     """Stream-static broadcast enrichment: the event stream joins the
     static customer dimension per micro-batch — the canonical streaming
@@ -206,6 +209,22 @@ def stream_enrich_static_dim(
     enriched = events.join(dim, "user_id", "inner").select(
         "event_id", "user_id", "event_type", "ts", "customer_name", "nation_key"
     )
+    if output_dir is not None:
+        # Production sink shape: this stream emits O(|events|) rows
+        # (a pass-through enrichment, not an aggregate), so a memory
+        # sink serializes the whole corpus through the driver — at the
+        # sf1 probe that single-threaded collect was 10 of the 11 s,
+        # and at 10x it is a driver OOM. Aggregating drains keep the
+        # memory sink (small state); every O(N)-output drain writes
+        # files executor-side.
+        return (
+            enriched.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", output_dir + "/_checkpoint")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     return (
         enriched.writeStream.format("memory")
         .queryName(query_name)
