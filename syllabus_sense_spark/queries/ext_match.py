@@ -4,11 +4,21 @@
 resolution shape: generate candidate pairs only *within* a blocking
 key (brand + first name token), then verify each candidate with an
 edit-distance predicate. Pair generation is an equi-join on the block
-key, so at 100 TB the cost is sum(block_size²) — bounded by the
-blocking key's cardinality design — never the n² all-pairs join. The
-verify step (``levenshtein``) runs JVM-side on candidates only, the
-same candidates-only discipline as dedup_minhash_lsh's Jaccard
-verify.
+key, so the cost is sum(block_size²) — never the n² all-pairs join.
+The verify step (threshold ``levenshtein``) runs JVM-side on
+candidates only, the same candidates-only discipline as
+dedup_minhash_lsh's Jaccard verify.
+
+Scale posture: a FIXED-cardinality blocking key means block occupancy
+grows linearly with the corpus and sum(block²) stays quadratic — the
+r10 sweep measured exactly that (20×/decade after the fan-out +
+threshold-DP fixes took the constant down 19×). That is the inherent
+trade of this ER design, and the standard remedies are blocking-KEY
+refinement (brand + first + last token → cardinality grows with the
+vocabulary) or block purging/splitting at a size cap (the SimHash
+MAX_BUCKET guard, ext_simhash.py) — both RECALL-changing decisions a
+production pipeline makes explicitly, so this query keeps the simple
+key and documents the cliff instead of silently dropping pairs.
 
 ``sample_weighted_bernoulli`` — weight-proportional Bernoulli
 sampling with a deterministic seeded-hash coin: include a document

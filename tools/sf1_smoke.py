@@ -60,14 +60,21 @@ def main() -> int:
     measured: dict[str, float] = {}
     for name, budget in budgets.items():
         fn = q.QUERIES[name]
-        t0 = time.time()
+        # min of 2 — the budgets are 3x MIN-OF-2-WARM sweep numbers,
+        # and a single cold run pays ~15-20 s of JIT warmup on the
+        # scorer-family codegen, which is startup cost, not regression
+        sec = float("inf")
         try:
-            fn(spark, args.dir).write.format("noop").mode("overwrite").save()
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, args.dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                sec = min(sec, time.time() - t0)
         except Exception as exc:  # noqa: BLE001 — a smoke reports and moves on
             print(f"ERR  {name}: {type(exc).__name__}: {exc}"[:160])
             failed += 1
             continue
-        sec = time.time() - t0
         measured[name] = sec
         status = "ok  " if sec <= budget else "SLOW"
         if sec > budget:
