@@ -44,200 +44,32 @@ def register(name: str, oracle: str | None = None):
 # Everything already green registers afterwards sorted by ascending
 # last-green round, so the oldest evidence rotates back into the
 # 50-slot window first and stale green rows get re-confirmed.
-_FORCE_RECHECK = [
-    # Round-8 state: all round-7 force entries that landed green r07
-    # rows are pruned (docx/pipeline oracle upgrades, the dedup plan
-    # changes, sink_pyds_jsonl_roundtrip). What remains is stale greens
-    # whose code changed after their last driver row, oldest change
-    # first.
-    # round-8 rows-only -> hash-checked oracle upgrade (hex(encode())
-    # byte replay): the r2 row is rows-only vintage, re-earn it as a
-    # hash row.
-    "multimodal_feature_extract",
-    # round-8 changes invalidating earlier green rows:
-    "events_asof_inner",  # how='inner' now keeps null-valued matches
-    "events_asof_last_order",  # r7 carried-struct change, still unrechecked
-    # round-9 scale fixes whose query BODY changed (third-decade probe
-    # findings; each re-verified at 3 SFs + width-stability locally):
-    "dedup_simhash",  # frequent-bucket cap (no-op at sf0.01, capped >0.1)
-    "training_hard_negatives",  # narrow pre-window proj + candidate fan-out
-    "window_distinct_users_running",  # first-appearance rewrite of the
-    # running-distinct (collect_set RANGE frame was O(rows×users)/type)
-    # (similarity_cosine_blocked: already force-listed below for the
-    # r5 change; the r9 per-block applyInPandas matrix rewrite is the
-    # bigger reason now)
-    "streaming_dsv2_replay_drain",  # batchRows now scales with the
-    # table (fixed 5000 = 200 micro-batch startups at sf1); r10
-    # ADVICE fix caps it at total//2 so ≥2 micro-batches exist at
-    # every SF (boundary exactness now exercised even at sf0.001)
-    # round-10 ADVICE closures touching green-rowed query paths:
-    "sink_pyds_jsonl_roundtrip",  # commit now deletes only the
-    # .retired-* names it created (append commits preserve foreign
-    # crash state); results unchanged, row re-earned by policy
-    # round-10 full-registry sf1 sweep fixes (results identical,
-    # verified at 3 SFs + width-stable; see SCALE.md round-10):
-    "match_fuzzy_parts",  # block-key fan-out + threshold levenshtein
-    "part_substitution_candidates",  # block-key fan-out
-    "ml_eval_retrieval_mrr",  # rank window -> two map-side aggs
-    "ml_tfidf_embeddings",  # rows-only; sparse unwrap_udt stats
-    "ml_minhash_lsh_dupes",  # rows-only; corpus fan-out
-    "ml_brp_lsh_neighbors",  # rows-only; embeddings fan-out
-    "streaming_static_enrich_drain",  # memory sink -> parquet sink
-    # (O(N)-output drain was collecting the whole stream through the
-    # driver; files now written executor-side)
-    "training_negative_sampling",  # candidate-side fan-out repartition
-    "search_hybrid_rrf",  # same + narrow pre-window projection
-    # (search_semantic_docs got the same two fixes — already listed
-    # below for the r5 change; ml_eval_retrieval_mrr too but it has no
-    # green row yet, it sits in the r9 window)
-    # NOTE the round-9 shared-path change (shingle_docs_raw now spreads
-    # the corpus over cores before tokenizing) is partitioning-only,
-    # UPSTREAM of the distinct fingerprint artifact: transitive
-    # consumers keep identical results (stability audit re-run
-    # 365/365 after the change) and are NOT force-listed.
-    # round-7 plan changes never rechecked (artifact-table moves):
-    "graph_pagerank_trade",
-    "graph_triangle_census",
-    "graph_label_propagation",
-    # round-5 changes invalidating earlier green rows:
-    "text_lang_id_heuristic",  # round(…,6) col -> integer-scaled
-    "events_anomaly_zscore",  # same
-    "search_semantic_docs",  # sim_r -> integer-scaled
-    "similarity_ivf_cells",  # multi-probe (probe-2) + integer-scaled sim
-    "similarity_topk_bruteforce",  # sim_r -> integer-scaled
-    "similarity_cosine_blocked",  # same
-    "agg_percentiles_exact",  # p50/p90/p99 -> integer-scaled
-    "agg_covar_corr_exact",  # covar/corr/slope -> integer-scaled
-    "text_tfidf_top_term",  # tfidf_r -> integer-scaled
-    # round-5 dot-product expr refactor (_dot_unrolled/_norm string
-    # form) also flows through these; their last green predates it:
-    "similarity_ivf_kmeans",  # rows-only; rerun confirms it executes
-    "similarity_ann_lsh",  # rows-only; same
+_FORCE_RECHECK: list[str] = [
+    # Round-11 state: PRUNED TO EMPTY. All 31 round-10 force entries
+    # landed latest-green r10 rows (verified against every
+    # CORRECTNESS_r*.json before pruning: 0 names whose most recent
+    # row is not green). With both priority lists drained, the window
+    # falls through to the oldest-green rotation — 76 queries' latest
+    # evidence is r01/r02-vintage (window family, q1/q3/q5, the
+    # scalar/array/map batches) and the ascending last-green tail sort
+    # points the r11 window at exactly those.
+    # round-11 ADVICE closures touching green-rowed query paths
+    # (results identical at the gate SFs — the guards are inert on the
+    # real data — rows re-earned by policy):
+    "ml_eval_retrieval_mrr",  # zero-norm guard in query + oracle
 ]
 
 _NEW_THIS_ROUND: list[str] = [
-    # Round-8 state: pruned to exactly the never-driver-checked
-    # backlog (102 names; every name green in CORRECTNESS_r07 or
-    # earlier is gone). The round-7 judge directed the round-8/9
-    # windows at this backlog, naming the entries below as must-land:
-    # the failed benford row (oracle cast fixed this round), the
-    # round-7 multimodal wave, PCA, the as-of forward/nearest pair,
-    # and the named stragglers. They lead; the rest keeps the old
-    # drain order (oldest additions first).
-    "dq_benford_first_digit",
-    "multimodal_pixel_stats",
-    "multimodal_wav_pcm_stats",
-    "multimodal_phash_dedup",
-    "multimodal_phash_groups",
-    "multimodal_audio_fingerprint",
-    "multimodal_phash_near_pairs",
-    "ml_pca_power_iteration",
-    "events_asof_next_order",
-    "events_asof_nearest_order",
-    "sql_recursive_month_spine",
-    "streaming_dynamic_gap_drain",
-    "sink_roundtrip_partitioned",
-    "source_federated_union",
-    "observe_metrics_orders",
-    "jsonl_quarantine_stats",
-    "search_semantic_docs_pq",
-    "ml_feature_hashing_vectors",
-    "events_user_diversity_simpson",
-    "window_rank_movers",
-    "pandas_api_customer_rollup",
-    "sql_named_parameters",
-    "stat_crosstab_status_priority",
-    "cluster_kmeans_1d_prices",
-    "events_gapfill_linear",
-    "dq_rules_engine",
-    "events_hourly_profile",
-    "orders_segment_migration",
-    "text_vocab_growth",
-    "embedding_norm_histogram",
-    "window_moving_median",
-    "sql_pipe_syntax_rollup",
-    "sql_unpivot_form",
-    "text_zipf_profile",
-    "orders_basket_size_histogram",
-    "sales_share_hierarchy",
-    "graph_link_prediction",
-    "text_stopword_candidates",
-    "training_pack_efficiency",
-    "events_dispersion_test",
-    "ml_eval_confusion_matrix",
-    "orders_repeat_purchase_rate",
-    "events_attribution_first_touch",
-    "events_weekend_split",
-    "orders_open_aging",
-    "part_brand_price_index",
-    "orders_pareto_8020",
-    "supply_concentration_hhi",
-    "text_readability_stats",
-    "customer_gini_segment",
-    "alloc_largest_remainder",
-    "events_ewma_daily",
-    "events_trigram_paths",
-    "dq_chisq_independence",
-    "stat_bootstrap_poisson_ci",
-    "agg_trimmed_winsorized",
-    "events_daily_peaks",
-    "text_length_quantile_shift",
-    "training_preference_pairs",
-    "training_best_of_n",
-    "embedding_random_projection",
-    "similarity_srp_buckets",
-    "training_token_budget_epochs",
-    "streaming_outer_join_drain",
-    "sql_scripting_median_bisect",
-    "streaming_state_reader",
-    "training_curriculum_stages",
-    "sample_priority_wor",
-    "graph_bfs_levels",
-    "join_bloom_runtime_filter",
-    "source_docx_pushdown",
-    "arrow_grouped_doc_stats",
-    "arrow_cogroup_order_event_stats",
-    "streaming_full_outer_join_drain",
-    "udtf_table_partition_stats",
-    "pandas_api_rolling_weekly",
-    "sql_identifier_clause",
-    "sql_recursive_custkey_chain",
-    "sql_create_function_margin",
-    "sql_table_function_price_bands",
-    "sql_collation_ci_distinct",
-    "dq_table_fingerprint",
-    "training_importance_selection",
-    "text_ngram_novelty",
-    "ml_eval_retrieval_mrr",
-    "ml_feature_robust_scaler",
-    "curation_doc_decisions",
-    "dq_histogram_drift_tvd",
-    "agg_filter_clause",
-    "agg_median_exact",
-    "agg_count_if_bools",
-    "agg_any_value_functional",
-    "agg_rollup_grouping_id",
-    "scalar_levenshtein_bands",
-    "scalar_base64_roundtrip",
-    "scalar_printf_format",
-    "relational_generators_stack",
-    "events_locf_forward_fill",
-    "window_dense_rank_ties",
-    "map_higher_order_pipeline",
-    "events_sessionize_dynamic_gap",
-    "scalar_csv_roundtrip",
-    # round-9 addition (round-8 judge item 6): width-invariance as a
-    # driver-hashed row. Appended LAST so the judge-ordered r9 window
-    # (50/50 never-checked backlog) is untouched; lands with the r10
-    # spill.
-    "stability_width_invariance",
-    # round-10 addition (round-9 judge item 6): the exact hard-negative
-    # tier's documented ANN swap as an executable, hash-checked query
-    # (IVF-restricted candidates, DuckDB oracle mirrors the index).
-    # Appended LAST: the judge-verified r10 window (3 never-checked +
-    # 23 re-checks in the first 50 slots) keeps its composition; this
-    # lands as the 4th never-checked row, inside the rotation slack.
-    "training_hard_negatives_ivf",
+    # Round-11 state: pruned — the whole round-8 never-checked backlog
+    # (104 names through training_hard_negatives_ivf) carries green
+    # driver rows as of r10; never-checked count is zero.
+    # round-11 addition (round-10 judge item 1): the scale-safe tier
+    # of match_fuzzy_parts — sorted-neighborhood block SPLITTING at a
+    # size cap (two overlapping rank chunkings, pigeonhole guarantee
+    # within CAP/2 positions), chunk arithmetic mirrored exactly in
+    # the DuckDB oracle. The last operator whose 100 TB path was
+    # documentation instead of a driver row.
+    "match_fuzzy_parts_capped",
 ]
 
 
@@ -289,6 +121,7 @@ def _ordered(
     new_this_round: list[str],
     force_recheck: list[str],
     window: int = 50,
+    rows_only: frozenset[str] | set[str] = frozenset(),
 ) -> list[str]:
     """Pure ordering policy (unit-testable without the registry):
 
@@ -300,7 +133,12 @@ def _ordered(
     - any stale names left over follow the never block;
     - the already-green tail sorts by ascending last-green round so the
       oldest evidence rotates back into the window first (stable for
-      ties: registration order).
+      ties: registration order) — EXCEPT that rows-only queries (no
+      oracle) sort behind every hash-checkable green regardless of
+      vintage: a rows-only slot can only ever re-confirm `no_oracle`,
+      so when the driver window is the scarce resource it buys less
+      evidence than the stalest hash-checkable green (round-10 judge
+      item 7).
     """
     reg_set = set(registered)
     never = [n for n in new_this_round if n in reg_set and n not in last_green]
@@ -322,7 +160,7 @@ def _ordered(
     front_set = set(front)
     tail = sorted(
         (n for n in registered if n not in front_set),
-        key=lambda n: last_green.get(n, 0),
+        key=lambda n: (n in rows_only, last_green.get(n, 0)),
     )
     return front + tail
 
@@ -515,6 +353,7 @@ def load_all_queries() -> None:
         _evidence_from_past_rounds(),
         _NEW_THIS_ROUND,
         _FORCE_RECHECK,
+        rows_only=set(QUERIES) - set(ORACLE),
     )
     for registry in (QUERIES, ORACLE):
         reordered = {n: registry[n] for n in order if n in registry}

@@ -61,3 +61,53 @@ def davg(col: Column) -> Column:
 SQL_DEC2 = "CAST({c} AS DECIMAL(18,2))"
 SQL_ONE_MINUS = "CAST(1 - CAST({c} AS DECIMAL(18,2)) AS DECIMAL(3,2))"
 SQL_ONE_PLUS = "CAST(1 + CAST({c} AS DECIMAL(18,2)) AS DECIMAL(3,2))"
+
+
+_SCRATCH_ROOT: list[str] = []  # memo: this process's swept scratch root
+
+
+def scratch_dir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` with bounded lifetime — the temp-space
+    discipline for every query that materializes a sink table,
+    stream output, or checkpoint.
+
+    A bare ``mkdtemp`` per query run leaks the directory forever:
+    repeated harness/bench runs at sf1 accumulated unbounded parquet
+    plus checkpoint state in /tmp (round-10 ADVICE, the static-enrich
+    drain writes the full enriched corpus per run). This helper keeps
+    mkdtemp's concurrency safety (unique dir per call — concurrent
+    drivers can never collide) but scopes every dir under a per-PROCESS
+    root that is
+
+    - removed at interpreter exit (atexit), and
+    - swept by the NEXT process if this one was SIGKILLed: on first
+      use, sibling roots whose pid no longer runs are deleted.
+
+    So accumulation is bounded by one process lifetime, crash debris
+    by one generation.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.gettempdir()
+    if not _SCRATCH_ROOT:
+        for name in os.listdir(base):
+            if not name.startswith("sss-scratch-"):
+                continue
+            try:
+                pid = int(name.rsplit("-", 1)[1])
+            except ValueError:
+                continue
+            try:
+                os.kill(pid, 0)  # raises if the owner is gone
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+            except OSError:
+                pass  # e.g. EPERM: pid exists but isn't ours — leave it
+        root = os.path.join(base, f"sss-scratch-{os.getpid()}")
+        os.makedirs(root, exist_ok=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SCRATCH_ROOT.append(root)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])

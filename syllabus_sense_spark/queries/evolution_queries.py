@@ -18,7 +18,6 @@ NULL branches over the source table.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -31,6 +30,7 @@ from pyspark.sql.types import (
 from ..sources.evolution import conform, read_merged
 from ..tables import load
 from . import register
+from ._util import scratch_dir
 
 _TARGET = StructType(
     [
@@ -62,7 +62,7 @@ FROM evolved GROUP BY 1
 @register("source_schema_evolution", _EVOLUTION_ORACLE)
 def source_schema_evolution(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="schema_drift_")
+    tmp = scratch_dir("schema_drift_")
     path = os.path.join(tmp, "docs_drift")
     # two pipeline generations writing different schemas into one layout
     d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(

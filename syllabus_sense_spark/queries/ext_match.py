@@ -20,6 +20,29 @@ MAX_BUCKET guard, ext_simhash.py) — both RECALL-changing decisions a
 production pipeline makes explicitly, so this query keeps the simple
 key and documents the cliff instead of silently dropping pairs.
 
+``match_fuzzy_parts_capped`` — the scale-safe tier of the same
+match: identical block key and verify predicate, but oversized blocks
+are SPLIT at a size cap instead of self-joined whole (the "block
+purging/splitting" remedy named above, ER's sorted-neighborhood
+method). Within each block, rows are ranked by (p_name, p_partkey)
+and assigned to TWO overlapping chunkings of width CAP — cut points
+at multiples of CAP and at multiples of CAP offset by CAP/2 — and
+candidates are generated only within a chunk. Pigeonhole guarantee
+(the band-count argument of dedup_simhash, transposed to rank space):
+the combined cut points are CAP/2 apart, so an interval of rank
+length ≤ CAP/2 can cross at most ONE cut, which belongs to only one
+scheme — every pair within CAP/2 sorted positions is co-chunked in
+the other scheme and always found. Near-duplicate names sort
+adjacently (≤3 edits barely move a string in lexicographic order), so
+locality in rank space is exactly where the recall lives. Cost:
+per-block pairs drop from n² to ~2·n·CAP — linear in the corpus at
+fixed cap, which is the 100 TB posture the exact tier documents but
+cannot have. At the verification SFs no block exceeds CAP/2 (max
+occupancy 17 at sf0.01), so the capped tier is pair-identical to the
+exact tier at gate scale while the oracle mirrors the chunk
+arithmetic exactly either way — the same "guard inert at gate scale,
+oracle-pinned at every scale" recipe as dedup_simhash's MAX_BUCKET.
+
 ``sample_weighted_bernoulli`` — weight-proportional Bernoulli
 sampling with a deterministic seeded-hash coin: include a document
 iff ``md5(seed:doc_id) mod M < weight·scale``, weight = capped text
@@ -103,6 +126,142 @@ def match_fuzzy_parts(spark, sf_dir):
         .filter(
             (F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _EDIT_MAX)
         )
+        .select("a_partkey", "b_partkey", "p_brand", "edit_dist")
+    )
+
+
+# Sorted-neighborhood chunk width for the capped tier. 64 matches the
+# SimHash MAX_BUCKET scale; the recall guarantee radius is CAP/2 = 32
+# sorted positions, comfortably above the max gate-scale block
+# occupancy (17 at sf0.01), so gate results equal the exact tier's.
+_CAP = 64
+_HALF = _CAP // 2
+
+_FUZZY_CAPPED_ORACLE = f"""
+WITH p AS (
+  SELECT p_partkey, p_brand, p_name,
+         split_part(p_name, ' ', 1) AS blk,
+         row_number() OVER (
+           PARTITION BY p_brand, split_part(p_name, ' ', 1)
+           ORDER BY p_name, p_partkey) - 1 AS rn
+  FROM part
+),
+ch AS (
+  SELECT p_partkey, p_brand, p_name, blk, 0 AS scheme, rn // {_CAP} AS chunk FROM p
+  UNION ALL
+  SELECT p_partkey, p_brand, p_name, blk, 1 AS scheme, (rn + {_HALF}) // {_CAP} AS chunk FROM p
+),
+cand AS (
+  SELECT DISTINCT a.p_partkey AS a_partkey, b.p_partkey AS b_partkey,
+         a.p_brand, a.p_name AS a_name, b.p_name AS b_name
+  FROM ch a JOIN ch b
+    ON a.p_brand = b.p_brand AND a.blk = b.blk
+   AND a.scheme = b.scheme AND a.chunk = b.chunk
+   AND a.p_partkey < b.p_partkey
+)
+SELECT a_partkey, b_partkey, p_brand,
+       CAST(levenshtein(a_name, b_name) AS BIGINT) AS edit_dist
+FROM cand
+WHERE levenshtein(a_name, b_name) <= {_EDIT_MAX}
+"""
+
+
+@register("match_fuzzy_parts_capped", _FUZZY_CAPPED_ORACLE)
+def match_fuzzy_parts_capped(spark, sf_dir):
+    from pyspark.sql import Window
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+    )
+    # Rank within the block by (name, key): the window's own exchange
+    # spreads the corpus by block key — at 100 TB this is one
+    # key-aligned shuffle plus a per-partition sort, the same cost
+    # class as the exact tier's fan-out, but the join it feeds is
+    # linear instead of quadratic. The chunk ids are STORED integer
+    # columns and the ranked table is MATERIALIZED (localCheckpoint)
+    # before the self-join — the simhash fp-table discipline, and the
+    # r10 codegen law: expressions left lazy behind a Window land in
+    # the join's output stage, fall out of whole-stage codegen, and
+    # re-evaluate per candidate pair (measured here: the un-checkpointed
+    # form ran the whole BHJ interpreted and was SLOWER than the
+    # exact tier at sf1; materialized, the join stage codegens).
+    w = Window.partitionBy("p_brand", "blk").orderBy("p_name", "p_partkey")
+    ranked = (
+        p.withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("chunk0", F.floor(F.col("rn") / _CAP))
+        .withColumn("chunk1", F.floor((F.col("rn") + _HALF) / _CAP))
+        .localCheckpoint()
+    )
+    # Two overlapping chunkings as a union of two plain projections of
+    # the materialized artifact (no Generate in the join stage), then
+    # an explicit fan-out over the core count BY THE JOIN KEYS: the
+    # chunked table is ~6 MB at sf1, so AQE coalesces the window
+    # shuffle to 1–3 partitions — and the join below fans out ~46×,
+    # so without this the whole verify stage ran on 3 cores of 32
+    # (measured; the exact tier needed the identical fix in r10).
+    # Explicit-N repartition is exempt from AQE coalescing.
+    chunked = ranked.select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        "blk",
+        "chunk0",
+        F.lit(0).alias("scheme"),
+        F.col("chunk0").alias("chunk"),
+    ).unionByName(
+        ranked.select(
+            "p_partkey",
+            "p_brand",
+            "p_name",
+            "blk",
+            "chunk0",
+            F.lit(1).alias("scheme"),
+            F.col("chunk1").alias("chunk"),
+        )
+    ).repartition(
+        spark.sparkContext.defaultParallelism, "p_brand", "blk", "scheme", "chunk"
+    )
+    a = chunked.select(
+        F.col("p_partkey").alias("a_partkey"),
+        "p_brand",
+        "blk",
+        "scheme",
+        "chunk",
+        F.col("chunk0").alias("a_chunk0"),
+        F.col("p_name").alias("a_name"),
+    )
+    b = chunked.select(
+        F.col("p_partkey").alias("b_partkey"),
+        "p_brand",
+        "blk",
+        "scheme",
+        "chunk",
+        F.col("chunk0").alias("b_chunk0"),
+        F.col("p_name").alias("b_name"),
+    )
+    # A pair co-chunked in BOTH schemes would otherwise verify (and
+    # emit) twice. Instead of a DISTINCT — which would shuffle the
+    # full ~2·n·CAP candidate stream a second time — dedup
+    # STRUCTURALLY: the stored chunk0 ids tell each scheme-1 pair
+    # whether scheme 0 already emitted it, so the duplicate dies as an
+    # integer comparison in the codegen'd join stage, zero extra
+    # shuffles, and each qualifying pair appears exactly once (the
+    # oracle's SELECT DISTINCT yields the identical set).
+    once = (F.col("scheme") == 0) | (F.col("a_chunk0") != F.col("b_chunk0"))
+    cand = (
+        a.join(b, ["p_brand", "blk", "scheme", "chunk"])
+        .filter((F.col("a_partkey") < F.col("b_partkey")) & once)
+        .select("a_partkey", "b_partkey", "p_brand", "a_name", "b_name")
+    )
+    return (
+        cand.withColumn(
+            "edit_dist",
+            F.levenshtein("a_name", "b_name", _EDIT_MAX).cast("bigint"),
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _EDIT_MAX))
         .select("a_partkey", "b_partkey", "p_brand", "edit_dist")
     )
 

@@ -25,13 +25,13 @@ allowlisted shape.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 
 from ..operators.incremental import incremental_rollup
 from ..tables import load
 from . import register
+from ._util import scratch_dir
 
 _INC_ORACLE = """
 SELECT CAST(ts AS DATE) AS day,
@@ -46,7 +46,7 @@ GROUP BY 1, 2
 @register("incremental_rollup_daily", _INC_ORACLE)
 def incremental_rollup_daily(spark, sf_dir):
     e = load(spark, sf_dir, "events").withColumn("day", F.col("ts").cast("date"))
-    tmp = tempfile.mkdtemp(prefix="inc_rollup_")
+    tmp = scratch_dir("inc_rollup_")
     src_path = os.path.join(tmp, "events_by_day")
     roll_path = os.path.join(tmp, "rollup")
     e.write.partitionBy("day").mode("overwrite").parquet(src_path)

@@ -43,7 +43,8 @@ from .ext_similarity import _SQL_COSINE, _dot_unrolled, _norm
 _K = 5
 
 _MRR_ORACLE = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e
       WHERE vec_id % 100 = 0),
 scored AS (
@@ -85,6 +86,14 @@ def ml_eval_retrieval_mrr(spark, sf_dir):
             F.col("embedding").cast("array<double>").alias("qv"),
         )
         .withColumn("qn", _norm("qv"))
+        # Zero-norm guard (both engines, mirrored in the oracle's `e`
+        # CTE): sim = dot/(qn*cn) is NaN for a zero vector, and NaN
+        # ordering is where the two-aggregate rank rewrite below and
+        # the old row_number form diverge (DESC sort ranks NaN first;
+        # min(struct) avoids NaN and the strictly-ahead count treats
+        # NaN rows as behind). Excluding un-normalizable vectors makes
+        # the metric well-defined and the rewrite exact.
+        .filter(F.col("qn") > 0)
     )
     # Candidate-side fan-out + narrow pre-window projection (the
     # exact-scorer rules from ext_similarity.py); the norm
@@ -94,7 +103,7 @@ def ml_eval_retrieval_mrr(spark, sf_dir):
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("nlabel"),
         F.col("embedding").cast("array<double>").alias("cv"),
-    ).withColumn("cn", _norm("cv")).repartition(
+    ).withColumn("cn", _norm("cv")).filter(F.col("cn") > 0).repartition(
         spark.sparkContext.defaultParallelism
     )
     scored = c.join(

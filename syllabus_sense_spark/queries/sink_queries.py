@@ -19,7 +19,6 @@ queries call rather than reimplement.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import functions as F
 
@@ -27,6 +26,7 @@ from ..sinks import write_questions_parquet
 from ..sources.jsonl import read_documents_jsonl, split_quarantine
 from ..tables import load
 from . import register
+from ._util import scratch_dir
 
 # Oracle computes the same per-partition aggregate straight from the
 # source table: if the Spark side's write→read-back loses or mangles
@@ -49,7 +49,7 @@ def sink_roundtrip_partitioned(spark, sf_dir):
     the dir must outlive the returned (lazy) DataFrame, so it is not
     removed here — it is tmpfs-sized (one small parquet per lang).
     """
-    tmp = tempfile.mkdtemp(prefix="sink_roundtrip_")
+    tmp = scratch_dir("sink_roundtrip_")
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         F.col("lang").alias("topic"),
@@ -89,7 +89,7 @@ def jsonl_quarantine_stats(spark, sf_dir):
     deterministically corrupted, read the file back through the
     PERMISSIVE quarantine source, and report per-lang clean stats
     plus the quarantined-line count as one result set."""
-    tmp = tempfile.mkdtemp(prefix="jsonl_quarantine_")
+    tmp = scratch_dir("jsonl_quarantine_")
     d = load(spark, sf_dir, "documents")
     line = F.to_json(F.struct("doc_id", "source", "lang", "text"))
     corrupted = F.concat(F.lit("{corrupt::"), F.substring(line, 1, 20))
@@ -141,7 +141,7 @@ def sink_snapshot_timetravel(spark, sf_dir):
     from ..sinks.snapshots import read_snapshot, write_snapshot
 
     e = load(spark, sf_dir, "events").select("event_id", "event_type")
-    table = tempfile.mkdtemp(prefix="snap_table_")
+    table = scratch_dir("snap_table_")
     v1 = write_snapshot(e.filter(F.col("event_id") % 3 == 0), table)
     v2 = write_snapshot(e.filter(F.col("event_id") % 3 == 1), table, mode="append")
     assert (v1, v2) == (1, 2), (v1, v2)

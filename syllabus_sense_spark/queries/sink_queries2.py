@@ -15,7 +15,6 @@ than passing silently.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 
@@ -24,6 +23,7 @@ from ..sinks.layout import write_zorder_clustered
 from ..sinks.upsert import upsert_partitioned
 from ..tables import load
 from . import register
+from ._util import scratch_dir
 
 # --- CDC upsert -------------------------------------------------------------
 # Change batch, derived deterministically from the source table:
@@ -50,7 +50,7 @@ FROM final GROUP BY lang
 @register("sink_upsert_cdc", _UPSERT_ORACLE)
 def sink_upsert_cdc(spark, sf_dir):
     base = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    path = os.path.join(tempfile.mkdtemp(prefix="upsert_tbl_"), "docs")
+    path = os.path.join(scratch_dir("upsert_tbl_"), "docs")
     base.write.partitionBy("lang").mode("overwrite").parquet(path)
     updates = (
         base.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 13 != 0))
@@ -98,7 +98,7 @@ def sink_compaction_roundtrip(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="compact_tbl_"), "docs")
+    path = os.path.join(scratch_dir("compact_tbl_"), "docs")
     # oversplit on purpose: many tiny files per lang partition
     d.repartition(16).write.partitionBy("lang").mode("overwrite").parquet(path)
     before = partition_file_stats(path)
@@ -136,7 +136,7 @@ def sink_zorder_box_query(spark, sf_dir):
     bounds = e.agg(
         F.min("value"), F.max("value"), F.min("user_id"), F.max("user_id")
     ).collect()[0]
-    path = os.path.join(tempfile.mkdtemp(prefix="zorder_tbl_"), "events")
+    path = os.path.join(scratch_dir("zorder_tbl_"), "events")
     write_zorder_clustered(
         e,
         path,
@@ -193,12 +193,11 @@ GROUP BY o.o_orderpriority
 
 @register("bucketed_join_roundtrip", _BUCKETED_ORACLE)
 def bucketed_join_roundtrip(spark, sf_dir):
-    import tempfile
 
     from ..operators.bucketing import bucketed_join, write_bucketed
     from ._util import dec2
 
-    tmp = tempfile.mkdtemp(prefix="bucketed_rt_")
+    tmp = scratch_dir("bucketed_rt_")
     lt, rt = "harness_b_orders", "harness_b_lineitem"
     spark.sql(f"DROP TABLE IF EXISTS {lt}")
     spark.sql(f"DROP TABLE IF EXISTS {rt}")

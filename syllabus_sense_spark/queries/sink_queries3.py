@@ -22,12 +22,12 @@ change logs.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
+from ._util import scratch_dir
 
 # v1 = ids ≡ 0 (mod 3); v2 drops ids ≡ 0 (mod 15) and adds ids ≡ 1 (mod 3)
 _DIFF_ORACLE = """
@@ -48,7 +48,7 @@ def sink_snapshot_diff(spark, sf_dir):
     from ..sinks.snapshots import read_snapshot, write_snapshot
 
     e = load(spark, sf_dir, "events").select("event_id", "event_type")
-    table = tempfile.mkdtemp(prefix="snap_diff_")
+    table = scratch_dir("snap_diff_")
     v1_rows = e.filter(F.col("event_id") % 3 == 0)
     v2_rows = e.filter(
         ((F.col("event_id") % 3 == 0) & (F.col("event_id") % 15 != 0))

@@ -25,12 +25,12 @@ Avro stays gated out: the spark-avro jar is absent from this image
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
+from ._util import scratch_dir
 
 _ORC_ORACLE = """
 SELECT event_type,
@@ -50,7 +50,7 @@ def source_orc_roundtrip(spark, sf_dir):
     must outlive the returned lazy DataFrame (tmpfs-sized)."""
     from ._util import epoch_us
 
-    tmp = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    tmp = scratch_dir("orc_roundtrip_")
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
     ev.write.mode("overwrite").orc(tmp)
     back = spark.read.orc(tmp)
@@ -78,7 +78,7 @@ def source_text_lines(spark, sf_dir):
     weighted checksum recomputed from a doc_id prefix embedded in
     each line (lines come back in arbitrary order; the checksum is
     order-insensitive)."""
-    tmp = tempfile.mkdtemp(prefix="text_lines_")
+    tmp = scratch_dir("text_lines_")
     d = load(spark, sf_dir, "documents").select(
         F.concat(
             (F.col("doc_id") % 97).cast("string"), F.lit("\t"), F.col("text")
@@ -120,7 +120,7 @@ def sink_pyds_jsonl_roundtrip(spark, sf_dir):
     from ..sources.jsonl_datasource import register_jsonl_sink
 
     register_jsonl_sink(spark)
-    tmp = tempfile.mkdtemp(prefix="pyds_jsonl_")
+    tmp = scratch_dir("pyds_jsonl_")
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     d.write.format("jsonl_sink").option("path", tmp).mode("append").save()
     schema = (

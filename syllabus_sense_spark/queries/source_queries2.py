@@ -13,12 +13,12 @@ modular event_id sum (term-wise reduction, overflow-proof).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
+from ._util import scratch_dir
 
 _MOD = 1_000_000_007
 
@@ -44,7 +44,7 @@ SELECT 'jsonl', n_rows, id_checksum, n_types FROM one
 def source_federated_union(spark, sf_dir):
     cols = ["event_id", "user_id", "event_type"]
     base = load(spark, sf_dir, "events").select(*cols)
-    root = tempfile.mkdtemp(prefix="federated_")
+    root = scratch_dir("federated_")
     orc_dir = os.path.join(root, "orc")
     jsonl_dir = os.path.join(root, "jsonl")
     base.write.mode("overwrite").orc(orc_dir)

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import register
+from ._util import scratch_dir
 
 _MEDIAN_ORACLE = """
 WITH cents AS (
@@ -96,11 +97,10 @@ GROUP BY event_type
 
 @register("streaming_state_reader", _STATE_ORACLE)
 def streaming_state_reader(spark, sf_dir):
-    import tempfile
 
     from ..streaming.events import _event_stream, _with_event_time
 
-    ckpt = tempfile.mkdtemp(prefix="state_reader_ckpt_")
+    ckpt = scratch_dir("state_reader_ckpt_")
     ev = _with_event_time(_event_stream(spark, sf_dir))
     agg = (
         ev.withWatermark("ts", "1 hour")

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import register
+from ._util import scratch_dir
 
 _HOURLY_ORACLE = """
 SELECT
@@ -52,12 +53,18 @@ def streaming_static_enrich_drain(spark, sf_dir):
     whole event stream through (O(N) output rows), and a memory sink
     funnels all of it through the driver single-threaded — 10/11 s at
     the sf1 probe, an OOM at the next decade. Files are written
-    executor-side in parallel and read back for the comparison."""
-    import tempfile
+    executor-side in parallel and read back for the comparison.
 
+    The sink directory comes from ``scratch_dir`` (bounded lifetime:
+    per-process root, removed atexit, dead roots swept by the next
+    process) — a bare mkdtemp per run left the full enriched corpus
+    plus checkpoint behind every harness/bench invocation, unbounded
+    /tmp growth at sf1. The returned DataFrame reads lazily from the
+    path, so cleanup cannot happen before the caller collects —
+    bounding, not immediate deletion, is the contract."""
     from ..streaming import stream_enrich_static_dim
 
-    out = tempfile.mkdtemp(prefix="enrich_drain_")
+    out = scratch_dir("enrich_drain_")
     q = stream_enrich_static_dim(
         spark, sf_dir, query_name="harness_enrich_drain", output_dir=out
     )
@@ -125,7 +132,6 @@ def streaming_dsv2_replay_drain(spark, sf_dir):
     the drain loops processAllAvailable until the source stops
     advancing.
     """
-    import tempfile
 
     from ..sources.events_stream_datasource import register_events_replay
 
@@ -166,7 +172,7 @@ def streaming_dsv2_replay_drain(spark, sf_dir):
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dsv2_replay_ckpt_"))
+        .option("checkpointLocation", scratch_dir("dsv2_replay_ckpt_"))
         .start()
     )
     try:

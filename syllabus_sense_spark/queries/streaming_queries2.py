@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import register
+from ._util import scratch_dir
 
 _SS_JOIN_ORACLE = """
 SELECT v.event_id AS view_id,
@@ -37,7 +38,6 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 
 @register("streaming_interval_join_drain", _SS_JOIN_ORACLE)
 def streaming_interval_join_drain(spark, sf_dir):
-    import tempfile
 
     from ..streaming.events import _event_stream, _with_event_time
 
@@ -78,7 +78,7 @@ def streaming_interval_join_drain(spark, sf_dir):
         .outputMode("append")
         .trigger(availableNow=True)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="ss_join_ckpt_")
+            "checkpointLocation", scratch_dir("ss_join_ckpt_")
         )
         .start()
     )
@@ -136,7 +136,6 @@ def streaming_foreachbatch_sink_drain(spark, sf_dir):
     tests/test_exactly_once.py; here the committed steady state is
     hash-checked against the batch table).
     """
-    import tempfile
 
     from ..streaming.events import _event_stream, _with_event_time
     from ..streaming.exactly_once import (
@@ -144,15 +143,15 @@ def streaming_foreachbatch_sink_drain(spark, sf_dir):
         read_exactly_once_output,
     )
 
-    out = tempfile.mkdtemp(prefix="fb_sink_out_")
-    ledger = tempfile.mkdtemp(prefix="fb_sink_ledger_")
+    out = scratch_dir("fb_sink_out_")
+    ledger = scratch_dir("fb_sink_ledger_")
     ev = _with_event_time(_event_stream(spark, sf_dir)).select(
         "event_id", "user_id", "event_type", "ts"
     )
     q = (
         ev.writeStream.foreachBatch(idempotent_batch_writer(out, ledger))
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="fb_sink_ckpt_"))
+        .option("checkpointLocation", scratch_dir("fb_sink_ckpt_"))
         .start()
     )
     assert q.awaitTermination(600), "availableNow stream drain timed out"

@@ -13,11 +13,11 @@ unit-exercised in tests/test_jsonl_stream_sink.py).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 
 from . import register
+from ._util import scratch_dir
 
 _PYDS_STREAM_ORACLE = """
 SELECT event_id, user_id, event_type FROM events
@@ -30,7 +30,7 @@ def streaming_pyds_jsonl_sink_drain(spark, sf_dir):
     from ..streaming.events import _event_stream
 
     register_jsonl_sink(spark)
-    out = tempfile.mkdtemp(prefix="pyds_stream_out_")
+    out = scratch_dir("pyds_stream_out_")
     ev = _event_stream(spark, sf_dir).select(
         "event_id", "user_id", "event_type"
     )
@@ -38,7 +38,7 @@ def streaming_pyds_jsonl_sink_drain(spark, sf_dir):
         ev.writeStream.format("jsonl_sink")
         .option("path", out)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="pyds_stream_ckpt_")
+            "checkpointLocation", scratch_dir("pyds_stream_ckpt_")
         )
         .trigger(availableNow=True)
         .start()

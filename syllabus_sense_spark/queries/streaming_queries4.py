@@ -15,13 +15,12 @@ end-to-end (the streaming twin of `sink_upsert_cdc`).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import epoch_us
+from ._util import epoch_us, scratch_dir
 
 _UPSERT_LATEST_ORACLE = """
 WITH ranked AS (
@@ -44,7 +43,7 @@ def streaming_upsert_latest_drain(spark, sf_dir):
     from ..sinks.upsert import upsert_versioned
     from ..streaming.events import _event_stream
 
-    table = os.path.join(tempfile.mkdtemp(prefix="upsert_lww_"), "latest")
+    table = os.path.join(scratch_dir("upsert_lww_"), "latest")
 
     def apply_batch(batch_df, batch_id):
         changes = batch_df.select(
@@ -69,7 +68,7 @@ def streaming_upsert_latest_drain(spark, sf_dir):
         _event_stream(spark, sf_dir)
         .writeStream.foreachBatch(apply_batch)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="upsert_lww_ckpt_")
+            "checkpointLocation", scratch_dir("upsert_lww_ckpt_")
         )
         .trigger(availableNow=True)
         .start()

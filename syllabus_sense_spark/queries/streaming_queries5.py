@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import register
+from ._util import scratch_dir
 
 _OUTER_JOIN_ORACLE = """
 WITH v AS (
@@ -71,7 +72,6 @@ WHERE NOT EXISTS (
 
 @register("streaming_outer_join_drain", _OUTER_JOIN_ORACLE)
 def streaming_outer_join_drain(spark, sf_dir):
-    import tempfile
 
     from ..streaming.events import _event_stream, _with_event_time
 
@@ -113,7 +113,7 @@ def streaming_outer_join_drain(spark, sf_dir):
         .outputMode("append")
         .trigger(availableNow=True)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="ss_ojoin_ckpt_")
+            "checkpointLocation", scratch_dir("ss_ojoin_ckpt_")
         )
         .start()
     )
@@ -176,7 +176,6 @@ def streaming_full_outer_join_drain(spark, sf_dir):
     the matched pairs, so the hash certifies the engine's two-sided
     emission timing. State stays range-bounded on both sides —
     production-safe at any stream length."""
-    import tempfile
 
     from ..streaming.events import _event_stream, _with_event_time
 
@@ -224,7 +223,7 @@ def streaming_full_outer_join_drain(spark, sf_dir):
         .outputMode("append")
         .trigger(availableNow=True)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="ss_fojoin_ckpt_")
+            "checkpointLocation", scratch_dir("ss_fojoin_ckpt_")
         )
         .start()
     )

@@ -106,7 +106,8 @@ class JsonlSinkWriter(DataSourceWriter):
         # not a delete, so every crash state stays recoverable:
         #   - crash mid-retire / before publish: the directory can
         #     read as EMPTY, but every old shard survives as
-        #     ``.retired-<name>`` and the new data as ``.tmp-*``;
+        #     ``.retired-<commit>-<name>`` and the new data as
+        #     ``.tmp-*``;
         #   - crash mid-publish: partial new output is visible; the
         #     rest of the new data is still in ``.tmp-*``, the old
         #     generation in ``.retired-*``.
@@ -115,14 +116,28 @@ class JsonlSinkWriter(DataSourceWriter):
         self._commit_started = True
         retired_this_run: list[str] = []
         if self.overwrite:
+            # The retired name carries a PER-COMMIT token: a plain
+            # ``.retired-<name>`` would collide with (and silently
+            # clobber via os.rename, then delete as this run's own)
+            # the preserved crash state of an earlier overwrite whose
+            # shard names repeat — exactly the state the
+            # only-delete-what-you-retired policy below exists to keep.
+            commit_token = uuid.uuid4().hex
             incoming = {m.final_name for m in messages if m is not None}
             for name in os.listdir(self.path):
+                # visible shards only: a hidden ``.retired-*.jsonl``
+                # is some earlier crash's preserved state, never this
+                # commit's to retire (and re-retiring it would queue
+                # it for deletion below).
+                if name.startswith("."):
+                    continue
                 if name.endswith(".jsonl") and name not in incoming:
+                    retired = f".retired-{commit_token}-{name}"
                     os.rename(
                         os.path.join(self.path, name),
-                        os.path.join(self.path, f".retired-{name}"),
+                        os.path.join(self.path, retired),
                     )
-                    retired_this_run.append(f".retired-{name}")
+                    retired_this_run.append(retired)
         for m in messages:
             if m is None:
                 continue

@@ -120,9 +120,15 @@ def test_overwrite_crash_mid_commit_never_mixes_old_and_new():
     hidden = sorted(n for n in os.listdir(tmp) if n.startswith("."))
     # abort after a partial publish preserves the crash state: the old
     # generation and the unpublished new shard are both recoverable
-    assert ".retired-part-old-aaaa.jsonl" in hidden
+    # (retired names carry a per-commit token)
+    retired = [
+        n
+        for n in hidden
+        if n.startswith(".retired-") and n.endswith("-part-old-aaaa.jsonl")
+    ]
+    assert len(retired) == 1
     assert ".tmp-new3" in hidden
-    with open(os.path.join(tmp, ".retired-part-old-aaaa.jsonl")) as f:
+    with open(os.path.join(tmp, retired[0])) as f:
         assert json.loads(f.read())["id"] == -1
 
 
@@ -156,6 +162,44 @@ def test_overwrite_retires_stale_shards(spark):
             with open(os.path.join(tmp, n)) as f:
                 rows += [json.loads(line) for line in f]
     assert sorted(r["id"] for r in rows) == [100, 101, 102]
+
+
+def test_overwrite_commit_preserves_colliding_foreign_crash_state():
+    """An overwrite commit retiring a shard whose NAME repeats across
+    generations must not clobber an earlier crashed overwrite's
+    preserved crash state for that same name: retired names carry a
+    per-commit token, so the foreign ``.retired-*`` file survives both
+    the rename and this commit's own retired-file deletion."""
+    from syllabus_sense_spark.sources.jsonl_datasource import (
+        JsonlCommitMessage,
+        JsonlSinkWriter,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="jsonl_sink_fc_")
+    # earlier crashed overwrite's preserved state for the SAME shard name
+    foreign = ".retired-deadbeef-part-00000-gen1.jsonl"
+    with open(os.path.join(tmp, foreign), "w") as f:
+        f.write('{"id": -3}\n')
+    # the current visible generation, same shard name as gen1
+    with open(os.path.join(tmp, "part-00000-gen1.jsonl"), "w") as f:
+        f.write('{"id": -2}\n')
+    with open(os.path.join(tmp, ".tmp-g2"), "w") as f:
+        f.write('{"id": 2}\n')
+
+    class _Schema:
+        @staticmethod
+        def fieldNames():
+            return ["id"]
+
+    w = JsonlSinkWriter({"path": tmp}, _Schema(), overwrite=True)
+    w.commit([JsonlCommitMessage(".tmp-g2", "part-00000-gen2.jsonl")])
+    names = os.listdir(tmp)
+    assert foreign in names, "foreign crash state clobbered by overwrite"
+    with open(os.path.join(tmp, foreign)) as f:
+        assert json.loads(f.read())["id"] == -3
+    assert sorted(n for n in names if not n.startswith(".")) == [
+        "part-00000-gen2.jsonl"
+    ]
 
 
 def test_append_commit_preserves_foreign_crash_state():

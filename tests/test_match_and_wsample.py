@@ -83,6 +83,74 @@ def test_fuzzy_match_equals_python_reference(parts):
     assert got == want
 
 
+@settings(
+    max_examples=4, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(parts=_names)
+def test_capped_tier_equals_exact_below_guarantee_radius(parts):
+    """Blocks smaller than CAP/2 are entirely inside the sorted-
+    neighborhood guarantee radius, so the capped tier must emit
+    exactly the exact tier's pairs (the gate-scale identity the
+    oracle pin relies on)."""
+    from syllabus_sense_spark.queries.ext_match import (
+        match_fuzzy_parts,
+        match_fuzzy_parts_capped,
+    )
+
+    spark = _spark()
+    rows = [
+        (i + 1, brand, " ".join(ws)) for i, (brand, ws) in enumerate(parts)
+    ]
+    with tempfile.TemporaryDirectory(prefix="sfmatchcap_") as tmp:
+        pd.DataFrame(
+            rows, columns=["p_partkey", "p_brand", "p_name"]
+        ).to_parquet(os.path.join(tmp, "part.parquet"), index=False)
+        exact = Counter(
+            tuple(r) for r in match_fuzzy_parts(spark, tmp).collect()
+        )
+        capped = Counter(
+            tuple(r) for r in match_fuzzy_parts_capped(spark, tmp).collect()
+        )
+    assert capped == exact
+
+
+def test_capped_tier_pigeonhole_guarantee(tmp_path):
+    """On a block far above the cap (150 rows, CAP=64): the capped
+    tier emits (a) a SUBSET of the exact pairs, with no duplicates,
+    (b) EVERY pair within CAP/2 sorted positions (the two overlapping
+    chunkings cannot both cut an interval of rank length <= CAP/2),
+    and (c) no pair further than CAP-1 positions apart (chunk width).
+    Names are constructed so every pair verifies (digit suffixes
+    differ in <= 3 positions) and rank order equals numeric order."""
+    from syllabus_sense_spark.queries.ext_match import (
+        _CAP,
+        _HALF,
+        match_fuzzy_parts_capped,
+    )
+
+    spark = _spark()
+    n = 150
+    rows = [(i + 1, "BrandX", f"word {i:03d}") for i in range(n)]
+    pd.DataFrame(
+        rows, columns=["p_partkey", "p_brand", "p_name"]
+    ).to_parquet(os.path.join(tmp_path, "part.parquet"), index=False)
+    got = [
+        (r.a_partkey, r.b_partkey)
+        for r in match_fuzzy_parts_capped(spark, str(tmp_path)).collect()
+    ]
+    assert len(got) == len(set(got)), "structural dedup must emit each pair once"
+    pairs = set(got)
+    # rank == p_partkey - 1 by construction
+    for a, b in pairs:
+        assert 1 <= abs(b - a) <= _CAP - 1
+    for i in range(1, n + 1):
+        for j in range(i + 1, min(i + _HALF, n) + 1):
+            assert (i, j) in pairs, (
+                f"pair ({i},{j}) is {j - i} <= CAP/2={_HALF} sorted "
+                "positions apart and must be co-chunked in one scheme"
+            )
+
+
 def test_weighted_sample_laws(tmp_path):
     from syllabus_sense_spark.queries.ext_match import sample_weighted_bernoulli
 

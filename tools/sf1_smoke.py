@@ -81,14 +81,21 @@ def main() -> int:
             failed += 1
         print(f"{status} {name}: {sec:.1f}s (budget {budget:.1f}s)")
     if args.rebudget:
-        json.dump(
-            {n: round(3 * s, 1) for n, s in measured.items()},
-            open(BUDGETS, "w"),
-            indent=2,
-            sort_keys=True,
-        )
+        # A query that ERRORED during the rebudget run must not be
+        # silently dropped from the budget file (it would disappear
+        # from future smoke coverage): keep its old budget, warn, and
+        # fail the rebudget so the error gets fixed first.
+        new_budgets = {n: round(3 * s, 1) for n, s in measured.items()}
+        errored = [n for n in budgets if n not in measured]
+        for n in errored:
+            print(
+                f"WARN {n}: errored during rebudget — keeping old "
+                f"budget {budgets[n]:.1f}s"
+            )
+            new_budgets[n] = budgets[n]
+        json.dump(new_budgets, open(BUDGETS, "w"), indent=2, sort_keys=True)
         print(f"budgets rewritten to 3x measured -> {BUDGETS}")
-        return 0
+        return 1 if errored else 0
     print(f"{len(budgets) - failed}/{len(budgets)} within budget")
     return 1 if failed else 0
 

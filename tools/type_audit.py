@@ -27,7 +27,19 @@ while genuinely unproven widenings (HUGEINT) keep flagging — no
 width-class normalization that could silently bless the exact bug
 class the audit exists to catch.
 
-Usage: python tools/type_audit.py [sf_dir]   # exits 1 if flagged
+Usage: python tools/type_audit.py [sf_dir] [--update]
+Exits 1 if flagged.
+
+``--update`` refreshes the green-time source-hash ledger
+(tools/green_src_hashes.json). Run it ONCE at round start — right
+after new CORRECTNESS evidence lands and BEFORE any source edit — so
+the recorded fingerprint is the one the driver actually checked.
+Without the flag the audit is read-only: fresh green rows whose
+fingerprint isn't in the ledger yet are reported but NOT trusted for
+calibration, and the committed ledger is never dirtied as a side
+effect of a mid-round audit (which would otherwise bless a stale
+green: by mid-round the current source may already differ from what
+the driver hashed).
 """
 
 from __future__ import annotations
@@ -104,39 +116,57 @@ def _src_hash(q, name: str) -> str:
     ).hexdigest()[:16]
 
 
-def _green_ledger(q, green: dict[str, int], force: set[str]) -> set[str]:
+def _green_ledger(
+    q, green: dict[str, int], force: set[str], update: bool
+) -> set[str]:
     """Names whose green row is proven CURRENT: the query source at
     green-observation time equals the source now.
 
     The ledger (tools/green_src_hashes.json, committed) records each
-    name's source fingerprint the first time an audit runs after its
-    latest green round — audits run at round start, before any edit,
+    name's source fingerprint via an EXPLICIT ``--update`` run at
+    round start — after new driver evidence lands, before any edit —
     so the recorded hash is the hash the driver actually checked.
     A query edited later WITHOUT a force-recheck listing then simply
     stops matching its ledger entry and drops out of calibration,
     closing the hole where an unlisted stale green could bless an
-    unproven type pair audit-wide. (The fingerprint covers the
-    registered function body + oracle SQL, not helpers it calls —
-    helper edits remain the force-recheck policy's job; output types
-    are almost always decided in the function body anyway.)"""
+    unproven type pair audit-wide. Read-only runs never write the
+    ledger: a mid-round implicit refresh would fingerprint the
+    CURRENT (possibly already-edited) source as green-time state —
+    the exact blessing of a stale green this mechanism exists to
+    prevent — and would dirty the committed file as a side effect.
+    (The fingerprint covers the registered function body + oracle
+    SQL, not helpers it calls — helper edits remain the force-recheck
+    policy's job; output types are almost always decided in the
+    function body anyway.)"""
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(here, "tools", "green_src_hashes.json")
     try:
         ledger: dict[str, dict] = json.load(open(path))
-    except Exception:  # noqa: BLE001 — first run bootstraps the ledger
-        ledger = {}
+    except Exception:  # noqa: BLE001 — missing/corrupt ledger: empty,
+        ledger = {}  # repopulated only by an explicit --update run
+    stale_entries = 0
     changed = False
     for name, rnd in green.items():
         if name not in q.QUERIES or name in force:
             continue  # stale by policy — record only after the re-green
         ent = ledger.get(name)
         if ent is None or ent.get("round", -1) < rnd:
-            ledger[name] = {"round": rnd, "src": _src_hash(q, name)}
-            changed = True
+            if update:
+                ledger[name] = {"round": rnd, "src": _src_hash(q, name)}
+                changed = True
+            else:
+                stale_entries += 1
     if changed:
         with open(path, "w") as f:
             json.dump(ledger, f, indent=0, sort_keys=True)
             f.write("\n")
+        print(f"ledger updated -> {path}")
+    elif stale_entries:
+        print(
+            f"NOTE {stale_entries} fresh green row(s) not in the ledger — "
+            "not calibrated this run; record them with --update at round "
+            "start (before edits)"
+        )
     return {
         name
         for name, rnd in green.items()
@@ -154,7 +184,9 @@ def main() -> int:
     from syllabus_sense_spark.session import get_spark
     from syllabus_sense_spark.tables import TABLE_NAMES
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = [a for a in sys.argv[1:] if a != "--update"]
+    update = "--update" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     q.load_all_queries()
     spark = get_spark("type-audit")
     con = duckdb.connect()
@@ -189,7 +221,7 @@ def main() -> int:
     # now, so an edit the policy missed still drops the query from
     # calibration).
     force = set(q._FORCE_RECHECK)
-    green = _green_ledger(q, _driver_hash_green(), force) - force
+    green = _green_ledger(q, _driver_hash_green(), force, update) - force
     calibrated = {
         (d.upper(), s.lower())
         for name in pairs
