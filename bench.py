@@ -91,6 +91,11 @@ HEADLINE = [
     "events_asof_next_order",
     "events_asof_nearest_order",
     "events_sessionize_dynamic_gap",
+    # round-11 addition: the scale-safe fuzzy-match tier (sorted-
+    # neighborhood block splitting) — new operator, needs a trendline
+    # next to its exact twin match_fuzzy_parts (kept out of the
+    # headline: 20x/decade by design, budget-guarded in sf1_smoke)
+    "match_fuzzy_parts_capped",
 ]
 
 # Reported alongside but EXCLUDED from the headline total: availableNow

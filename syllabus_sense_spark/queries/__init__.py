@@ -57,6 +57,12 @@ _FORCE_RECHECK: list[str] = [
     # (results identical at the gate SFs — the guards are inert on the
     # real data — rows re-earned by policy):
     "ml_eval_retrieval_mrr",  # zero-norm guard in query + oracle
+    # round-11 drain fix (state-store partition count sized to input;
+    # row sets identical — stability audit covers partition-count
+    # invariance — rows re-earned by policy):
+    "streaming_interval_join_drain",
+    "streaming_outer_join_drain",
+    "streaming_full_outer_join_drain",
 ]
 
 _NEW_THIS_ROUND: list[str] = [
@@ -70,6 +76,11 @@ _NEW_THIS_ROUND: list[str] = [
     # the DuckDB oracle. The last operator whose 100 TB path was
     # documentation instead of a driver row.
     "match_fuzzy_parts_capped",
+    # round-11 companion: entity canonicalization over the capped
+    # pairs (components -> min-partkey representative + cluster size)
+    # — the linear-output consumer the capped tier's SCALE.md posture
+    # names as the production shape when match density is quadratic.
+    "match_entity_canonical",
 ]
 
 

@@ -266,6 +266,57 @@ def match_fuzzy_parts_capped(spark, sf_dir):
     )
 
 
+_CANON_ORACLE = f"""
+WITH RECURSIVE dups AS ({_FUZZY_CAPPED_ORACLE}),
+edges AS (
+  SELECT a_partkey AS src, b_partkey AS dst FROM dups
+  UNION
+  SELECT b_partkey AS src, a_partkey AS dst FROM dups
+),
+reach(src, dst) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+comp AS (SELECT src AS p_partkey, MIN(dst) AS canon_partkey
+         FROM reach GROUP BY src)
+SELECT p_partkey, canon_partkey,
+       CAST(COUNT(*) OVER (PARTITION BY canon_partkey) AS BIGINT)
+         AS cluster_size
+FROM comp
+"""
+
+
+@register("match_entity_canonical", _CANON_ORACLE)
+def match_entity_canonical(spark, sf_dir):
+    """Entity canonicalization — the step after pair finding in a
+    production ER pipeline, and the RIGHT consumer of the capped tier
+    at scale: when match density is high (whole blocks of mutual
+    near-duplicates — exactly where the exact tier's quadratic pair
+    list explodes), downstream systems want one canonical key per
+    entity cluster, not the pair enumeration. Connected components
+    (min-label propagation, the dedup_components loop — per-round one
+    equi-join + min-agg, localCheckpoint-truncated lineage) over the
+    capped fuzzy pairs, keyed to the smallest partkey per cluster,
+    with the cluster size alongside. Output is one row per MATCHED
+    part (linear), whatever the pair count was. Oracle: recursive
+    transitive closure over the identical capped pair list."""
+    from .ext_graph import connected_components
+
+    edges = match_fuzzy_parts_capped(spark, sf_dir).select(
+        F.col("a_partkey").alias("doc_a"),
+        F.col("b_partkey").alias("doc_b"),
+    )
+    comp = connected_components(edges)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canon_partkey")
+    return comp.select(
+        F.col("doc_id").alias("p_partkey"),
+        F.col("component_id").alias("canon_partkey"),
+    ).withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+
+
 _WS_SEED = "ws:"
 _WS_MOD = 100_000
 _WS_CAP = 600

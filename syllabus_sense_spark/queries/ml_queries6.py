@@ -42,6 +42,34 @@ from .ext_similarity import _SQL_COSINE, _dot_unrolled, _norm
 
 _K = 5
 
+
+def _sq_sum(col: str):
+    """Squared norm as a compact fold — the ZERO-NORM GUARD expression.
+
+    Why not ``_norm(col) > 0`` (the unrolled 64-term tree): a Filter
+    predicate is pushed into the scan stage by substituting the alias,
+    so the giant unrolled expression lands in the generated code
+    twice over — measured ~17 s of Janino COMPILE time for the scan
+    stage at every fresh plan (bench/harness runs construct the plan
+    per iteration, so this is paid per run; the query itself went
+    7.7 s → 26 s warm at sf1 before this was caught). ``F.aggregate``
+    generates a loop instead of an inlined tree: compile time is back
+    to normal and the guard costs one 64-iteration fold per ROW (not
+    per pair).
+
+    Semantics match the oracle's ``list_dot_product(v, v) > 0``
+    exactly, NaN included (a NaN element → NaN sum → ``NaN > 0`` is
+    false in both engines → dropped). The guard exists because sim is
+    NaN for a zero-norm vector, and NaN ordering is where the
+    two-aggregate rank rewrite diverges from the old row_number form
+    (DESC sort ranks NaN first; min(struct) avoids NaN and the
+    strictly-ahead count treats NaN rows as behind) — excluding
+    un-normalizable vectors makes the metric well-defined and the
+    rewrite exact."""
+    return F.aggregate(
+        F.col(col), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+
 _MRR_ORACLE = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
            WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
@@ -86,14 +114,7 @@ def ml_eval_retrieval_mrr(spark, sf_dir):
             F.col("embedding").cast("array<double>").alias("qv"),
         )
         .withColumn("qn", _norm("qv"))
-        # Zero-norm guard (both engines, mirrored in the oracle's `e`
-        # CTE): sim = dot/(qn*cn) is NaN for a zero vector, and NaN
-        # ordering is where the two-aggregate rank rewrite below and
-        # the old row_number form diverge (DESC sort ranks NaN first;
-        # min(struct) avoids NaN and the strictly-ahead count treats
-        # NaN rows as behind). Excluding un-normalizable vectors makes
-        # the metric well-defined and the rewrite exact.
-        .filter(F.col("qn") > 0)
+        .filter(_sq_sum("qv") > 0)
     )
     # Candidate-side fan-out + narrow pre-window projection (the
     # exact-scorer rules from ext_similarity.py); the norm
@@ -103,7 +124,7 @@ def ml_eval_retrieval_mrr(spark, sf_dir):
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("nlabel"),
         F.col("embedding").cast("array<double>").alias("cv"),
-    ).withColumn("cn", _norm("cv")).filter(F.col("cn") > 0).repartition(
+    ).withColumn("cn", _norm("cv")).filter(_sq_sum("cv") > 0).repartition(
         spark.sparkContext.defaultParallelism
     )
     scored = c.join(

@@ -39,7 +39,11 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 @register("streaming_interval_join_drain", _SS_JOIN_ORACLE)
 def streaming_interval_join_drain(spark, sf_dir):
 
-    from ..streaming.events import _event_stream, _with_event_time
+    from ..streaming.events import (
+        _event_stream,
+        _with_event_time,
+        state_partitions,
+    )
 
     views = (
         _with_event_time(_event_stream(spark, sf_dir))
@@ -72,17 +76,20 @@ def streaming_interval_join_drain(spark, sf_dir):
         ),
     ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
     name = "harness_interval_join_drain"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", scratch_dir("ss_join_ckpt_")
+    # state-store partition count sized to the input (see
+    # streaming/events.state_partitions)
+    with state_partitions(spark, sf_dir):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", scratch_dir("ss_join_ckpt_")
+            )
+            .start()
         )
-        .start()
-    )
-    assert q.awaitTermination(600), "availableNow stream drain timed out"
+        assert q.awaitTermination(600), "availableNow stream drain timed out"
     return spark.sql(f"SELECT * FROM {name}")
 
 

@@ -73,7 +73,11 @@ WHERE NOT EXISTS (
 @register("streaming_outer_join_drain", _OUTER_JOIN_ORACLE)
 def streaming_outer_join_drain(spark, sf_dir):
 
-    from ..streaming.events import _event_stream, _with_event_time
+    from ..streaming.events import (
+        _event_stream,
+        _with_event_time,
+        state_partitions,
+    )
 
     views = (
         _with_event_time(_event_stream(spark, sf_dir))
@@ -107,17 +111,21 @@ def streaming_outer_join_drain(spark, sf_dir):
         "left_outer",
     ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
     name = "harness_outer_join_drain"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", scratch_dir("ss_ojoin_ckpt_")
+    # state-store partition count sized to the input (see
+    # streaming/events.state_partitions): per-partition store commits,
+    # not row work, dominated this drain at 32 partitions
+    with state_partitions(spark, sf_dir):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", scratch_dir("ss_ojoin_ckpt_")
+            )
+            .start()
         )
-        .start()
-    )
-    assert q.awaitTermination(600), "availableNow stream drain timed out"
+        assert q.awaitTermination(600), "availableNow stream drain timed out"
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -177,7 +185,11 @@ def streaming_full_outer_join_drain(spark, sf_dir):
     emission timing. State stays range-bounded on both sides —
     production-safe at any stream length."""
 
-    from ..streaming.events import _event_stream, _with_event_time
+    from ..streaming.events import (
+        _event_stream,
+        _with_event_time,
+        state_partitions,
+    )
 
     views = (
         _with_event_time(_event_stream(spark, sf_dir))
@@ -217,17 +229,18 @@ def streaming_full_outer_join_drain(spark, sf_dir):
         "purchase_ts",
     )
     name = "harness_full_outer_join_drain"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", scratch_dir("ss_fojoin_ckpt_")
+    with state_partitions(spark, sf_dir):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", scratch_dir("ss_fojoin_ckpt_")
+            )
+            .start()
         )
-        .start()
-    )
-    assert q.awaitTermination(600), "availableNow stream drain timed out"
+        assert q.awaitTermination(600), "availableNow stream drain timed out"
     return spark.sql(f"SELECT * FROM {name}")
 
 

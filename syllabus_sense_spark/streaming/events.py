@@ -63,6 +63,48 @@ def _event_stream(spark: SparkSession, sf_dir: str):
     return raw
 
 
+def state_partitions(spark: SparkSession, sf_dir: str):
+    """Context manager sizing ``spark.sql.shuffle.partitions`` — which
+    pins a NEW stream's state-store partition count at checkpoint
+    creation — to the input volume, then restoring the session value.
+
+    The stateful drains inherited the batch default (32), but a
+    stream-stream join runs 4 state stores per partition and every
+    micro-batch commits each one: at the sf1 probe the 128 store
+    commits per batch, not row work, dominated (full-outer drain:
+    6.2 s at 32 partitions, 3.4 s at 16, 2.6 s at 8 — same output).
+    Sizing by rows keeps both regimes honest: small drains stop
+    paying fixed commit cost for empty partitions, and a 100 TB
+    stream gets MORE partitions, not fewer (the cap is generous; at
+    ~250k state rows per partition each store stays comfortably in
+    executor memory). Only the streaming query planned inside the
+    ``with`` block is affected — batch queries read the conf at their
+    own execution time, and the session value is restored on exit.
+    """
+    import contextlib
+
+    import pyarrow.parquet as pq
+
+    @contextlib.contextmanager
+    def _cm():
+        key = "spark.sql.shuffle.partitions"
+        old = spark.conf.get(key)
+        try:
+            total = pq.ParquetFile(
+                f"{sf_dir}/events.parquet"
+            ).metadata.num_rows
+        except Exception:  # noqa: BLE001 — unknown size: keep session value
+            total = 0
+        if total:
+            spark.conf.set(key, str(max(8, min(256, total // 250_000))))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return _cm()
+
+
 def _with_event_time(df, col: str = "ts"):
     """Project the NTZ event-time column to TIMESTAMP (LTZ) at the
     watermark boundary: Spark's event-time machinery (withWatermark,

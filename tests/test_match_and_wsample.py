@@ -151,6 +151,60 @@ def test_capped_tier_pigeonhole_guarantee(tmp_path):
             )
 
 
+@settings(
+    max_examples=4, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(parts=_names)
+def test_entity_canonical_equals_union_find(parts):
+    """match_entity_canonical equals a from-scratch union-find over
+    the capped tier's own pairs: canonical key = min partkey per
+    component, cluster_size = component size, one row per matched
+    part."""
+    from syllabus_sense_spark.queries.ext_match import (
+        match_entity_canonical,
+        match_fuzzy_parts_capped,
+    )
+
+    spark = _spark()
+    rows = [
+        (i + 1, brand, " ".join(ws)) for i, (brand, ws) in enumerate(parts)
+    ]
+    with tempfile.TemporaryDirectory(prefix="sfmatchcanon_") as tmp:
+        pd.DataFrame(
+            rows, columns=["p_partkey", "p_brand", "p_name"]
+        ).to_parquet(os.path.join(tmp, "part.parquet"), index=False)
+        pairs = [
+            (r.a_partkey, r.b_partkey)
+            for r in match_fuzzy_parts_capped(spark, tmp).collect()
+        ]
+        got = {
+            r.p_partkey: (r.canon_partkey, r.cluster_size)
+            for r in match_entity_canonical(spark, tmp).collect()
+        }
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for node in parent:
+        comps.setdefault(find(node), []).append(node)
+    want = {
+        n: (root, len(members))
+        for root, members in comps.items()
+        for n in members
+    }
+    assert got == want
+
+
 def test_weighted_sample_laws(tmp_path):
     from syllabus_sense_spark.queries.ext_match import sample_weighted_bernoulli
 
