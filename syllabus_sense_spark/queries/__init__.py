@@ -63,6 +63,17 @@ _FORCE_RECHECK: list[str] = [
     "streaming_interval_join_drain",
     "streaming_outer_join_drain",
     "streaming_full_outer_join_drain",
+    # round-11 connected_components speedup (pointer jumping +
+    # broadcast label side; converged fixpoint provably identical —
+    # min reachable id — and all three consumers re-verified on the
+    # local gate, rows re-earned by policy):
+    "dedup_components",
+    "dedup_canonical_keep",
+    "dedup_semantic_clusters",
+    # round-11 sweep fixes (shared-subtree materialization; results
+    # identical, local gate green):
+    "quality_unigram_lm_score",  # token table feeds two consumers
+    "text_tfidf_top_term",  # df derived from materialized tf
 ]
 
 _NEW_THIS_ROUND: list[str] = [

@@ -33,7 +33,9 @@ from .ext_dedup import (
 )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, dedup_edges: bool = True
+) -> DataFrame:
     """Min-label propagation over an undirected edge list
     ``(doc_a, doc_b)`` → ``(doc_id, component_id)`` where
     ``component_id`` is the smallest doc_id reachable from ``doc_id``.
@@ -41,6 +43,22 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     Runs Spark jobs while building (the convergence test is an
     action); returns the converged label table, localCheckpoint-ed so
     downstream consumers see a flat plan.
+
+    Each round does neighbor-min propagation AND pointer jumping
+    (label := label of my label): plain propagation moves the min one
+    HOP per round, so a path-shaped component of diameter d needs d
+    rounds — the sorted-neighborhood match graph (stride ≤ CAP-1
+    within 1000-row blocks at sf1) measured ~16 rounds / 20+ s before
+    the shortcut. Pointer jumping halves the remaining distance each
+    round (O(log d) total) and runs over the LABEL table only (one
+    row per node — a small self-join next to the edge join), the
+    Shiloach-Vishkin/GraphFrames recipe. The converged fixpoint (min
+    reachable id) is identical either way.
+
+    ``dedup_edges=False`` skips the union-distinct exchange for
+    callers whose pair list is unique-by-construction (every match
+    query emits ``a < b`` pairs exactly once); duplicates would only
+    inflate join input, never change the fixpoint.
     """
     # Materialize the edge input ONCE before deriving both directions:
     # the union's two branches each contain the caller's (possibly
@@ -49,7 +67,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     edges = edges.localCheckpoint()
     fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    und = fwd.unionByName(rev).distinct().localCheckpoint()
+    und = fwd.unionByName(rev)
+    if dedup_edges:
+        und = und.distinct()
+    und = und.localCheckpoint()
     labels = (
         und.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -57,10 +78,30 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint()
     )
     for _ in range(max_iter):
+        # Broadcast the LABEL side: labels are one compact row per
+        # node-with-an-edge (checkpointed RDDs carry no stats, so the
+        # auto-broadcast threshold never fires), while the edge table
+        # is the big side — without the hint every iteration re-
+        # shuffles the static 2|E| edge rows for a sort-merge join
+        # (measured: the dominant cost on the sf1 match graph, 15.7M
+        # edges × ~6 rounds). With it, iterations are map-side joins
+        # plus one partial-aggregated min shuffle. At a scale where
+        # the label table outgrows broadcast, this loop's posture
+        # (like the module docstring says) hands off to partition-
+        # aligned pregel — the dup/match graph label table is a small
+        # fraction of the corpus by construction.
         neighbor_min = (
-            und.join(labels, und.dst == labels.doc_id)
+            und.join(F.broadcast(labels), und.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("component_id").alias("nbr_min"))
+        )
+        # Pointer jump: resolve each node's label through its label's
+        # label. component_id always holds a node id that is <= the
+        # node's own id and in its component, so the lookup join hits
+        # every row; least() keeps monotone descent.
+        hop = labels.select(
+            F.col("doc_id").alias("mid"),
+            F.col("component_id").alias("mid_label"),
         )
         # Carry the old label through the update so convergence is a
         # cheap filter-count over the checkpointed result — folding
@@ -68,11 +109,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         # into the iteration's one materialization.
         upd = (
             labels.join(neighbor_min, "doc_id", "left")
+            .join(hop, labels.component_id == hop.mid, "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("component_id"),
                     F.coalesce(F.col("nbr_min"), F.col("component_id")),
+                    F.coalesce(F.col("mid_label"), F.col("component_id")),
                 ).alias("component_id"),
                 F.col("component_id").alias("prev_id"),
             )

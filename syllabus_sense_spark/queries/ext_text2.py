@@ -52,9 +52,23 @@ def text_tfidf_top_term(spark, sf_dir):
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.length("tok") > 0)
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df, "tok").select(
+    # tf is materialized once and df DERIVES from it: tf rows are
+    # distinct (doc, tok) pairs, so count-per-tok over tf IS the
+    # document frequency — deriving it from the raw token table
+    # instead re-ran the scan + explode over every token instance
+    # plus a countDistinct expansion (Catalyst does not CSE across
+    # consumers; the r11 sweep caught this query at 9.5x/decade).
+    # df is vocabulary-sized — broadcast (checkpointed lineage
+    # carries no stats, so the auto-threshold never fires); at a
+    # corpus whose vocabulary outgrows broadcast, drop the hint and
+    # this becomes the standard shuffled tf x idf join.
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "tok").select(
         "doc_id",
         "tok",
         (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),

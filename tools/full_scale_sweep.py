@@ -50,7 +50,16 @@ def main() -> None:
     from syllabus_sense_spark.session import get_spark
 
     q.load_all_queries()
-    names = [n for n in q.QUERIES]
+    # Deterministic NAME order, not registry order: the registry
+    # reorders every round (evidence rotation), and a query's timing
+    # depends on its POSITION in this long single-JVM session
+    # (accumulated caches, memory-sink tables, broadcasts, GC
+    # pressure) — the r11 sweep showed 3-9x inflation on queries whose
+    # position shifted, refuted one by one in isolated sessions.
+    # Fixed order keeps round-over-round sweeps comparable; flagged
+    # outliers must STILL be re-measured in an isolated session before
+    # being believed (SCALE.md round-11 triage protocol).
+    names = sorted(q.QUERIES)
     if args.only:
         keep = set(args.only.split(","))
         names = [n for n in names if n in keep]
