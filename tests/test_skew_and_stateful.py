@@ -131,3 +131,29 @@ def test_transform_with_state_running_stats(spark, sf_dir):
         sn, stotal = streamed[uid]
         assert sn == n
         assert abs(stotal - total) < 1e-6 * max(1.0, abs(total))
+
+
+def test_state_partitions_sizes_by_input_and_restores(spark, sf_dir):
+    """state_partitions pins the stream's state-store partition count
+    to clamp(rows/250k, 8, 256) inside the block and restores the
+    session value on exit — including on error."""
+    from syllabus_sense_spark.streaming.events import state_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with state_partitions(spark, sf_dir):
+        # every harness sf dir is far below 250k*8 events -> floor of 8
+        assert spark.conf.get(key) == "8"
+    assert spark.conf.get(key) == before
+
+    try:
+        with state_partitions(spark, sf_dir):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before, "conf must restore on error"
+
+    # unknown input size: session value left untouched
+    with state_partitions(spark, "/nonexistent/dir"):
+        assert spark.conf.get(key) == before
+    assert spark.conf.get(key) == before
