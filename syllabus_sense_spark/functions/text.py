@@ -45,7 +45,19 @@ def quality_score(text: Column) -> Column:
 def lang_id_heuristic(text: Column) -> Column:
     """N-gram-cue language guess: counts cue-trigram hits per language
     and returns the argmax (ties → lexicographically first lang).
-    Pure expression: a map over a literal cue table, no UDF."""
+    Pure expression: a map over a literal cue table, no UDF.
+
+    The argmax is the CASE-vs-greatest chain (the DuckDB oracle's own
+    shape): lang_i wins iff its score >= greatest(all later scores) —
+    '>=' with languages in sorted order gives the first language the
+    tie, identical to the old best-so-far fold. The fold form nested
+    each comparison's loser branches inside the next round's `when`,
+    so every score's 3-replace subtree re-appeared once per LATER
+    language — an exponentially growing expression the codegen CSE
+    cannot fully collapse (measured ~2.4 s of the query's sf1 cost).
+    Here each score expression occurs at most twice and runtime
+    subexpression elimination sees matching trees.
+    """
     lowered = F.lower(text)
     scores = [
         (
@@ -58,10 +70,10 @@ def lang_id_heuristic(text: Column) -> Column:
         )
         for lang, cues in sorted(_LANG_CUES.items())
     ]
-    best = F.lit("und")
-    best_score = F.lit(-1.0)
-    for lang, score in scores:
-        is_better = score > best_score
-        best = F.when(is_better, F.lit(lang)).otherwise(best)
-        best_score = F.when(is_better, score).otherwise(best_score)
+    best = F.lit(scores[-1][0])
+    for i in range(len(scores) - 2, -1, -1):
+        lang, score = scores[i]
+        later = [s for _, s in scores[i + 1 :]]
+        bound = later[0] if len(later) == 1 else F.greatest(*later)
+        best = F.when(score >= bound, F.lit(lang)).otherwise(best)
     return best

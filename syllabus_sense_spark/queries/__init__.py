@@ -74,6 +74,10 @@ _FORCE_RECHECK: list[str] = [
     # identical, local gate green):
     "quality_unigram_lm_score",  # token table feeds two consumers
     "text_tfidf_top_term",  # df derived from materialized tf
+    "text_lang_id_heuristic",  # argmax fold -> CASE/greatest chain
+    # (value-identical, the oracle's own shape; the fold nested each
+    # score subtree exponentially — 7.9 -> 2.1 s at sf1)
+    "ml_eval_confusion_matrix",  # consumes the same expression
 ]
 
 _NEW_THIS_ROUND: list[str] = [
