@@ -5,6 +5,20 @@ ONE JSON line with per-query wall seconds.
 Each query executes via the `noop` sink — full computation, no
 driver-side collect, so timings reflect engine work (scan + shuffle +
 compute), not result transfer.
+
+Noise protocol (round-11 judge item 4 — four of that round's >1.1×
+"movers" were session-position noise a judge had to refute by hand):
+
+- headliners execute in SORTED-NAME order, not list order, so a
+  query's position in the long single-JVM session (accumulated
+  caches, GC pressure) stays fixed round-over-round;
+- after measuring, any query that moved >1.2× in either direction vs
+  the latest BENCH_r*.json is re-timed in an ISOLATED fresh-process
+  session (the sweep tool's triage, now in the bench itself), and the
+  emitted JSON carries a per-mover verdict — `confirmed_slower` /
+  `confirmed_faster` when the isolated run reproduces the move,
+  `noise` when it does not — so round-over-round deltas no longer
+  need a judge to re-measure.
 """
 
 from __future__ import annotations
@@ -114,6 +128,85 @@ STREAMING_EXTRA = [
 # between rounds at min-of-3; n=5 pins its steady-state minimum.
 EXTRA_ITERS = {"dq_check_orders": 5}
 
+# Movers beyond this ratio (either direction) vs the previous round's
+# bench get an isolated confirmation run; at most this many isolated
+# runs per bench (each pays a fresh JVM), worst movers first.
+MOVER_RATIO = 1.2
+MAX_ISOLATED = 8
+
+
+def _prev_bench_queries() -> dict[str, float]:
+    """Per-query seconds from the latest BENCH_r*.json beside this
+    file (empty when none exists — round 1 or a fresh checkout)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_round, best_path = -1, None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if m and int(m.group(1)) > best_round:
+            best_round, best_path = int(m.group(1)), path
+    if best_path is None:
+        return {}
+    try:
+        data = json.load(open(best_path))
+        return {k: float(v) for k, v in data.get("queries", {}).items()}
+    except Exception:
+        return {}
+
+
+def _time_query(spark, fn, sf_dir: str, n_iters: int) -> float:
+    best = float("inf")
+    for _ in range(n_iters):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def _isolated_one(name: str) -> None:
+    """Child-process mode: fresh session, same warmup + min-of-N
+    discipline, one query, one JSON line."""
+    from syllabus_sense_spark.session import get_spark
+    from syllabus_sense_spark import queries as q
+    from syllabus_sense_spark.tables import TABLE_NAMES, load
+
+    q.load_all_queries()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("syllabus-sense-bench-isolated")
+    for t in TABLE_NAMES:
+        load(spark, sf_dir, t).count()
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    sec = _time_query(
+        spark, q.QUERIES[name], sf_dir, EXTRA_ITERS.get(name, iters)
+    )
+    print(json.dumps({"name": name, "sec": round(sec, 3)}))
+
+
+def _isolated_time(name: str) -> float | None:
+    """Re-time one query in a fresh process (fresh JVM, fresh Python
+    workers, no session history). None on any failure — the caller
+    reports the mover as unconfirmed rather than crashing the bench."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--isolated-one", name],
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return float(json.loads(line)["sec"])
+    except Exception:
+        pass
+    return None
+
 
 def main() -> None:
     from syllabus_sense_spark.session import get_spark
@@ -152,7 +245,10 @@ def main() -> None:
     construct: dict[str, float] = {}
     execute: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    # sorted-name order: position in the session is part of a query's
+    # measured environment; pinning it keeps rounds comparable (see
+    # module docstring / tools/full_scale_sweep.py)
+    for name in sorted(HEADLINE):
         fn = q.QUERIES.get(name)
         if fn is None:
             errors[name] = "not registered"
@@ -199,6 +295,44 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
 
+    # Mover triage: compare against the previous round, confirm real
+    # movers in isolated sessions (parent session stopped first so the
+    # child JVM gets the machine to itself).
+    prev = _prev_bench_queries()
+    movers: dict[str, dict] = {}
+    for name, sec in timings.items():
+        p = prev.get(name)
+        if not p or p <= 0:
+            continue
+        ratio = sec / p
+        if ratio > MOVER_RATIO or ratio < 1 / MOVER_RATIO:
+            movers[name] = {
+                "prev": p,
+                "session": sec,
+                "ratio": round(ratio, 2),
+            }
+    if movers:
+        spark.stop()
+        by_severity = sorted(
+            movers, key=lambda n: abs(1 - movers[n]["ratio"]), reverse=True
+        )
+        for name in by_severity[:MAX_ISOLATED]:
+            iso = _isolated_time(name)
+            m = movers[name]
+            if iso is None:
+                m["verdict"] = "isolated_run_failed"
+                continue
+            m["isolated"] = round(iso, 3)
+            iso_ratio = iso / m["prev"]
+            if iso_ratio > MOVER_RATIO:
+                m["verdict"] = "confirmed_slower"
+            elif iso_ratio < 1 / MOVER_RATIO:
+                m["verdict"] = "confirmed_faster"
+            else:
+                m["verdict"] = "noise"
+        for name in by_severity[MAX_ISOLATED:]:
+            movers[name]["verdict"] = "isolated_skipped_cap"
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -218,7 +352,9 @@ def main() -> None:
                 # iterative operators); compare r4 per-query numbers
                 # accordingly
                 "timing": "min over warm iters of fn()+noop-write",
+                "order": "sorted-name",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"movers_vs_prev_round": movers} if movers else {}),
                 **({"errors": errors} if errors else {}),
             }
         )
@@ -226,4 +362,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--isolated-one":
+        _isolated_one(sys.argv[2])
+    else:
+        main()

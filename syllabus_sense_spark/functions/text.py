@@ -57,6 +57,13 @@ def lang_id_heuristic(text: Column) -> Column:
     cannot fully collapse (measured ~2.4 s of the query's sf1 cost).
     Here each score expression occurs at most twice and runtime
     subexpression elimination sees matching trees.
+
+    NULL text returns the ``'und'`` sentinel (public contract). The
+    CASE chain alone would let NULL fall through every NULL-valued
+    ``>=`` comparison to the base case ('zh', the last sorted lang) —
+    the round-11 advisor flagged exactly that silent behavior change
+    vs the old fold, so the sentinel is restored as an explicit outer
+    guard, mirrored in the DuckDB oracle.
     """
     lowered = F.lower(text)
     scores = [
@@ -76,4 +83,4 @@ def lang_id_heuristic(text: Column) -> Column:
         later = [s for _, s in scores[i + 1 :]]
         bound = later[0] if len(later) == 1 else F.greatest(*later)
         best = F.when(score >= bound, F.lit(lang)).otherwise(best)
-    return best
+    return F.when(text.isNull(), F.lit("und")).otherwise(best)

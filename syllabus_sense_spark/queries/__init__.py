@@ -45,57 +45,33 @@ def register(name: str, oracle: str | None = None):
 # last-green round, so the oldest evidence rotates back into the
 # 50-slot window first and stale green rows get re-confirmed.
 _FORCE_RECHECK: list[str] = [
-    # Round-11 state: PRUNED TO EMPTY. All 31 round-10 force entries
-    # landed latest-green r10 rows (verified against every
-    # CORRECTNESS_r*.json before pruning: 0 names whose most recent
-    # row is not green). With both priority lists drained, the window
-    # falls through to the oldest-green rotation — 76 queries' latest
-    # evidence is r01/r02-vintage (window family, q1/q3/q5, the
-    # scalar/array/map batches) and the ascending last-green tail sort
-    # points the r11 window at exactly those.
-    # round-11 ADVICE closures touching green-rowed query paths
-    # (results identical at the gate SFs — the guards are inert on the
-    # real data — rows re-earned by policy):
-    "ml_eval_retrieval_mrr",  # zero-norm guard in query + oracle
-    # round-11 drain fix (state-store partition count sized to input;
-    # row sets identical — stability audit covers partition-count
-    # invariance — rows re-earned by policy):
-    "streaming_interval_join_drain",
-    "streaming_outer_join_drain",
-    "streaming_full_outer_join_drain",
-    # round-11 connected_components speedup (pointer jumping +
-    # broadcast label side; converged fixpoint provably identical —
-    # min reachable id — and all three consumers re-verified on the
-    # local gate, rows re-earned by policy):
+    # Round-12 state: all 13 round-11 force/new entries landed
+    # latest-green r11 rows (verified against CORRECTNESS_r11.json
+    # before pruning: 50/50 green, 0 non-green names). Per the judge's
+    # round-12 order list the lists stay near-empty so the 50-slot
+    # window reaches the 39 remaining r01/r02-vintage greens via the
+    # ascending last-green tail sort.
+    # round-12 connected-components seeding (judge item 2): labels now
+    # start from a caller-provided seed (chunk-local min for the match
+    # graph) instead of the node id; converged fixpoint provably
+    # identical — min reachable id — and all consumers re-verified on
+    # the local gate. Rows re-earned by policy for every query whose
+    # plan goes through connected_components:
+    "match_entity_canonical",
     "dedup_components",
     "dedup_canonical_keep",
     "dedup_semantic_clusters",
-    # round-11 sweep fixes (shared-subtree materialization; results
-    # identical, local gate green):
-    "quality_unigram_lm_score",  # token table feeds two consumers
-    "text_tfidf_top_term",  # df derived from materialized tf
-    "text_lang_id_heuristic",  # argmax fold -> CASE/greatest chain
-    # (value-identical, the oracle's own shape; the fold nested each
-    # score subtree exponentially — 7.9 -> 2.1 s at sf1)
-    "ml_eval_confusion_matrix",  # consumes the same expression
+    # round-12 ADVICE closure: lang-id now returns the 'und' sentinel
+    # for NULL/empty text in BOTH the Spark expression and the oracle
+    # (behavior contract fix; inert at gate SFs — documents.text has
+    # no NULLs — rows re-earned by policy):
+    "text_lang_id_heuristic",
 ]
 
 _NEW_THIS_ROUND: list[str] = [
-    # Round-11 state: pruned — the whole round-8 never-checked backlog
-    # (104 names through training_hard_negatives_ivf) carries green
-    # driver rows as of r10; never-checked count is zero.
-    # round-11 addition (round-10 judge item 1): the scale-safe tier
-    # of match_fuzzy_parts — sorted-neighborhood block SPLITTING at a
-    # size cap (two overlapping rank chunkings, pigeonhole guarantee
-    # within CAP/2 positions), chunk arithmetic mirrored exactly in
-    # the DuckDB oracle. The last operator whose 100 TB path was
-    # documentation instead of a driver row.
-    "match_fuzzy_parts_capped",
-    # round-11 companion: entity canonicalization over the capped
-    # pairs (components -> min-partkey representative + cluster size)
-    # — the linear-output consumer the capped tier's SCALE.md posture
-    # names as the production shape when match density is quadratic.
-    "match_entity_canonical",
+    # Round-12 state: pruned to empty — no new queries this round by
+    # design (the window is reserved for the stale-green rotation; the
+    # round's work is scale engineering on already-registered names).
 ]
 
 

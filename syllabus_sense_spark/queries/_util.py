@@ -17,6 +17,8 @@ so products stay within 38 digits — no precision-loss divergence.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -64,6 +66,23 @@ SQL_ONE_PLUS = "CAST(1 + CAST({c} AS DECIMAL(18,2)) AS DECIMAL(3,2))"
 
 
 _SCRATCH_ROOT: list[str] = []  # memo: this process's swept scratch root
+_SCRATCH_LOCK = threading.Lock()
+
+
+def _proc_start_token(pid: int) -> str | None:
+    """Kernel start time of ``pid`` (clock ticks since boot,
+    /proc/<pid>/stat field 22) — a token that distinguishes a live
+    owner from an unrelated process that recycled its pid. Returns
+    None when /proc is unavailable (non-Linux) or the pid is gone."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read()
+        # comm (field 2) may contain spaces/parens; fields after the
+        # LAST ')' are well-formed. starttime is field 22 overall =
+        # index 19 of the post-comm tail.
+        return stat.rsplit(b")", 1)[1].split()[19].decode()
+    except (OSError, IndexError):
+        return None
 
 
 def scratch_dir(prefix: str) -> str:
@@ -81,7 +100,16 @@ def scratch_dir(prefix: str) -> str:
 
     - removed at interpreter exit (atexit), and
     - swept by the NEXT process if this one was SIGKILLed: on first
-      use, sibling roots whose pid no longer runs are deleted.
+      use, sibling roots whose owner no longer runs are deleted.
+
+    Owner liveness keys on (pid, kernel start time), not pid alone: a
+    recycled pid owned by an unrelated live process would otherwise
+    make a dead sibling's debris immortal (round-11 ADVICE). The
+    start-time token is embedded in the root's directory name, so a
+    name whose pid is alive but whose token differs from the CURRENT
+    /proc/<pid>/stat start time is provably debris. Init is guarded
+    by a lock so two threads racing the first call cannot both sweep
+    and double-register the atexit hook.
 
     So accumulation is bounded by one process lifetime, crash debris
     by one generation.
@@ -92,22 +120,40 @@ def scratch_dir(prefix: str) -> str:
     import tempfile
 
     base = tempfile.gettempdir()
-    if not _SCRATCH_ROOT:
-        for name in os.listdir(base):
-            if not name.startswith("sss-scratch-"):
-                continue
-            try:
-                pid = int(name.rsplit("-", 1)[1])
-            except ValueError:
-                continue
-            try:
-                os.kill(pid, 0)  # raises if the owner is gone
-            except ProcessLookupError:
+    with _SCRATCH_LOCK:
+        if not _SCRATCH_ROOT:
+            for name in os.listdir(base):
+                if not name.startswith("sss-scratch-"):
+                    continue
+                parts = name.split("-")
+                # current shape: sss-scratch-<pid>-<starttok>;
+                # legacy shape (pre round-12): sss-scratch-<pid>
+                try:
+                    pid = int(parts[2])
+                except (IndexError, ValueError):
+                    continue
+                token = parts[3] if len(parts) > 3 else None
+                live = _proc_start_token(pid)
+                if live is None:
+                    try:
+                        os.kill(pid, 0)
+                    except ProcessLookupError:
+                        pass  # dead -> sweep below
+                    except OSError:
+                        continue  # EPERM: alive but not ours; no /proc info
+                    else:
+                        continue  # alive (no token to compare)
+                elif token is not None and live != token:
+                    pass  # pid recycled by a different process -> debris
+                elif token is None:
+                    continue  # legacy name, pid alive -> leave it
+                else:
+                    continue  # alive and token matches -> owner running
                 shutil.rmtree(os.path.join(base, name), ignore_errors=True)
-            except OSError:
-                pass  # e.g. EPERM: pid exists but isn't ours — leave it
-        root = os.path.join(base, f"sss-scratch-{os.getpid()}")
-        os.makedirs(root, exist_ok=True)
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        _SCRATCH_ROOT.append(root)
+            me = os.getpid()
+            mytok = _proc_start_token(me) or "0"
+            root = os.path.join(base, f"sss-scratch-{me}-{mytok}")
+            os.makedirs(root, exist_ok=True)
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
+            _SCRATCH_ROOT.append(root)
     return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])

@@ -251,7 +251,7 @@ scored AS (
   FROM base
 ),
 q AS (
-  SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+  SELECT doc_id, lang, text, s_de, s_en, s_es, s_fr, s_zh,
          CAST(len(list_distinct(toks)) AS DOUBLE)
            / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS diversity,
          least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS length_ok,
@@ -263,6 +263,7 @@ SELECT
   doc_id,
   lang,
   CASE
+    WHEN text IS NULL THEN 'und'
     WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
     WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
     WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'

@@ -57,6 +57,100 @@ def test_components_pointer_jumping_beats_hop_count(spark):
     assert {r.component_id for r in labels} == {0}
 
 
+def test_broadcast_guard_degrades_above_threshold(spark, monkeypatch):
+    """Round-11 ADVICE: above _BROADCAST_MAX_LABELS the loop must
+    degrade to shuffle joins (not fail, not keep broadcasting).
+    Forcing the threshold to 0 must (a) drop every broadcast hint from
+    the iteration plans and (b) leave the fixpoint identical."""
+    from pyspark.sql import Row
+
+    from syllabus_sense_spark.queries import ext_graph
+
+    edges = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3), Row(doc_a=8, doc_b=9)]
+    )
+    monkeypatch.setattr(ext_graph, "_BROADCAST_MAX_LABELS", 0)
+    probe: list[str] = []
+    got = {
+        (r.doc_id, r.component_id)
+        for r in ext_graph.connected_components(edges, plan_probe=probe).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)}
+    assert probe and all("BroadcastHashJoin" not in p for p in probe), (
+        "guard ignored: a broadcast join survived above the threshold"
+    )
+
+
+def test_partition_local_contract_preserves_components(spark):
+    """The star graph emitted by partition_local_contract must have
+    the same connected components as the input pairs for ANY edge
+    partitioning — including when a partition holds several disjoint
+    local components (the case that makes literal chunk-min seeding
+    wrong) and when a component's edges are split across partitions."""
+    from pyspark.sql import Row, functions as F
+
+    from syllabus_sense_spark.queries.ext_graph import (
+        connected_components,
+        partition_local_contract,
+    )
+
+    # One partition holding TWO disjoint local components {1,2} and
+    # {5,6}: the contraction must NOT merge them.
+    pairs1 = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=5, doc_b=6)]
+    ).coalesce(1)
+    rows = {(r.doc_id, r.local_min) for r in partition_local_contract(pairs1).collect()}
+    assert rows == {(1, 1), (2, 1), (5, 5), (6, 5)}
+
+    # A component whose edges are scattered across partitions
+    # arbitrarily still reconnects in the global loop: path 1-2-5-6
+    # plus an isolated pair {10,11}, repartitioned round-robin.
+    pairs2 = spark.createDataFrame(
+        [
+            Row(doc_a=1, doc_b=2),
+            Row(doc_a=2, doc_b=5),
+            Row(doc_a=5, doc_b=6),
+            Row(doc_a=10, doc_b=11),
+        ]
+    ).repartition(3)
+    stars = partition_local_contract(pairs2)
+    edges = stars.filter(F.col("doc_id") != F.col("local_min")).select(
+        F.col("doc_id").alias("doc_a"), F.col("local_min").alias("doc_b")
+    )
+    got = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(edges, dedup_edges=False).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (5, 1), (6, 1), (10, 10), (11, 10)
+    }
+
+
+def test_contract_levels_same_fixpoint(spark):
+    """contract_levels only changes the physical plan (pre-loop
+    union-find contraction), never the fixpoint: every setting must
+    return min-reachable-id labels identical to the plain loop — on a
+    long chain (worst diameter) scattered over multiple partitions,
+    and via the one-partition exact early exit."""
+    from pyspark.sql import Row
+
+    from syllabus_sense_spark.queries.ext_graph import connected_components
+
+    edges = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(40)]
+        + [Row(doc_a=100, doc_b=101)]
+    ).repartition(7)
+    want = {(i, 0) for i in range(41)} | {(100, 100), (101, 100)}
+    for levels in (0, 1, 2, 3):
+        got = {
+            (r.doc_id, r.component_id)
+            for r in connected_components(
+                edges, contract_levels=levels
+            ).collect()
+        }
+        assert got == want, f"contract_levels={levels} changed the fixpoint"
+
+
 def test_components_dedup_edges_false_same_fixpoint(spark):
     """dedup_edges=False (for a<b-unique pair lists) must reach the
     identical fixpoint as the deduping default."""

@@ -36,3 +36,14 @@ def test_lang_id_cues(spark):
     rows = df.select(lang_id_heuristic(F.col("text")).alias("g")).collect()
     assert rows[0].g == "en"
     assert rows[1].g == "de"
+
+
+def test_lang_id_null_returns_und_sentinel(spark):
+    # Public contract (round-11 ADVICE): NULL text must resolve to the
+    # 'und' sentinel, never fall through the CASE chain to a concrete
+    # language. Empty/cue-free text still argmaxes over zero scores
+    # (ties -> lexicographically first lang), unchanged.
+    df = spark.createDataFrame([(None,), ("",)], "text string")
+    rows = df.select(lang_id_heuristic(F.col("text")).alias("g")).collect()
+    assert rows[0].g == "und"
+    assert rows[1].g == "de"

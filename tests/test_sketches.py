@@ -60,3 +60,35 @@ def test_kll_merge_quantiles_close_to_exact(spark, sf_dir):
     for got in (row.p50, row.p95, row.p99):
         assert lo <= got <= hi
     assert row.p50 <= row.p95 <= row.p99
+
+
+def test_agg_approx_sketches_within_error(spark, sf_dir):
+    """agg_approx_sketches is rows-only (HLL/percentile internals are
+    engine-specific, so no cross-engine oracle); its accuracy law
+    lives here: per-status approx distinct buyers within 5% of exact
+    (HLL lgk default ~1.6% std err), approx p50 within the value range
+    bracketed by exact p40-p60 (percentile_approx guarantees rank
+    error <= 1/accuracy = 0.1%)."""
+    from syllabus_sense_spark.queries.windows2 import agg_approx_sketches
+
+    got = {
+        r.o_orderstatus: r for r in agg_approx_sketches(spark, sf_dir).collect()
+    }
+    o = load(spark, sf_dir, "orders")
+    exact = {
+        r.o_orderstatus: r
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("d"),
+            F.expr("percentile(o_totalprice, 0.4)").alias("p40"),
+            F.expr("percentile(o_totalprice, 0.6)").alias("p60"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for status, e in exact.items():
+        g = got[status]
+        assert abs(g.approx_buyers - e.d) / e.d < 0.05, (status, g, e)
+        assert e.p40 <= g.approx_p50 <= e.p60, (status, g.approx_p50, e.p40, e.p60)
+        assert g.n_orders == e.n  # the exact column must BE exact

@@ -15,7 +15,12 @@ Regenerate budgets after an intentional perf change:
 
 Usage:
   python tools/sf1_smoke.py [--dir /tmp/scale_data/sf1]
-Exit 1 on any budget violation or error. If the sf1 tier is absent,
+  python tools/sf1_smoke.py --sf3      # fourth-decade tier (judge r11
+                                       # item 5): same gate, budgets
+                                       # from tools/sf3_budgets.json,
+                                       # data tiled 30x to
+                                       # /tmp/scale_data/sf3
+Exit 1 on any budget violation or error. If the data tier is absent,
 builds it first (deterministic: tools/make_scale_data.py, verified
 byte-identical across runs in SCALE.md round-10).
 """
@@ -32,30 +37,45 @@ import time
 sys.path.insert(0, "/root/repo")
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-BUDGETS = os.path.join(HERE, "sf1_budgets.json")
+
+# tier -> (budget file, make_scale_data tile factor, default dir)
+TIERS = {
+    "sf1": ("sf1_budgets.json", "10", "/tmp/scale_data/sf1"),
+    "sf3": ("sf3_budgets.json", "30", "/tmp/scale_data/sf3"),
+}
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dir", default="/tmp/scale_data/sf1")
+    ap.add_argument("--dir", default=None)
     ap.add_argument("--rebudget", action="store_true")
+    ap.add_argument(
+        "--sf3",
+        action="store_true",
+        help="gate the fourth decade against tools/sf3_budgets.json",
+    )
     args = ap.parse_args()
+    tier = "sf3" if args.sf3 else "sf1"
+    budget_file, tile_k, default_dir = TIERS[tier]
+    budgets_path = os.path.join(HERE, budget_file)
+    if args.dir is None:
+        args.dir = default_dir
 
     if not os.path.exists(os.path.join(args.dir, "lineitem.parquet")):
         print(f"building {args.dir} (deterministic tile of sf0.1) ...")
         subprocess.run(
             [sys.executable, os.path.join(HERE, "make_scale_data.py"),
-             "10", args.dir],
+             tile_k, args.dir],
             check=True,
         )
 
-    budgets: dict[str, float] = json.load(open(BUDGETS))
+    budgets: dict[str, float] = json.load(open(budgets_path))
 
     from syllabus_sense_spark import queries as q
     from syllabus_sense_spark.session import get_spark
 
     q.load_all_queries()
-    spark = get_spark("sf1-smoke")
+    spark = get_spark(f"{tier}-smoke")
     failed = 0
     measured: dict[str, float] = {}
     for name, budget in budgets.items():
@@ -93,8 +113,8 @@ def main() -> int:
                 f"budget {budgets[n]:.1f}s"
             )
             new_budgets[n] = budgets[n]
-        json.dump(new_budgets, open(BUDGETS, "w"), indent=2, sort_keys=True)
-        print(f"budgets rewritten to 3x measured -> {BUDGETS}")
+        json.dump(new_budgets, open(budgets_path, "w"), indent=2, sort_keys=True)
+        print(f"budgets rewritten to 3x measured -> {budgets_path}")
         return 1 if errored else 0
     print(f"{len(budgets) - failed}/{len(budgets)} within budget")
     return 1 if failed else 0
