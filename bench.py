@@ -262,16 +262,31 @@ def _isolated_one(name: str) -> None:
     sec, sec_e = _time_query(
         spark, q.QUERIES[name], sf_dir, EXTRA_ITERS.get(name, iters)
     )
-    print(json.dumps({"name": name, "sec": round(sec, 3), "exec": round(sec_e, 3)}))
+    # the child's own host-speed probe: without it, a persistently
+    # degraded hypervisor window turns every mover into a false
+    # "confirmed_slower" (observed: 8 of 8 in one degraded run)
+    cal = _calibration(spark)
+    print(
+        json.dumps(
+            {
+                "name": name,
+                "sec": round(sec, 3),
+                "exec": round(sec_e, 3),
+                "cal": round(cal, 3),
+            }
+        )
+    )
 
 
-def _isolated_time(name: str, half: str) -> float | None:
+def _isolated_time(name: str, half: str) -> tuple[float, float] | None:
     """Re-time one query in a fresh process (fresh JVM, fresh Python
     workers, no session history); ``half`` picks the total ('queries')
     or write-only ('execute') number so the verdict compares the same
-    quantity the previous round recorded. None on any failure — the
-    caller reports the mover as unconfirmed rather than crashing the
-    bench."""
+    quantity the previous round recorded. Returns (seconds, child
+    calibration seconds) — the caller host-corrects the verdict with
+    the child's own calibration, since a degraded hypervisor window
+    outlives the parent session. None on any failure — the caller
+    reports the mover as unconfirmed rather than crashing the bench."""
     import subprocess
 
     try:
@@ -284,7 +299,8 @@ def _isolated_time(name: str, half: str) -> float | None:
         for line in reversed(out.stdout.strip().splitlines()):
             if line.startswith("{"):
                 rec = json.loads(line)
-                return float(rec["exec"] if half == "execute" else rec["sec"])
+                sec = float(rec["exec"] if half == "execute" else rec["sec"])
+                return sec, float(rec.get("cal", 0) or 0)
     except Exception:
         pass
     return None
@@ -416,13 +432,24 @@ def main() -> None:
             movers, key=lambda n: abs(1 - movers[n]["ratio"]), reverse=True
         )
         for name in by_severity[:MAX_ISOLATED]:
-            iso = _isolated_time(name, prev_kind)
+            got = _isolated_time(name, prev_kind)
             m = movers[name]
-            if iso is None:
+            if got is None:
                 m["verdict"] = "isolated_run_failed"
                 continue
+            iso, iso_cal = got
             m["isolated"] = round(iso, 3)
-            iso_ratio = iso / m["prev_host_scaled"]
+            # host-correct against the CHILD's calibration: the
+            # verdict must compare code, not the hypervisor window
+            # the child happened to land in
+            prev_ref = m["prev"]
+            if prev_cal and iso_cal > 0:
+                child_ratio = min(3.0, max(1 / 3.0, iso_cal / prev_cal))
+                m["isolated_host_ratio"] = round(child_ratio, 3)
+                prev_ref = m["prev"] * child_ratio
+            else:
+                prev_ref = m["prev_host_scaled"]
+            iso_ratio = iso / prev_ref
             if iso_ratio > MOVER_RATIO:
                 m["verdict"] = "confirmed_slower"
             elif iso_ratio < 1 / MOVER_RATIO:
