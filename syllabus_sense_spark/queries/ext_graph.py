@@ -51,6 +51,15 @@ _BROADCAST_MAX_LABELS = 20_000_000
 # the min-label loop still ~1000× smaller than it arrived.
 _CONTRACT_FANIN = 32
 
+# Union-find state flush threshold inside partition_local_contract: a
+# python dict of int→int runs ~100 B/entry, so 10M tracked nodes ≈
+# 1 GB per worker — flushed as stars and restarted past this, keeping
+# a pathological mega-partition from OOMing the Python worker. A
+# flush only splits that partition's edge set into consecutive
+# sub-partitions (component-preserving; quality, not correctness,
+# degrades at the boundary).
+_UF_MAX_NODES = 10_000_000
+
 
 def connected_components(
     edges: DataFrame,
@@ -111,8 +120,13 @@ def connected_components(
     for _ in range(contract_levels):
         nparts = max(1, edges.rdd.getNumPartitions())
         stars = partition_local_contract(edges).localCheckpoint()
-        if nparts == 1:
-            # the single union-find saw every edge: stars are the
+        if nparts == 1 and (
+            stars.count()
+            == stars.select("doc_id").distinct().count()
+        ):
+            # one union-find saw every edge AND never hit the
+            # _UF_MAX_NODES flush (a flush emits a node once per
+            # epoch — duplicate doc_ids are the tell): stars are the
             # exact components (min member as root, by construction)
             return stars.select(
                 "doc_id", F.col("local_min").alias("component_id")
@@ -233,38 +247,49 @@ def partition_local_contract(edges: DataFrame) -> DataFrame:
     Executed as ``mapInPandas``: one union-find per partition across
     its Arrow batches (no per-group Python call overhead, no group-key
     shuffle), the sanctioned Python seam for logic Spark's operators
-    cannot express.
+    cannot express. Python memory stays bounded even on a pathological
+    mega-partition: past ``_UF_MAX_NODES`` tracked nodes the state is
+    FLUSHED as stars and a fresh union-find absorbs the remaining
+    edges — a flush merely splits the partition's edge set into two
+    consecutive sub-partitions, and contraction is component-
+    preserving for any edge-set partition, so only contraction
+    QUALITY (not correctness) degrades at the boundary.
     """
     import pandas as pd
 
+    def _find(parent: dict, x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    def _stars(parent: dict) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "doc_id": list(parent.keys()),
+                "local_min": [_find(parent, v) for v in parent.keys()],
+            }
+        )
+
     def _union_find(batches):
         parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
         for pdf in batches:
             for a, b in zip(pdf["doc_a"].values, pdf["doc_b"].values):
                 a, b = int(a), int(b)
                 parent.setdefault(a, a)
                 parent.setdefault(b, b)
-                ra, rb = find(a), find(b)
+                ra, rb = _find(parent, a), _find(parent, b)
                 if ra != rb:
-                    # keep the MIN member as root → find() is local_min
+                    # keep the MIN member as root → _find() is local_min
                     lo, hi = (ra, rb) if ra < rb else (rb, ra)
                     parent[hi] = lo
+            if len(parent) > _UF_MAX_NODES:
+                yield _stars(parent)
+                parent = {}
         if parent:
-            yield pd.DataFrame(
-                {
-                    "doc_id": list(parent.keys()),
-                    "local_min": [find(v) for v in parent.keys()],
-                }
-            )
+            yield _stars(parent)
 
     return edges.select("doc_a", "doc_b").mapInPandas(
         _union_find, schema="doc_id long, local_min long"

@@ -151,6 +151,43 @@ def test_contract_levels_same_fixpoint(spark):
         assert got == want, f"contract_levels={levels} changed the fixpoint"
 
 
+def test_uf_flush_keeps_fixpoint(spark, monkeypatch):
+    """The _UF_MAX_NODES memory flush must never change results: with
+    the threshold forced tiny (every Arrow batch flushes), a chain
+    whose edges span flush epochs must still converge to min-reachable
+    labels — including via the contract_levels path, where the
+    single-partition early exit must DETECT the flush (duplicate
+    doc_ids) and fall through to further contraction instead of
+    returning epoch-local labels."""
+    from pyspark.sql import Row
+
+    from syllabus_sense_spark.queries import ext_graph
+
+    monkeypatch.setattr(ext_graph, "_UF_MAX_NODES", 3)
+    edges = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(12)]
+    ).coalesce(1)
+    # the flush boundary is per Arrow batch — force several batches so
+    # the chain genuinely spans flush epochs
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try:
+        # direct helper: flushes emit duplicate doc_ids across epochs
+        stars = ext_graph.partition_local_contract(edges).collect()
+        assert len(stars) > 13, "tiny threshold should have forced flushes"
+        for levels in (1, 2, 3):
+            got = {
+                (r.doc_id, r.component_id)
+                for r in ext_graph.connected_components(
+                    edges, contract_levels=levels
+                ).collect()
+            }
+            assert got == {(i, 0) for i in range(13)}, f"levels={levels}"
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_components_dedup_edges_false_same_fixpoint(spark):
     """dedup_edges=False (for a<b-unique pair lists) must reach the
     identical fixpoint as the deduping default."""
