@@ -66,6 +66,12 @@ _FORCE_RECHECK: list[str] = [
     # (behavior contract fix; inert at gate SFs — documents.text has
     # no NULLs — rows re-earned by policy):
     "text_lang_id_heuristic",
+    # round-12 MinHash frequent-bucket cap (found by the fifth-decade
+    # probe: candidates grew 9.7× for 3.3× docs at sf10): band buckets
+    # >64 docs are skipped in BOTH the band self-join and the oracle's
+    # mirrored window-count CTE. Inert at gate SFs (max bucket 5 at
+    # sf0.01, 21 at sf0.1) — rows re-earned by policy:
+    "dedup_minhash_lsh",
 ]
 
 _NEW_THIS_ROUND: list[str] = [

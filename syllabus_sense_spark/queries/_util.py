@@ -157,3 +157,23 @@ def scratch_dir(prefix: str) -> str:
             atexit.register(shutil.rmtree, root, ignore_errors=True)
             _SCRATCH_ROOT.append(root)
     return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])
+
+
+def release_checkpoint(df) -> None:
+    """Free a localCheckpoint-ed DataFrame's storage blocks
+    (best-effort, never fatal). localCheckpoint persists its RDD at
+    MEMORY_AND_DISK and nothing unpersists it until the JVM-side RDD
+    is garbage-collected, so in a long-lived session every iterative
+    query's superseded per-round checkpoints accumulate until storage
+    exhausts (observed: an 8-heavy-query sf10 probe session died on
+    exactly this). Call on a checkpoint the moment its successor is
+    materialized, and on loop-scoped inputs when the final result no
+    longer reads them. No-op for non-checkpoint plans."""
+    if df is None:
+        return
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — release is advisory
+        pass

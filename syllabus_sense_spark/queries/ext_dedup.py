@@ -325,12 +325,51 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
     )
 
 
+# Frequent-bucket cap for the banded self-join (the SimHash
+# MAX_BUCKET guard, ported to MinHash): a band tuple shared by more
+# than this many documents is a corpus-wide common pattern (short
+# docs with tiny shingle sets collide on min-hashes), not a
+# duplication signal. Bucket occupancy grows LINEARLY with the corpus
+# (measured top buckets: 5 at sf0.01, 21 at sf0.1, 77 at sf1, 199 at
+# sf3, 648 at sf10), so uncapped candidate pairs grow quadratically —
+# the fifth-decade probe measured 12.7M candidates at sf10 (9.7× for
+# 3.3× docs) and 151 s; capped, the curve returns to linear. 64 is
+# comfortably above every gate-scale bucket (≤21), so verification
+# results are unchanged there, and the DuckDB oracle mirrors the cap
+# exactly at every scale. Pairs whose ONLY collision is a mega-bucket
+# are dropped — the standard LSH frequent-bucket recall trade, made
+# explicitly, same as dedup_simhash / dedup_prefix_filter's max-df.
+MINHASH_MAX_BUCKET = 64
+
+
 def candidate_pairs(bands: DataFrame) -> DataFrame:
-    """Distinct (doc_a < doc_b) agreeing on at least one band — an
-    equi-join on the band's signature tuple (uniform ints: no skew)."""
+    """Distinct (doc_a < doc_b) agreeing on at least one KEPT band — an
+    equi-join on the band's signature tuple (uniform ints: no skew),
+    restricted to buckets of ≤ MINHASH_MAX_BUCKET docs. The occupancy
+    count is a window over the same key the join shuffles on, so the
+    guard adds no extra exchange."""
+    from pyspark.sql import Window
+
     keys = ["band_idx"] + [f"v{r}" for r in range(ROWS_PER_BAND)]
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # MATERIALIZE the kept table before the self-join: both join
+    # branches embed it, and Catalyst has no cross-consumer CSE (the
+    # r10/r11 law) — left lazy, the whole fingerprint→minhash→window
+    # pipeline ran twice and doubled the query at sf0.1. The explicit-N
+    # repartition BY THE JOIN KEYS rides the same exchange the window
+    # needs, is exempt from AQE coalescing (the capped-match recipe —
+    # an AQE-coalesced checkpoint ran the self-join on 1-3 cores and
+    # was slower than the dual-compute it replaced), and co-locates
+    # the self-join so the checkpoint scan is the join's last exchange.
+    sc = bands.sparkSession.sparkContext
+    kept = (
+        bands.repartition(sc.defaultParallelism, *keys)
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+        .filter(F.col("n") <= MINHASH_MAX_BUCKET)
+        .drop("n")
+        .localCheckpoint()
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
     cond = F.col("a.doc_id") < F.col("b.doc_id")
     for kcol in keys:
         cond = (F.col(f"a.{kcol}") == F.col(f"b.{kcol}")) & cond
@@ -403,9 +442,16 @@ bands AS (
       for b in range(N_BANDS)
   )}
 ),
+kept AS (
+  SELECT * FROM (
+    SELECT bands.*, COUNT(*) OVER (
+      PARTITION BY band_idx, {', '.join(f"v{r}" for r in range(ROWS_PER_BAND))}
+    ) AS bucket_n FROM bands
+  ) WHERE bucket_n <= {MINHASH_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM kept a JOIN kept b
     ON a.band_idx = b.band_idx
    AND {' AND '.join(f"a.v{r} = b.v{r}" for r in range(ROWS_PER_BAND))}
    AND a.doc_id < b.doc_id

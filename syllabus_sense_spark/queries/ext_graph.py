@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from . import register
+from ._util import release_checkpoint
 from .ext_dedup import (
     _MINHASH_ORACLE,
     _corpus,
@@ -59,6 +60,13 @@ _CONTRACT_FANIN = 32
 # sub-partitions (component-preserving; quality, not correctness,
 # degrades at the boundary).
 _UF_MAX_NODES = 10_000_000
+
+
+# Superseded per-round checkpoints are released eagerly (the loop
+# replaces its checkpoint every round; in a long-lived session the
+# dead blocks otherwise accumulate until storage exhausts — an
+# 8-heavy-query sf10 probe session died on exactly this).
+_release_checkpoint = release_checkpoint
 
 
 def connected_components(
@@ -117,9 +125,12 @@ def connected_components(
     # expensive — semdedup's pair search) edge subtree, so without the
     # checkpoint the first action computes it twice.
     edges = edges.localCheckpoint()
+    retired = edges  # superseded checkpoint, released once replaced
     for _ in range(contract_levels):
         nparts = max(1, edges.rdd.getNumPartitions())
         stars = partition_local_contract(edges).localCheckpoint()
+        _release_checkpoint(retired)
+        retired = stars
         if nparts == 1 and (
             stars.count()
             == stars.select("doc_id").distinct().count()
@@ -145,12 +156,14 @@ def connected_components(
     if dedup_edges:
         und = und.distinct()
     und = und.localCheckpoint()
+    _release_checkpoint(retired)  # und now holds the (contracted) edges
     labels = (
         und.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("component_id", F.col("doc_id"))
         .localCheckpoint()
     )
+    retired = labels  # each round's checkpoint supersedes this one
     # Node count is loop-invariant (labels never gain or lose rows),
     # so one count up front both sizes the broadcast decision and
     # costs nothing against the per-round convergence action.
@@ -213,10 +226,15 @@ def connected_components(
                 upd._jdf.queryExecution().executedPlan().toString()
             )
         upd = upd.localCheckpoint()
+        _release_checkpoint(retired)  # previous round's blocks are dead
+        retired = upd
         changed = upd.filter(F.col("component_id") != F.col("prev_id")).count()
         labels = upd.select("doc_id", "component_id")
         if changed == 0:
             break
+    # the edge table is dead once the labels converge; the final
+    # checkpoint (retired == the returned labels' backing RDD) stays
+    _release_checkpoint(und)
     return labels
 
 
@@ -323,9 +341,15 @@ def dedup_components(spark, sf_dir):
     # dup-pair graphs are tiny relative to the corpus: two contraction
     # levels resolve them without (or almost without) the per-round
     # join loop, whose fixed cost dominated this query at sf1
-    return connected_components(
+    labels = connected_components(
         dups.select("doc_a", "doc_b"), contract_levels=2
     )
+    # labels are materialized (checkpoint) by the time components
+    # returns, so the per-query fingerprint/signature caches are dead —
+    # in a long session they otherwise pile up per call
+    hashed.unpersist(False)
+    sigs.unpersist(False)
+    return labels
 
 
 _CANONICAL_ORACLE = f"""

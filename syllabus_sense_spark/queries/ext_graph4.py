@@ -34,6 +34,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import register
+from ._util import release_checkpoint
 from .ext_graph3 import _MIN_SUPPORT, copurchase_edges
 
 _N_ROUNDS = 3
@@ -103,12 +104,15 @@ def graph_label_propagation(spark, sf_dir):
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
+        prev = labels
         labels = (
             votes.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "label")
             .localCheckpoint()
         )
+        release_checkpoint(prev)  # superseded round's blocks are dead
+    release_checkpoint(adj)  # the result reads the final labels only
     return labels.select(
         F.col("node").alias("part_key"), F.col("label").cast("bigint").alias("community")
     )

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
+from ._util import release_checkpoint
 from .ext_graph3 import _MIN_SUPPORT, copurchase_edges, copurchase_pair_counts
 
 _K = 2  # peel threshold (k=3 empties the sf0.1 projection entirely)
@@ -88,6 +89,7 @@ def graph_kcore_peel(spark, sf_dir):
             .filter(F.col("deg") >= _K)
             .select("node")
         )
+        prev = adj
         adj = (
             adj.join(alive, "node", "left_semi")
             .join(
@@ -95,6 +97,7 @@ def graph_kcore_peel(spark, sf_dir):
             )
             .localCheckpoint()
         )
+        release_checkpoint(prev)  # superseded peel round's blocks
     return adj.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     ).select(F.col("node").alias("part_key"), "degree")

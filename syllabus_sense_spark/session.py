@@ -108,7 +108,13 @@ def get_spark(app_name: str = "syllabus-sense-spark") -> SparkSession:
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # In local mode the driver JVM IS the executor: 8g heap split
+        # across 32 task threads was ~250 MB/task and OOM'd the
+        # minhash band join at the sf10 probe tier, while the box has
+        # 128 GiB and the cluster posture (CLUSTER_CONF above) gives
+        # every executor 24g+4g. Match that posture locally — same
+        # memory-per-task a production executor would see.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "28g"))
         .config("spark.ui.enabled", "false")
         # Wide codegen'd expressions (the statically-unrolled 64-term
         # vector dots in ext_similarity) compile to methods past
