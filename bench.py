@@ -439,14 +439,22 @@ def main() -> None:
                 continue
             iso, iso_cal = got
             m["isolated"] = round(iso, 3)
+            if iso_cal > 0:
+                m["isolated_cal"] = round(iso_cal, 3)
             # host-correct against the CHILD's calibration: the
             # verdict must compare code, not the hypervisor window
             # the child happened to land in
-            prev_ref = m["prev"]
             if prev_cal and iso_cal > 0:
                 child_ratio = min(3.0, max(1 / 3.0, iso_cal / prev_cal))
                 m["isolated_host_ratio"] = round(child_ratio, 3)
                 prev_ref = m["prev"] * child_ratio
+            elif iso_cal > 0 and cal > 0 and abs(iso_cal / cal - 1) > 0.3:
+                # no previous-round calibration to anchor to AND the
+                # host drifted between the session and the child run
+                # (observed 3.3× mid-bench): any verdict would grade
+                # the hypervisor, not the code
+                m["verdict"] = "isolated_host_drift"
+                continue
             else:
                 prev_ref = m["prev_host_scaled"]
             iso_ratio = iso / prev_ref
