@@ -72,6 +72,7 @@ _FORCE_RECHECK: list[str] = [
     # mirrored window-count CTE. Inert at gate SFs (max bucket 5 at
     # sf0.01, 21 at sf0.1) — rows re-earned by policy:
     "dedup_minhash_lsh",
+    "dedup_cluster_report",  # composes the capped candidate path
 ]
 
 _NEW_THIS_ROUND: list[str] = [
