@@ -132,3 +132,63 @@ def test_hard_negatives_ivf_recall_vs_exact(spark, sf_dir):
     recalls = [len(got.get(k, set()) & v) / len(v) for k, v in exact.items()]
     recall = sum(recalls) / len(recalls)
     assert recall >= 0.8, f"ivf hard-negative recall@3 {recall}"
+
+
+def test_minhash_bucket_cap_drops_mega_buckets_only(spark, monkeypatch):
+    """The MINHASH_MAX_BUCKET guard (round 12 — bucket occupancy grows
+    linearly with the corpus, candidates quadratically) must drop
+    pairs whose ONLY collision is an oversized bucket, keep pairs from
+    buckets at/below the cap, and still find pairs that also collide
+    in a small bucket. Exercised on a synthetic band table via the
+    public candidate_pairs seam."""
+    from pyspark.sql import Row
+
+    from syllabus_sense_spark.queries import ext_dedup
+
+    monkeypatch.setattr(ext_dedup, "MINHASH_MAX_BUCKET", 2)
+    rows = []
+    # mega-bucket: docs 1..4 share band 0 value (7, 7) -> 6 pairs, all
+    # dropped at cap 2
+    for d in (1, 2, 3, 4):
+        rows.append(Row(doc_id=d, band_idx=0, v0=7, v1=7))
+    # small bucket: docs 10, 11 share band 1 value (9, 9) -> kept
+    rows += [Row(doc_id=10, band_idx=1, v0=9, v1=9),
+             Row(doc_id=11, band_idx=1, v0=9, v1=9)]
+    # docs 1, 2 ALSO share a small band-2 bucket -> that pair survives
+    # via the small bucket even though their band-0 bucket is dropped
+    rows += [Row(doc_id=1, band_idx=2, v0=5, v1=5),
+             Row(doc_id=2, band_idx=2, v0=5, v1=5)]
+    bands = spark.createDataFrame(rows)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in ext_dedup.candidate_pairs(bands).collect()
+    }
+    assert got == {(10, 11), (1, 2)}, got
+
+
+def test_minhash_bucket_cap_inert_at_gate_scale(spark, sf_dir):
+    """At the verification SFs every bucket is far below the cap (max
+    5 at sf0.01, 21 at sf0.1), so the guard must change nothing there:
+    the largest bucket in the real band table stays under the cap."""
+    from pyspark.sql import functions as F
+
+    from syllabus_sense_spark.queries.ext_dedup import (
+        MINHASH_MAX_BUCKET,
+        ROWS_PER_BAND,
+        lsh_bands,
+        minhash_signatures,
+        planted_corpus_fingerprints,
+    )
+
+    bands = lsh_bands(minhash_signatures(planted_corpus_fingerprints(spark, sf_dir)))
+    keys = ["band_idx"] + [f"v{r}" for r in range(ROWS_PER_BAND)]
+    top = (
+        bands.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]
+    )
+    assert top.mx <= MINHASH_MAX_BUCKET, (
+        f"gate-scale bucket {top.mx} exceeds the cap — the guard is no "
+        "longer inert where the oracle gate verifies"
+    )
