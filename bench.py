@@ -17,8 +17,10 @@ Noise protocol (round-11 judge item 4 — four of that round's >1.1×
   session (the sweep tool's triage, now in the bench itself), and the
   emitted JSON carries a per-mover verdict — `confirmed_slower` /
   `confirmed_faster` when the isolated run reproduces the move,
-  `noise` when it does not — so round-over-round deltas no longer
-  need a judge to re-measure;
+  `noise` when it does not, and `no_anchor_inconclusive` when the
+  previous round carries no calibration anchor (a confirmed_* verdict
+  without an anchor grades the hypervisor, not the code) — so
+  round-over-round deltas no longer need a judge to re-measure;
 - a fixed CALIBRATION workload (pure-JVM hash-sum over a row range,
   no I/O) is timed in the same session: this VM's effective CPU
   swings 2-4× with invisible hypervisor neighbors (measured: the same
@@ -278,6 +280,46 @@ def _isolated_one(name: str) -> None:
     )
 
 
+def _mover_verdict(
+    prev: float,
+    prev_host_scaled: float,
+    iso: float,
+    iso_cal: float,
+    prev_cal: float | None,
+) -> tuple[str, dict]:
+    """Classify one mover from its isolated re-run.
+
+    Without a previous-round calibration anchor (``prev_cal`` None —
+    the archive predates the calibration job or its tail was
+    truncated) there is no way to separate code movement from host
+    movement, so the only honest verdict is
+    ``no_anchor_inconclusive`` — never ``confirmed_*``. Round 12
+    demonstrated the failure: five `confirmed_slower` emitted against
+    the unanchored r11 numbers were all hypervisor drift.
+
+    With an anchor, the verdict host-corrects against the CHILD
+    process's own calibration (a degraded hypervisor window outlives
+    the parent session), falling back to the session-scaled previous
+    number only when the child calibration failed.
+    """
+    extras: dict = {}
+    if not prev_cal:
+        return "no_anchor_inconclusive", extras
+    if iso_cal > 0:
+        child_ratio = min(3.0, max(1 / 3.0, iso_cal / prev_cal))
+        extras["isolated_host_ratio"] = round(child_ratio, 3)
+        prev_ref = prev * child_ratio
+    else:
+        prev_ref = prev_host_scaled
+    iso_ratio = iso / prev_ref
+    extras["isolated_vs_prev_ratio"] = round(iso_ratio, 2)
+    if iso_ratio > MOVER_RATIO:
+        return "confirmed_slower", extras
+    if iso_ratio < 1 / MOVER_RATIO:
+        return "confirmed_faster", extras
+    return "noise", extras
+
+
 def _isolated_time(name: str, half: str) -> tuple[float, float] | None:
     """Re-time one query in a fresh process (fresh JVM, fresh Python
     workers, no session history); ``half`` picks the total ('queries')
@@ -426,7 +468,16 @@ def main() -> None:
                 "session": sec,
                 "ratio": round(ratio, 2),
             }
-    if movers:
+    if movers and prev_cal is None:
+        # No calibration anchor for the previous round: there is no
+        # way to separate code movement from host movement, so every
+        # verdict is inconclusive — round 12 emitted five
+        # `confirmed_slower` against the unanchored r11 tail and all
+        # five were judge-adjudicated hypervisor drift. Skip the
+        # isolated re-runs too (their verdict would be foregone).
+        for name in movers:
+            movers[name]["verdict"] = "no_anchor_inconclusive"
+    elif movers:
         spark.stop()
         by_severity = sorted(
             movers, key=lambda n: abs(1 - movers[n]["ratio"]), reverse=True
@@ -441,29 +492,15 @@ def main() -> None:
             m["isolated"] = round(iso, 3)
             if iso_cal > 0:
                 m["isolated_cal"] = round(iso_cal, 3)
-            # host-correct against the CHILD's calibration: the
-            # verdict must compare code, not the hypervisor window
-            # the child happened to land in
-            if prev_cal and iso_cal > 0:
-                child_ratio = min(3.0, max(1 / 3.0, iso_cal / prev_cal))
-                m["isolated_host_ratio"] = round(child_ratio, 3)
-                prev_ref = m["prev"] * child_ratio
-            elif iso_cal > 0 and cal > 0 and abs(iso_cal / cal - 1) > 0.3:
-                # no previous-round calibration to anchor to AND the
-                # host drifted between the session and the child run
-                # (observed 3.3× mid-bench): any verdict would grade
-                # the hypervisor, not the code
-                m["verdict"] = "isolated_host_drift"
-                continue
-            else:
-                prev_ref = m["prev_host_scaled"]
-            iso_ratio = iso / prev_ref
-            if iso_ratio > MOVER_RATIO:
-                m["verdict"] = "confirmed_slower"
-            elif iso_ratio < 1 / MOVER_RATIO:
-                m["verdict"] = "confirmed_faster"
-            else:
-                m["verdict"] = "noise"
+            verdict, extras = _mover_verdict(
+                prev=m["prev"],
+                prev_host_scaled=m["prev_host_scaled"],
+                iso=iso,
+                iso_cal=iso_cal,
+                prev_cal=prev_cal,
+            )
+            m.update(extras)
+            m["verdict"] = verdict
         for name in by_severity[MAX_ISOLATED:]:
             movers[name]["verdict"] = "isolated_skipped_cap"
 
