@@ -63,6 +63,13 @@ def train_codebook(subs: DataFrame, id_col: str = "vec_id") -> DataFrame:
     exactly like the connected-components operator. Codes that lose
     all members keep their previous centroid (left join + coalesce),
     so the codebook never shrinks.
+
+    Checkpoint lifecycle: superseded per-round centroid checkpoints
+    are released as soon as their successor is materialized; the FINAL
+    centroids stay live for the whole session by design — training
+    runs once per session behind the ``session_artifact`` memo
+    (ext_pq._pq_index), so the leak-law exposure is one K_CODES-row
+    table per session, not per query.
     """
     w = Window.orderBy(F.col(id_col))
     seed_ids = (
@@ -97,6 +104,7 @@ def train_codebook(subs: DataFrame, id_col: str = "vec_id") -> DataFrame:
                 F.array(*[F.col(f"d{i}") for i in range(subdim)]).alias("new_centroid"),
             )
         )
+        prev = centroids
         centroids = (
             centroids.join(new, ["j", "code"], "left")
             .select(
@@ -106,7 +114,20 @@ def train_codebook(subs: DataFrame, id_col: str = "vec_id") -> DataFrame:
             )
             .localCheckpoint()
         )
+        _release_checkpoint(prev)
     return centroids
+
+
+def _release_checkpoint(df) -> None:
+    """Free a superseded localCheckpoint's blocks (best-effort) — the
+    queries._util.release_checkpoint recipe, duplicated here so the
+    operators package stays import-independent of the query registry."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — release is advisory
+        pass
 
 
 def assign_codes(

@@ -168,12 +168,59 @@ def release_checkpoint(df) -> None:
     exhausts (observed: an 8-heavy-query sf10 probe session died on
     exactly this). Call on a checkpoint the moment its successor is
     materialized, and on loop-scoped inputs when the final result no
-    longer reads them. No-op for non-checkpoint plans."""
+    longer reads them. No-op for non-checkpoint plans.
+
+    PRECONDITION — no live readers: a localCheckpoint RDD's lineage is
+    TRUNCATED, so any still-unmaterialized DataFrame over the released
+    checkpoint does not recompute — its next action fails hard with
+    "checkpoint block not found". Release only after every downstream
+    consumer has run its action (the loop call sites materialize the
+    successor checkpoint first; `rotate_checkpoint` defers release to
+    the next invocation for exactly this reason)."""
     if df is None:
         return
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getName().endswith("LogicalRDD"):
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "release_checkpoint: unpersisting RDD %s (any live "
+                "reader of this checkpoint now fails on its next action)",
+                plan.rdd().id(),
+            )
             plan.rdd().unpersist(False)
     except Exception:  # noqa: BLE001 — release is advisory
         pass
+
+
+# One live checkpoint GENERATION per call site: query functions whose
+# RESULT is backed by a per-invocation localCheckpoint cannot release
+# it before returning (the caller's action still reads it), so they
+# register it here instead — the NEXT invocation of the same site
+# releases the previous generation. Bounds a long session at one live
+# checkpoint per site instead of one per call (the sf10 session-death
+# class: a 19-query probe session accumulated dead band-table
+# checkpoints until storage exhausted).
+_CHECKPOINT_GENERATIONS: dict[str, list] = {}
+
+
+def rotate_checkpoint(key: str, *dfs):
+    """Register ``dfs`` (localCheckpoint-backed DataFrames produced by
+    THIS invocation of call site ``key``) as the site's live
+    generation, releasing the previous generation's blocks.
+
+    PRECONDITION — same as release_checkpoint, shifted one call: by
+    the time a site is invoked again, every consumer of its PREVIOUS
+    result must have materialized (the driver/bench/oracle harnesses
+    collect each query's result before running the next; a caller that
+    holds invocation N's lazy result across invocation N+1 fails hard
+    on its next action). Returns the single df (or the tuple) for
+    inline wrapping.
+    """
+    prev = _CHECKPOINT_GENERATIONS.pop(key, None)
+    if prev:
+        for d in prev:
+            release_checkpoint(d)
+    _CHECKPOINT_GENERATIONS[key] = list(dfs)
+    return dfs[0] if len(dfs) == 1 else dfs

@@ -59,9 +59,15 @@ def catalog_view_stack(spark, sf_dir):
             f" AS cents "
             f"FROM {v_join} GROUP BY c_mktsegment"
         )
-        # materialize through the stack before the views are dropped
-        out = spark.table(v_agg)
-        out = out.localCheckpoint()
+        # materialize through the stack before the views are dropped;
+        # rotated — the tiny result checkpoint is released when the
+        # query next runs
+        from ._util import rotate_checkpoint
+
+        out = rotate_checkpoint(
+            "catalog_queries2.view_stack.out",
+            spark.table(v_agg).localCheckpoint(),
+        )
     finally:
         for v in (v_agg, v_join, v_base, f"orders_{tag}", f"customer_{tag}"):
             spark.catalog.dropTempView(v)

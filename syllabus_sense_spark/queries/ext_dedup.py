@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..tables import load
 from . import register
+from ._util import rotate_checkpoint
 
 # 8 bands x 2 rows: band-collision probability 1-(1-j^2)^8 keeps
 # recall >= 0.99 even for short docs whose planted-dup Jaccard dips to
@@ -162,11 +163,17 @@ def clear_session_artifacts() -> None:
     invariance audit, where an artifact materialized under the OLD
     shuffle width would otherwise be silently reused by the second
     run, weakening PASS to "probe of a stale index matched"."""
+    from ._util import release_checkpoint
+
     for df in _FP_CACHE.values():
         try:
             df.unpersist()
         except Exception:  # noqa: BLE001 — a dead session is fine here
             pass
+        # persist=False artifacts are localCheckpoint-backed — free
+        # their blocks too (no live readers by contract: callers clear
+        # only between from-scratch audit runs)
+        release_checkpoint(df)
     _FP_CACHE.clear()
 
 
@@ -361,12 +368,18 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
     # was slower than the dual-compute it replaced), and co-locates
     # the self-join so the checkpoint scan is the join's last exchange.
     sc = bands.sparkSession.sparkContext
-    kept = (
+    # Rotated, not leaked: the returned pairs read this checkpoint, so
+    # it cannot be released before the caller's action — the next
+    # candidate_pairs invocation releases it (one live band-table
+    # generation per session instead of one per dedup query; the r12
+    # ADVICE leak).
+    kept = rotate_checkpoint(
+        "ext_dedup.candidate_pairs.kept",
         bands.repartition(sc.defaultParallelism, *keys)
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
         .filter(F.col("n") <= MINHASH_MAX_BUCKET)
         .drop("n")
-        .localCheckpoint()
+        .localCheckpoint(),
     )
     a = kept.alias("a")
     b = kept.alias("b")

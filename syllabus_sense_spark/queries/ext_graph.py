@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from . import register
-from ._util import release_checkpoint
+from ._util import release_checkpoint, rotate_checkpoint
 from .ext_dedup import (
     _MINHASH_ORACLE,
     _corpus,
@@ -139,6 +139,7 @@ def connected_components(
             # _UF_MAX_NODES flush (a flush emits a node once per
             # epoch — duplicate doc_ids are the tell): stars are the
             # exact components (min member as root, by construction)
+            rotate_checkpoint("ext_graph.connected_components", stars)
             return stars.select(
                 "doc_id", F.col("local_min").alias("component_id")
             )
@@ -234,7 +235,10 @@ def connected_components(
             break
     # the edge table is dead once the labels converge; the final
     # checkpoint (retired == the returned labels' backing RDD) stays
+    # live until the NEXT invocation rotates it out — the caller's
+    # action still reads it
     _release_checkpoint(und)
+    rotate_checkpoint("ext_graph.connected_components", retired)
     return labels
 
 

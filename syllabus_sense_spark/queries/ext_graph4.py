@@ -34,7 +34,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from . import register
-from ._util import release_checkpoint
+from ._util import release_checkpoint, rotate_checkpoint
 from .ext_graph3 import _MIN_SUPPORT, copurchase_edges
 
 _N_ROUNDS = 3
@@ -113,6 +113,9 @@ def graph_label_propagation(spark, sf_dir):
         )
         release_checkpoint(prev)  # superseded round's blocks are dead
     release_checkpoint(adj)  # the result reads the final labels only
+    # final labels back the returned result — rotated, released by the
+    # next invocation
+    rotate_checkpoint("ext_graph4.lpa.labels", labels)
     return labels.select(
         F.col("node").alias("part_key"), F.col("label").cast("bigint").alias("community")
     )

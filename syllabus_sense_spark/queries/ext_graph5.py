@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import release_checkpoint
+from ._util import release_checkpoint, rotate_checkpoint
 from .ext_graph3 import _MIN_SUPPORT, copurchase_edges, copurchase_pair_counts
 
 _K = 2  # peel threshold (k=3 empties the sf0.1 projection entirely)
@@ -98,6 +98,9 @@ def graph_kcore_peel(spark, sf_dir):
             .localCheckpoint()
         )
         release_checkpoint(prev)  # superseded peel round's blocks
+    # the surviving adjacency backs the returned result — rotated,
+    # released by the next invocation
+    rotate_checkpoint("ext_graph5.kcore.adj", adj)
     return adj.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     ).select(F.col("node").alias("part_key"), "degree")

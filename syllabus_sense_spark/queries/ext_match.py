@@ -189,11 +189,16 @@ def match_fuzzy_parts_capped(spark, sf_dir):
     # form ran the whole BHJ interpreted and was SLOWER than the
     # exact tier at sf1; materialized, the join stage codegens).
     w = Window.partitionBy("p_brand", "blk").orderBy("p_name", "p_partkey")
-    ranked = (
+    # rotated: the returned pairs read this checkpoint; the next
+    # invocation releases it (one live generation per session)
+    from ._util import rotate_checkpoint
+
+    ranked = rotate_checkpoint(
+        "ext_match.match_fuzzy_parts_capped.ranked",
         p.withColumn("rn", F.row_number().over(w) - 1)
         .withColumn("chunk0", F.floor(F.col("rn") / _CAP))
         .withColumn("chunk1", F.floor((F.col("rn") + _HALF) / _CAP))
-        .localCheckpoint()
+        .localCheckpoint(),
     )
     # Two overlapping chunkings as a union of two plain projections of
     # the materialized artifact (no Generate in the join stage), then

@@ -128,7 +128,12 @@ def search_hybrid_rrf(spark, sf_dir):
         .filter(F.col("df") * _MAX_DF_DIV <= n_docs)
         .select("tok")
     )
-    postings = toks.join(df_ok, "tok").localCheckpoint()
+    from ._util import rotate_checkpoint
+
+    # rotated: backs the returned result; next invocation releases it
+    postings = rotate_checkpoint(
+        "ext_search2.postings", toks.join(df_ok, "tok").localCheckpoint()
+    )
 
     q_ids = (
         load(spark, sf_dir, "embeddings")

@@ -152,8 +152,14 @@ def simhash_fp_table(spark, sf_dir):
     from .ext_dedup import _persisted_fingerprints
 
     def build():
+        from ._util import release_checkpoint
+
         shingled = shingle_docs(_corpus(spark, sf_dir), n=2).localCheckpoint()
-        return simhash_fingerprints(shingled).localCheckpoint()
+        fp = simhash_fingerprints(shingled).localCheckpoint()
+        # the shingle table (corpus-token-sized) is dead once the
+        # compact fp table materializes — only fp survives the session
+        release_checkpoint(shingled)
+        return fp
 
     return _persisted_fingerprints(spark, sf_dir, "simhash_fp", build, persist=False)
 

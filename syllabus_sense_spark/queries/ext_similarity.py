@@ -295,10 +295,14 @@ def similarity_ann_lsh(spark, sf_dir):
     # side) and inlines into the probe-join key, where the interpreted
     # Predicate path evaluates it per candidate row (measured ~2.5 s
     # extra at sf0.1).
-    bucketed = (
+    from ._util import rotate_checkpoint
+
+    # rotated: backs the returned result; next invocation releases it
+    bucketed = rotate_checkpoint(
+        "ext_similarity.similarity_ann_lsh.bucketed",
         e.withColumn("bucket", bucket(F.col("v")))
         .withColumn("nrm", _norm("v"))
-        .localCheckpoint()
+        .localCheckpoint(),
     )
     probe_arr = "array(qbucket, " + ", ".join(
         f"qbucket ^ {1 << i}" for i in range(8)

@@ -91,7 +91,13 @@ def sketch_countmin_heavy_hitters(spark, sf_dir):
         .groupBy(F.col("l_partkey").alias("key"))
         .agg(F.count(F.lit(1)).alias("true_cnt"))
     )
-    cnt = cnt.localCheckpoint()  # shared by sketch build + top-k probe
+    from ._util import rotate_checkpoint
+
+    # shared by sketch build + top-k probe; rotated — backs the
+    # returned result, released by the next invocation
+    cnt = rotate_checkpoint(
+        "ext_sketches2.countmin.cnt", cnt.localCheckpoint()
+    )
 
     cells = None
     for i in range(len(_ROWS)):

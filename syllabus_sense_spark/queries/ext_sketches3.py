@@ -99,7 +99,13 @@ def sketch_kmv_distinct(spark, sf_dir):
         F.row_number().over(w_rank).alias("rn"),
         F.count(F.lit(1)).over(w_all).alias("n_exact"),
     )
-    kept = ranked.filter(F.col("rn") <= _K).localCheckpoint()
+    from ._util import rotate_checkpoint
+
+    # rotated: backs the returned result; next invocation releases it
+    kept = rotate_checkpoint(
+        "ext_sketches3.kmv.kept",
+        ranked.filter(F.col("rn") <= _K).localCheckpoint(),
+    )
 
     per_type = kept.groupBy("event_type").agg(
         F.max("n_exact").cast("bigint").alias("n_exact"),

@@ -161,11 +161,14 @@ def _run_merges(spark, sf_dir):
             "freq",
         )
     )
+    from ._util import release_checkpoint, rotate_checkpoint
+
     # The type table is the loop state: checkpoint it so iteration k's
     # plan doesn't re-tokenize the corpus or re-run merges 1..k-1.
     initial = words.localCheckpoint()
     words = initial
     merge_rows = []
+    bests = []
     for k in range(1, _N_MERGES + 1):
         best = (
             _pair_counts(words)
@@ -173,6 +176,7 @@ def _run_merges(spark, sf_dir):
             .limit(1)
             .localCheckpoint()
         )
+        bests.append(best)
         merge_rows.append(
             best.select(
                 F.lit(k).cast("bigint").alias("iter"),
@@ -182,7 +186,15 @@ def _run_merges(spark, sf_dir):
                 F.col("cnt").alias("pair_count"),
             )
         )
+        prev_words = words
         words = _merge_best(words, best).localCheckpoint()
+        # superseded loop state — released the moment its successor is
+        # materialized (initial survives: the encode query reads w1)
+        if prev_words is not initial:
+            release_checkpoint(prev_words)
+    # survivors back the returned DataFrames; the next invocation
+    # rotates them out as one generation
+    rotate_checkpoint("ext_training6._run_merges", initial, words, *bests)
     return merge_rows, initial, words
 
 

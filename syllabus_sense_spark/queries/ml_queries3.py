@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2
+from ._util import dec2, release_checkpoint, rotate_checkpoint
 
 _K = 4
 _ROUNDS = 3
@@ -112,7 +112,14 @@ def cluster_kmeans_1d_prices(spark, sf_dir):
                 for i in range(_K)
             ]
         )
+        prev_m = m
         m = new_m.localCheckpoint()
+        # superseded round's 1-row centroid checkpoint (round 1's
+        # prev is the lazy init aggregate — release is a no-op there)
+        release_checkpoint(prev_m)
+    # final centroids back the returned result — rotated, released by
+    # the next invocation
+    rotate_checkpoint("ml_queries3.kmeans.m", m)
     final = v.join(F.broadcast(m)).select("c", F.expr(assign_case).alias("cl"))
     centroid_case = (
         "CASE cl "

@@ -99,5 +99,11 @@ def join_bloom_runtime_filter(spark, sf_dir):
     with scoped_confs(spark, _CONFS):
         # localCheckpoint materializes under the scoped confs (the
         # optimizer injects the bloom filter at this action); the
-        # returned handle no longer depends on them.
-        return bloom_joined(spark, sf_dir).localCheckpoint()
+        # returned handle no longer depends on them. Rotated: the tiny
+        # result checkpoint is released when the query next runs.
+        from ._util import rotate_checkpoint
+
+        return rotate_checkpoint(
+            "relational12.join_bloom_runtime_filter",
+            bloom_joined(spark, sf_dir).localCheckpoint(),
+        )

@@ -74,5 +74,10 @@ def source_docx_pushdown(spark, sf_dir):
             )
         )
         # Materialize while the pushdown conf is active; the returned
-        # handle no longer depends on it.
-        return df.localCheckpoint()
+        # handle no longer depends on it. Rotated: the tiny result
+        # checkpoint is released when the query next runs.
+        from ._util import rotate_checkpoint
+
+        return rotate_checkpoint(
+            "source_queries3.docx_pushdown", df.localCheckpoint()
+        )

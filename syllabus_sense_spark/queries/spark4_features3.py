@@ -18,6 +18,14 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
+from ._util import rotate_checkpoint
+
+
+def _rot2(df, name):
+    """Register this invocation's tiny result checkpoint, releasing
+    the previous invocation's (conf-scoped materializations cannot be
+    released before return — the caller's action reads them)."""
+    return rotate_checkpoint(f"spark4_features3.{name}", df)
 
 _EXEC_IMMEDIATE_ORACLE = """
 SELECT o_orderpriority AS priority,
@@ -35,7 +43,7 @@ def sql_execute_immediate_params(spark, sf_dir):
     tag = uuid.uuid4().hex[:8]
     load(spark, sf_dir, "orders").createOrReplaceTempView(f"orders_ei_{tag}")
     try:
-        out = spark.sql(
+        out = _rot2(spark.sql(
             f"""EXECUTE IMMEDIATE
             'SELECT o_orderpriority AS priority,
                     CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -45,7 +53,7 @@ def sql_execute_immediate_params(spark, sf_dir):
              WHERE o_orderstatus = ? AND o_totalprice > ?
              GROUP BY o_orderpriority'
             USING 'O', 50000"""
-        ).localCheckpoint()
+        ).localCheckpoint(), "sql_execute_immediate_params")
     finally:
         spark.catalog.dropTempView(f"orders_ei_{tag}")
     return out
@@ -70,13 +78,13 @@ def sql_session_variables(spark, sf_dir):
     try:
         spark.sql(f"DECLARE VARIABLE {var} DOUBLE DEFAULT 0.0")
         spark.sql(f"SET VAR {var} = 1000")
-        out = spark.sql(
+        out = _rot2(spark.sql(
             f"""SELECT c_mktsegment AS segment,
                        CAST(COUNT(*) AS BIGINT) AS n_customers
                 FROM customer_sv_{tag}
                 WHERE c_acctbal > {var}
                 GROUP BY c_mktsegment"""
-        ).localCheckpoint()
+        ).localCheckpoint(), "sql_session_variables")
     finally:
         spark.sql(f"DROP TEMPORARY VARIABLE IF EXISTS {var}")
         spark.catalog.dropTempView(f"customer_sv_{tag}")
@@ -105,7 +113,7 @@ def sql_named_parameters(spark, sf_dir):
     tag = _uuid.uuid4().hex[:8]
     load(spark, sf_dir, "part").createOrReplaceTempView(f"part_np_{tag}")
     try:
-        out = spark.sql(
+        out = _rot2(spark.sql(
             f"""SELECT p_brand,
                        CAST(COUNT(*) AS BIGINT) AS n_parts,
                        CAST(MIN(p_size) AS INT) AS min_size
@@ -113,7 +121,7 @@ def sql_named_parameters(spark, sf_dir):
                 WHERE p_size BETWEEN :lo AND :hi AND p_retailprice > :minprice
                 GROUP BY p_brand""",
             args={"lo": 10, "hi": 30, "minprice": 1200},
-        ).localCheckpoint()
+        ).localCheckpoint(), "sql_named_parameters")
     finally:
         spark.catalog.dropTempView(f"part_np_{tag}")
     return out
@@ -190,14 +198,14 @@ def sql_pipe_syntax_rollup(spark, sf_dir):
     tag = _uuid.uuid4().hex[:8]
     load(spark, sf_dir, "lineitem").createOrReplaceTempView(f"li_pipe_{tag}")
     try:
-        out = spark.sql(
+        out = _rot2(spark.sql(
             f"""FROM li_pipe_{tag}
                 |> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                 |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_items,
                              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
                                   AS DOUBLE) AS total_qty
                    GROUP BY l_returnflag"""
-        ).select("l_returnflag", "n_items", "total_qty").localCheckpoint()
+        ).select("l_returnflag", "n_items", "total_qty").localCheckpoint(), "sql_pipe_syntax_rollup")
     finally:
         spark.catalog.dropTempView(f"li_pipe_{tag}")
     return out
@@ -231,7 +239,7 @@ def sql_unpivot_form(spark, sf_dir):
     tag = _uuid.uuid4().hex[:8]
     load(spark, sf_dir, "customer").createOrReplaceTempView(f"cust_up_{tag}")
     try:
-        out = spark.sql(
+        out = _rot2(spark.sql(
             f"""SELECT c_nationkey, metric, value FROM (
                   SELECT c_nationkey,
                          CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -243,7 +251,7 @@ def sql_unpivot_form(spark, sf_dir):
                 ) UNPIVOT (
                   value FOR metric IN (n_customers, n_positive, n_negative)
                 )"""
-        ).localCheckpoint()
+        ).localCheckpoint(), "sql_unpivot_form")
     finally:
         spark.catalog.dropTempView(f"cust_up_{tag}")
     return out

@@ -96,6 +96,22 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _default_driver_memory() -> str:
+    """min(28g, ~60% of MemAvailable), floored at 2g: the 28g bench
+    posture where the box affords it, a bootable session anywhere
+    else. Parses /proc/meminfo (Linux); other platforms get the
+    conservative 8g the engine shipped with before round 12."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_g = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(2, min(28, int(avail_g * 0.6)))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(app_name: str = "syllabus-sense-spark") -> SparkSession:
     """Create (or fetch) a SparkSession tuned for this engine.
 
@@ -113,8 +129,14 @@ def get_spark(app_name: str = "syllabus-sense-spark") -> SparkSession:
         # minhash band join at the sf10 probe tier, while the box has
         # 128 GiB and the cluster posture (CLUSTER_CONF above) gives
         # every executor 24g+4g. Match that posture locally — same
-        # memory-per-task a production executor would see.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "28g"))
+        # memory-per-task a production executor would see — but derive
+        # the default from the HOST's available RAM (r12 ADVICE: a
+        # hard-coded 28g encodes the 128 GiB bench box and fails to
+        # start on smaller hosts). SPARK_DRIVER_MEMORY still overrides.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_driver_memory()),
+        )
         .config("spark.ui.enabled", "false")
         # Wide codegen'd expressions (the statically-unrolled 64-term
         # vector dots in ext_similarity) compile to methods past

@@ -1,0 +1,131 @@
+"""Checkpoint-lifecycle leak laws (round-12 judge item 3).
+
+The sf10 session-death class, generalized: ``localCheckpoint`` persists
+its RDD at MEMORY_AND_DISK and nothing frees the blocks until JVM GC,
+so a query invoked N times in one session must not accumulate N live
+checkpoints. The package discipline under test:
+
+- loop-superseded checkpoints are released the moment their successor
+  materializes (``release_checkpoint``);
+- result-backing checkpoints are registered per call site and the NEXT
+  invocation releases the previous generation (``rotate_checkpoint``);
+- session artifacts (the ``session_artifact`` memo) are built once per
+  (app, sf_dir, kind) — bounded by construction, exempt.
+
+The law: live persisted-RDD count after N invocations equals the count
+after 1 invocation (the steady state may hold one live generation per
+site, but must not grow with N).
+"""
+
+from pyspark.sql import Row
+
+from syllabus_sense_spark.queries._util import (
+    _CHECKPOINT_GENERATIONS,
+    release_checkpoint,
+    rotate_checkpoint,
+)
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_rotate_checkpoint_bounds_generations(spark):
+    """Direct law for the helper: N rotations under one key keep ONE
+    live generation, and the previous generation's blocks are freed."""
+    key = "test.rotate.bounds"
+    try:
+        base = _n_persistent(spark)
+        first = spark.range(100).localCheckpoint()
+        rotate_checkpoint(key, first)
+        after_one = _n_persistent(spark)
+        assert after_one == base + 1
+        for i in range(4):
+            rotate_checkpoint(key, spark.range(100 + i).localCheckpoint())
+            assert _n_persistent(spark) == after_one, (
+                "rotation leaked a superseded generation"
+            )
+    finally:
+        for d in _CHECKPOINT_GENERATIONS.pop(key, []):
+            release_checkpoint(d)
+
+
+def test_components_repeated_invocations_do_not_accumulate(spark):
+    """connected_components invoked N times (collect each — the
+    driver/bench/oracle consumption pattern) holds a flat persisted-RDD
+    count: loop checkpoints released in-loop, the returned labels'
+    backing checkpoint rotated out by the next invocation."""
+    from syllabus_sense_spark.queries.ext_graph import connected_components
+
+    edges = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(30)]
+    ).repartition(4)
+    want = {(i, 0) for i in range(31)}
+
+    counts = []
+    for _ in range(3):
+        got = {
+            (r.doc_id, r.component_id)
+            for r in connected_components(edges, contract_levels=2).collect()
+        }
+        assert got == want
+        counts.append(_n_persistent(spark))
+    assert counts[2] <= counts[0], (
+        f"live persisted RDDs grew across invocations: {counts}"
+    )
+
+
+def test_dedup_query_repeated_invocations_do_not_accumulate(spark, sf_dir):
+    """The hottest leak path (r12 ADVICE): dedup_minhash_lsh's kept
+    band table is a per-invocation localCheckpoint that backs the
+    returned pairs. Three invocations with immediate consumption must
+    hold a flat persisted count — one live generation, not three."""
+    from syllabus_sense_spark.queries import load_all_queries, QUERIES
+
+    load_all_queries()
+    q = QUERIES["dedup_minhash_lsh"]
+    counts = []
+    rows = None
+    for _ in range(3):
+        got = q(spark, sf_dir).collect()
+        if rows is None:
+            rows = len(got)
+        assert len(got) == rows
+        counts.append(_n_persistent(spark))
+    assert counts[2] <= counts[0], (
+        f"live persisted RDDs grew across dedup invocations: {counts}"
+    )
+
+
+def test_graph_loop_queries_do_not_accumulate(spark, sf_dir):
+    """LPA and k-core: per-round checkpoints released in-loop, the
+    final result-backing checkpoint rotated by the next invocation."""
+    from syllabus_sense_spark.queries import load_all_queries, QUERIES
+
+    load_all_queries()
+    for qname in ("graph_label_propagation", "graph_kcore_peel"):
+        q = QUERIES[qname]
+        counts = []
+        for _ in range(2):
+            q(spark, sf_dir).collect()
+            counts.append(_n_persistent(spark))
+        assert counts[1] <= counts[0], (
+            f"{qname} leaked checkpoints across invocations: {counts}"
+        )
+
+
+def test_bpe_loop_releases_superseded_words(spark, sf_dir):
+    """training_bpe_merges runs an N-merge loop of word-table
+    checkpoints: superseded loop state must be released in-loop and
+    the survivors rotated, so repeat invocations stay flat."""
+    from syllabus_sense_spark.queries import load_all_queries, QUERIES
+
+    load_all_queries()
+    q = QUERIES["training_bpe_merges"]
+    counts = []
+    for _ in range(2):
+        q(spark, sf_dir).collect()
+        counts.append(_n_persistent(spark))
+    assert counts[1] <= counts[0], (
+        f"BPE loop leaked checkpoints across invocations: {counts}"
+    )
