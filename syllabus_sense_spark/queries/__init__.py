@@ -45,34 +45,14 @@ def register(name: str, oracle: str | None = None):
 # last-green round, so the oldest evidence rotates back into the
 # 50-slot window first and stale green rows get re-confirmed.
 _FORCE_RECHECK: list[str] = [
-    # Round-12 state: all 13 round-11 force/new entries landed
-    # latest-green r11 rows (verified against CORRECTNESS_r11.json
-    # before pruning: 50/50 green, 0 non-green names). Per the judge's
-    # round-12 order list the lists stay near-empty so the 50-slot
-    # window reaches the 39 remaining r01/r02-vintage greens via the
-    # ascending last-green tail sort.
-    # round-12 connected-components seeding (judge item 2): labels now
-    # start from a caller-provided seed (chunk-local min for the match
-    # graph) instead of the node id; converged fixpoint provably
-    # identical — min reachable id — and all consumers re-verified on
-    # the local gate. Rows re-earned by policy for every query whose
-    # plan goes through connected_components:
-    "match_entity_canonical",
-    "dedup_components",
-    "dedup_canonical_keep",
-    "dedup_semantic_clusters",
-    # round-12 ADVICE closure: lang-id now returns the 'und' sentinel
-    # for NULL/empty text in BOTH the Spark expression and the oracle
-    # (behavior contract fix; inert at gate SFs — documents.text has
-    # no NULLs — rows re-earned by policy):
-    "text_lang_id_heuristic",
-    # round-12 MinHash frequent-bucket cap (found by the fifth-decade
-    # probe: candidates grew 9.7× for 3.3× docs at sf10): band buckets
-    # >64 docs are skipped in BOTH the band self-join and the oracle's
-    # mirrored window-count CTE. Inert at gate SFs (max bucket 5 at
-    # sf0.01, 21 at sf0.1) — rows re-earned by policy:
-    "dedup_minhash_lsh",
-    "dedup_cluster_report",  # composes the capped candidate path
+    # Round-13 state: all r12 force entries landed latest-green r12
+    # rows (CORRECTNESS_r12: 50/50 green). This round's code changes
+    # are checkpoint LIFECYCLE only (rotate_checkpoint releases the
+    # PREVIOUS invocation's blocks; every query's own plan and output
+    # are bit-identical — pinned by tests/test_checkpoint_lifecycle.py
+    # and the full local oracle gate), so per the round-12 judge's
+    # item 6 the list stays EMPTY and the 50-slot window re-earns the
+    # ~30 r03-vintage greens via the ascending last-green tail sort.
 ]
 
 _NEW_THIS_ROUND: list[str] = [
