@@ -39,6 +39,116 @@ from . import register
 _SUPP_OFFSET = 1_000_000
 _ITER = 3
 
+# Broadcast guard for the node-sized tables (degrees, ranks, BFS
+# levels) the trade-graph queries hint into their iteration joins —
+# the ext_graph._BROADCAST_MAX_LABELS pattern, sized for THIS shape:
+# pagerank's lazily-unrolled job holds ~5 node-sized hash relations
+# live at once (cdeg, sdeg, one rank relation per unrolled iteration),
+# so the per-relation bound is lower than the components loop's 20M.
+# 2M rows × ~100 B/entry × 5 live ≈ 1 GB of relations — safe beside
+# the (deserialized, partially disk-resident) edge checkpoint. Found
+# by the sixth-decade probe: at sf30 the trade graph has ~4.8M nodes
+# and ~170M edge pairs, and the unguarded broadcasts OOM'd a 28 GB
+# heap (reproduced isolated); at sf10 (1.6M nodes) broadcasts stay —
+# plans and timings unchanged at every gate tier.
+_BROADCAST_MAX_NODES = 2_000_000
+
+# One exact node count per (app, sf_dir), memoized: a single
+# countDistinct aggregate over the checkpointed edge artifact (~2 s at
+# sf30, amortized across pagerank + BFS + repeated runs in a session).
+_NODE_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def trade_edges(spark, sf_dir: str):
+    """Session-persisted graph snapshot: the distinct (cust, supp)
+    trade pairs feed the degree aggregate, both edge directions, and
+    repeated ranking/BFS runs in one session — cached once per
+    (app, sf) like the fingerprint artifacts, probed thereafter.
+
+    COLUMNAR persist, not localCheckpoint (sixth-decade fix): at sf30
+    the pair table is ~170M rows, and a checkpoint stores them as
+    DESERIALIZED Java rows (~10+ GB) whose disk-evicted blocks are
+    re-inflated per scan (`maybeCacheDiskValuesInMemory`) — the heap
+    death the sf30 probe reproduced in isolation. The compressed
+    columnar cache is ~a tenth the size, reads without per-row object
+    churn, and still materializes once and shares across consumers."""
+    from .ext_dedup import session_artifact
+
+    def _build_edges():
+        orders = load(spark, sf_dir, "orders")
+        lineitem = load(spark, sf_dir, "lineitem")
+        return (
+            orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+            .select(
+                F.col("o_custkey").alias("cust"),
+                F.col("l_suppkey").alias("supp"),
+            )
+            .distinct()
+        )
+
+    return session_artifact(
+        spark, sf_dir, "trade_edges_cols", _build_edges, persist=True
+    )
+
+
+def _trade_node_count(spark, sf_dir: str, edges) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    n = _NODE_COUNT_CACHE.get(key)
+    if n is None:
+        row = edges.agg(
+            F.countDistinct("cust").alias("nc"),
+            F.countDistinct("supp").alias("ns"),
+        ).first()
+        n = row.nc + row.ns
+        _NODE_COUNT_CACHE[key] = n
+    return n
+
+
+def trade_node_hint(spark, sf_dir: str, edges):
+    """F.broadcast while the trade graph's node tables fit the guard,
+    identity past it (shuffle joins on the same keys — the degradation
+    the docstrings always promised; above the guard the planner gets
+    the exchange back)."""
+    if _trade_node_count(spark, sf_dir, edges) <= _BROADCAST_MAX_NODES:
+        return F.broadcast
+    return lambda df: df
+
+
+def trade_und(spark, sf_dir: str, edges):
+    """Doubled (src, dst) view of the trade graph, one row per edge
+    direction. Below the node guard it stays LAZY — a map-side
+    projection of the checkpointed edge artifact, re-derived per
+    iteration for free next to the broadcast joins. ABOVE the guard
+    the iteration joins are shuffles, and a lazy und would re-shuffle
+    all 2|E| rows every iteration — so it is materialized ONCE as a
+    src-partitioned session artifact (defaultParallelism×8 partitions:
+    wide enough that a partition's deserialized form stays ~100 MB and
+    the disk-block re-cache storm that OOM'd the unguarded sf30 run
+    cannot recur), and each iteration shuffles only the node-sized
+    rank/level side against it."""
+    und = edges.select(
+        F.col("cust").alias("src"),
+        (F.col("supp") + _SUPP_OFFSET).alias("dst"),
+    ).unionByName(
+        edges.select(
+            (F.col("supp") + _SUPP_OFFSET).alias("src"),
+            F.col("cust").alias("dst"),
+        )
+    )
+    if _trade_node_count(spark, sf_dir, edges) <= _BROADCAST_MAX_NODES:
+        return und
+    from .ext_dedup import session_artifact
+
+    def build():
+        # columnar persist (not checkpoint) for the same reason as
+        # trade_edges: 2|E| deserialized rows would dominate the heap.
+        # The repartition's HashPartitioning(src) survives into the
+        # cached relation, so iteration joins reuse it exchange-free.
+        p = spark.sparkContext.defaultParallelism * 8
+        return und.repartition(p, "src")
+
+    return session_artifact(spark, sf_dir, "trade_und_part", build, persist=True)
+
 
 def _oracle() -> str:
     head = f"""
@@ -70,71 +180,51 @@ r{k} AS (
 
 @register("graph_pagerank_trade", _oracle())
 def graph_pagerank_trade(spark, sf_dir):
-    # Session-persisted graph snapshot: the distinct (cust, supp)
-    # trade pairs feed four consumers (two degree aggs + both edge
-    # directions) within the query AND repeated ranking runs in one
-    # session — materialized once per (app, sf) like the fingerprint
-    # artifacts, probed thereafter.
-    from .ext_dedup import session_artifact
+    edges = trade_edges(spark, sf_dir)
+    # Degrees come from ONE groupBy over the doubled edge view (und
+    # out-degree = edge count on either side). The per-edge share is
+    # precombined NODE-side each iteration — rpd = ranks ⋈ deg →
+    # (src, share) — so the big join ships exactly one node-sized
+    # relation per iteration (the r12-vintage shape broadcast ranks
+    # AND two static degree tables: three node-sized relations per
+    # unrolled plan, which is what OOM'd sf30). deg's aggregation
+    # subtree appears once per iteration but Spark's ReuseExchange
+    # dedups it within the one pipelined job.
+    hint = trade_node_hint(spark, sf_dir, edges)
+    und = trade_und(spark, sf_dir, edges)
+    # deg is node-sized and consumed by every iteration plus the rank
+    # init — materialize it ONCE (rotated: the returned ranks read it
+    # lazily, so the next invocation releases it). Left lazy, the
+    # 2|E|-row aggregation re-ran inside every iteration's broadcast
+    # subtree (measured 1.9× on the whole query at sf10).
+    from ._util import rotate_checkpoint
 
-    def _build_edges():
-        orders = load(spark, sf_dir, "orders")
-        lineitem = load(spark, sf_dir, "lineitem")
-        return (
-            orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-            .select(
-                F.col("o_custkey").alias("cust"),
-                F.col("l_suppkey").alias("supp"),
-            )
-            .distinct()
-            .localCheckpoint()
-        )
-
-    edges = session_artifact(
-        spark, sf_dir, "trade_edges", _build_edges, persist=False
+    deg = rotate_checkpoint(
+        "ext_graph2.pagerank.deg",
+        und.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .select(F.col("src").alias("node"), "od")
+        .localCheckpoint(),
     )
-    # Out-degrees come from the *directed* edge list (the undirected
-    # doubling makes node out-degree = its edge count on either side):
-    # two per-node-count aggregates, each ≪ edges, broadcast back onto
-    # the edge list — so the degree attachment is map-side, never a
-    # shuffle join of the doubled edge table against itself. (At
-    # web-graph scale where even the node table outgrows broadcast,
-    # drop the hints: the joins fall back to a shuffle on the same
-    # keys and nothing else changes.)
-    cdeg = edges.groupBy("cust").agg(F.count(F.lit(1)).alias("od"))
-    sdeg = edges.groupBy("supp").agg(F.count(F.lit(1)).alias("od"))
-    fwd = edges.join(F.broadcast(cdeg), "cust").select(
-        F.col("cust").alias("src"),
-        (F.col("supp") + _SUPP_OFFSET).alias("dst"),
-        "od",
-    )
-    rev = edges.join(F.broadcast(sdeg), "supp").select(
-        (F.col("supp") + _SUPP_OFFSET).alias("src"),
-        F.col("cust").alias("dst"),
-        "od",
-    )
-    # Edge list with the sender's out-degree attached. Left lazy on
-    # purpose: it appears once per iteration in the DAG, but its
-    # upstream is the *checkpointed* edge table plus two broadcast
-    # joins — re-deriving it per iteration is map-side-only work,
-    # cheaper than materializing a second 2|E|-row checkpoint.
-    e2 = fwd.unionByName(rev)
-    ranks = cdeg.select(F.col("cust").alias("node")).unionByName(
-        sdeg.select((F.col("supp") + _SUPP_OFFSET).alias("node"))
-    ).withColumn("r", F.lit(1_000_000).cast("long"))
+    ranks = deg.select("node").withColumn("r", F.lit(1_000_000).cast("long"))
     # The iteration chain stays LAZY: rank(k) feeds rank(k+1) as a
     # linear plan (no recomputation), so the whole fixed-point runs as
     # one pipelined job — one shuffle per iteration (the groupBy), and
-    # the rank side enters each join as a broadcast (one row per node,
-    # ≪ edges; at web-graph scale drop the hint and AQE falls back to
-    # a shuffle join on the same keys). For convergence-style loops of
-    # unknown depth, per-iteration localCheckpoint + a changed-count
-    # action is the posture (see ext_graph.connected_components);
-    # a fixed 3-step unroll doesn't need it.
+    # the share side enters each join as a broadcast while the node
+    # guard holds. Past the guard, und is the src-partitioned artifact
+    # (trade_und) and each iteration shuffles only the node-sized rpd
+    # plus the groupBy — the textbook distributed-PageRank cost. For
+    # convergence-style loops of unknown depth, per-iteration
+    # localCheckpoint + a changed-count action is the posture (see
+    # ext_graph.connected_components); a fixed 3-step unroll doesn't
+    # need it.
     for _ in range(_ITER):
+        rpd = ranks.join(hint(deg), "node").select(
+            F.col("node").alias("src"),
+            F.expr("(r * 17) DIV (20 * od)").alias("share"),
+        )
         ranks = (
-            e2.join(F.broadcast(ranks), e2.src == ranks.node)
-            .select("dst", F.expr("(r * 17) DIV (20 * od)").alias("share"))
+            und.join(hint(rpd), "src")
             .groupBy("dst")
             .agg((F.lit(150_000) + F.sum("share")).alias("r"))
             .select(F.col("dst").alias("node"), F.col("r"))

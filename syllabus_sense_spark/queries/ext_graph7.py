@@ -71,33 +71,14 @@ l{k} AS (
 
 @register("graph_bfs_levels", _oracle())
 def graph_bfs_levels(spark, sf_dir):
-    from .ext_dedup import session_artifact
+    # shared columnar trade-graph snapshot + doubled edge view (lazy
+    # map-side below the node guard, the src-partitioned cached
+    # artifact above it) — see ext_graph2 for the sixth-decade story
+    from .ext_graph2 import trade_edges, trade_node_hint, trade_und
 
-    def _build_edges():
-        orders = load(spark, sf_dir, "orders")
-        lineitem = load(spark, sf_dir, "lineitem")
-        return (
-            orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-            .select(
-                F.col("o_custkey").alias("cust"),
-                F.col("l_suppkey").alias("supp"),
-            )
-            .distinct()
-            .localCheckpoint()
-        )
+    edges = trade_edges(spark, sf_dir)
 
-    edges = session_artifact(
-        spark, sf_dir, "trade_edges", _build_edges, persist=False
-    )
-    und = edges.select(
-        F.col("cust").alias("src"),
-        (F.col("supp") + _SUPP_OFFSET).alias("dst"),
-    ).unionByName(
-        edges.select(
-            (F.col("supp") + _SUPP_OFFSET).alias("src"),
-            F.col("cust").alias("dst"),
-        )
-    )
+    und = trade_und(spark, sf_dir, edges)
     levels = (
         edges.filter(F.col("cust") % 100 == 1)
         .select(F.col("cust").alias("node"))
@@ -106,10 +87,14 @@ def graph_bfs_levels(spark, sf_dir):
     )
     # Fixed 3-hop unroll stays lazy (linear plan, one shuffle per
     # round — the groupBy MIN); the level table enters each join as a
-    # broadcast while it fits, exactly as graph_pagerank_trade.
+    # broadcast while the trade graph's node count fits the guard,
+    # exactly as graph_pagerank_trade (the level table is bounded by
+    # the node count — past the guard the joins shuffle instead, with
+    # und pre-partitioned by the join key).
+    hint = trade_node_hint(spark, sf_dir, edges)
     for _ in range(_HOPS):
         expanded = (
-            und.join(F.broadcast(levels), und.src == levels.node)
+            und.join(hint(levels), und.src == levels.node)
             .select(F.col("dst").alias("node"), (F.col("level") + 1).alias("level"))
             .unionByName(levels)
         )

@@ -103,7 +103,11 @@ def test_graph_loop_queries_do_not_accumulate(spark, sf_dir):
     from syllabus_sense_spark.queries import load_all_queries, QUERIES
 
     load_all_queries()
-    for qname in ("graph_label_propagation", "graph_kcore_peel"):
+    for qname in (
+        "graph_label_propagation",
+        "graph_kcore_peel",
+        "graph_pagerank_trade",  # rotated deg checkpoint (r13)
+    ):
         q = QUERIES[qname]
         counts = []
         for _ in range(2):
