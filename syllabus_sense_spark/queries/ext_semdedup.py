@@ -112,26 +112,71 @@ def semdedup_cell_table(spark, sf_dir):
 
     Checkpointed inside the build: the assignment feeds BOTH sides of
     the pair self-join — materialize it once instead of recomputing
-    per side."""
-    from pyspark.sql import Window
+    per side.
 
+    Sixth-decade fix (sf30 probe): the coarse assignment is a batched
+    numpy GEMM over ``mapInPandas``, not an N×n_cells crossJoin with
+    per-row expression dots. Measured at sf30 the expression path —
+    window OR narrow-aggregate variant, both ~350 ns/row — spent
+    ~525 s on the 1.7B (vector, centroid) pairs; one (batch×64) @
+    (64×C) BLAS call per Arrow batch is ~100× cheaper per pair, the
+    exact move the per-cell GEMM below already makes for pair search
+    (and FAISS makes for IVF assignment). Selection parity with the
+    oracle's ORDER BY sim DESC, cent_id: centroids enter the matrix
+    sorted by cent_id and the per-row argsort is STABLE on -sim, so
+    exact ties break to the smaller cent_id; for near-ties the same
+    margin argument as τ applies — adjacent centroid cosines for this
+    corpus family are separated far beyond the O(1e-13) cross-engine
+    summation-order drift (pinned by tests/test_semdedup_margin.py).
+    Remaining asymptotic: N×n_cells FLOPs with n_cells ∝ N (the
+    oracle-static centroid stride) is N²/251 — the SemDeDup
+    coarse-assignment cost, documented in SCALE.md."""
     from .ext_dedup import _persisted_fingerprints
 
     def build():
+        import numpy as np
+        import pandas as pd
+
         corpus = _corpus_vec(spark, sf_dir).withColumn("nrm", _norm("v"))
-        cent = corpus.filter(F.expr(_CENTROID_PRED)).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cnrm"),
+        # Centroid matrix to the driver: C = N/251 rows of 64 doubles
+        # (~1.3 MB at sf30) — the "broadcast small dim" read, same
+        # budget class as a broadcast hash relation. At the scale
+        # where C itself outgrows a broadcast, the whole flat-IVF
+        # design hands over to a learned fixed-k codebook anyway.
+        cent_rows = (
+            corpus.filter(F.expr(_CENTROID_PRED))
+            .select("vec_id", "v", "nrm")
+            .collect()
         )
-        sim_to_cent = _dot_unrolled("v", "cv") / (F.col("nrm") * F.col("cnrm"))
-        w_assign = Window.partitionBy("vec_id").orderBy(
-            sim_to_cent.desc(), F.col("cent_id")
+        cent_rows.sort(key=lambda r: r.vec_id)  # stable tie-break order
+        cent_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+        cmat = np.array([r.v for r in cent_rows], dtype=np.float64)
+        cnrm = np.array([r.nrm for r in cent_rows], dtype=np.float64)
+        bc = spark.sparkContext.broadcast((cent_ids, cmat, cnrm))
+
+        def assign(batches):
+            ids, mat, nr = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                vn = pdf["nrm"].to_numpy().astype(np.float64)
+                s = (m @ mat.T) / np.outer(vn, nr)
+                # stable argsort on -sim == ORDER BY sim DESC, cent_id
+                top = np.argsort(-s, axis=1, kind="stable")[:, :2]
+                vid = pdf["vec_id"].to_numpy()
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(vid, 2),
+                        "cent_id": ids[top].ravel(),
+                    }
+                )
+
+        assigned = corpus.select("vec_id", "v", "nrm").mapInPandas(
+            assign, "vec_id long, cent_id long"
         )
         return (
-            corpus.crossJoin(F.broadcast(cent))
-            .withColumn("cent_rank", F.row_number().over(w_assign))
-            .filter(F.col("cent_rank") <= 2)
+            assigned.join(corpus, "vec_id")
             .select("vec_id", "v", "nrm", "cent_id")
             .localCheckpoint()
         )

@@ -431,41 +431,51 @@ def ivf_assignments(spark, sf_dir):
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
     )
-    sim_to_cent = _dot_unrolled("v", "cv") / (
-        F.col("nrm") * F.col("cnrm")
-    )
-
     def _build_assigned():
-        top2 = (
-            # bytes-sized splits under-parallelize the N×n_cells dot
-            # fan-out (see similarity_topk_bruteforce) — spread the
-            # vector side over all cores before the crossJoin
-            e.select("vec_id", "v", "nrm")
-            .repartition(spark.sparkContext.defaultParallelism)
-            .crossJoin(F.broadcast(cent))
-            .select(
-                "vec_id",
-                F.struct(
-                    (-sim_to_cent).alias("neg_sim"), F.col("cent_id")
-                ).alias("cs"),
-            )
-            .groupBy("vec_id")
-            .agg(
-                F.slice(
-                    F.sort_array(F.collect_list("cs")), 1, _IVF_NPROBE
-                ).alias("top_cells")
-            )
-        )
+        # Batched numpy GEMM over mapInPandas, not the N×n_cells
+        # crossJoin with per-row expression dots (sixth-decade fix —
+        # the sf30 probe measured the expression path at ~350 ns/pair
+        # either as a window or as the earlier narrow sort_array
+        # aggregate; one (batch×64)@(64×C) BLAS call per Arrow batch
+        # is ~100× cheaper per pair, the FAISS IVF-assignment shape).
+        # Selection parity with the oracle's ROW_NUMBER: centroids
+        # enter the matrix sorted by cent_id and the per-row argsort
+        # is STABLE on -sim (exact ties -> smaller cent_id); near-tie
+        # margins are pinned by tests/test_semdedup_margin.py.
+        import numpy as np
+        import pandas as pd
+
+        cent_rows = cent.select("cent_id", "cv", "cnrm").collect()
+        cent_rows.sort(key=lambda r: r.cent_id)
+        cent_ids = np.array([r.cent_id for r in cent_rows], dtype=np.int64)
+        cmat = np.array([r.cv for r in cent_rows], dtype=np.float64)
+        cnrm_arr = np.array([r.cnrm for r in cent_rows], dtype=np.float64)
+        bc = spark.sparkContext.broadcast((cent_ids, cmat, cnrm_arr))
+
+        def assign(batches):
+            ids, mat, nr = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                vn = pdf["nrm"].to_numpy().astype(np.float64)
+                s = (m @ mat.T) / np.outer(vn, nr)
+                top = np.argsort(-s, axis=1, kind="stable")[:, :_IVF_NPROBE]
+                vid = pdf["vec_id"].to_numpy()
+                k = top.shape[1]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(vid, k),
+                        "cent_id": ids[top].ravel(),
+                        "cent_rank": np.tile(
+                            np.arange(1, k + 1, dtype=np.int64), len(vid)
+                        ),
+                    }
+                )
+
         return (
-            top2.select(
-                "vec_id",
-                F.posexplode("top_cells").alias("pos", "cs"),
-            )
-            .select(
-                "vec_id",
-                F.col("cs.cent_id").alias("cent_id"),
-                (F.col("pos") + 1).alias("cent_rank"),
-            )
+            e.select("vec_id", "v", "nrm")
+            .mapInPandas(assign, "vec_id long, cent_id long, cent_rank long")
             .join(e, "vec_id")
             .select("vec_id", "label", "v", "nrm", "cent_id", "cent_rank")
         )
