@@ -46,13 +46,21 @@ def register(name: str, oracle: str | None = None):
 # 50-slot window first and stale green rows get re-confirmed.
 _FORCE_RECHECK: list[str] = [
     # Round-13 state: all r12 force entries landed latest-green r12
-    # rows (CORRECTNESS_r12: 50/50 green). This round's code changes
-    # are checkpoint LIFECYCLE only (rotate_checkpoint releases the
-    # PREVIOUS invocation's blocks; every query's own plan and output
-    # are bit-identical — pinned by tests/test_checkpoint_lifecycle.py
-    # and the full local oracle gate), so per the round-12 judge's
-    # item 6 the list stays EMPTY and the 50-slot window re-earns the
-    # ~30 r03-vintage greens via the ascending last-green tail sort.
+    # rows (CORRECTNESS_r12: 50/50 green). Most round-13 changes are
+    # checkpoint LIFECYCLE only (rotate_checkpoint releases the
+    # PREVIOUS invocation's blocks; plans and outputs bit-identical —
+    # pinned by tests/test_checkpoint_lifecycle.py and the full local
+    # oracle gate), which needs no re-earn. The sixth-decade (sf30)
+    # fixes below DID change plans/mechanics — outputs verified
+    # identical on the local gate, rows re-earned by policy:
+    # - trade-graph node guard + rpd precombine + columnar snapshot
+    "graph_pagerank_trade",
+    "graph_bfs_levels",
+    # - coarse assignment as batched numpy GEMM (margin-law-backed)
+    "dedup_semantic_clusters",
+    "similarity_ivf_cells",
+    "training_hard_negatives_ivf",
+    # The rest of the 50-slot window drains the r03/r04-vintage tail.
 ]
 
 _NEW_THIS_ROUND: list[str] = [

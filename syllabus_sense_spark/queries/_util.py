@@ -194,6 +194,30 @@ def release_checkpoint(df) -> None:
         pass
 
 
+def ser_checkpoint(df):
+    """localCheckpoint with SERIALIZED MEMORY_AND_DISK storage — the
+    posture for corpus-scale tables (band/kept tables, token tables,
+    postings, pair streams, fat-vector cell tables).
+
+    The default localCheckpoint level stores DESERIALIZED rows: at
+    sf30 a ~24M-row band table is several GB of object graph, and any
+    block evicted to disk re-inflates on every later read
+    (BlockManager.maybeCacheDiskValuesInMemory) across all 32 task
+    threads at once — the heap-death signature both sf30 probe
+    sessions hit. Serialized blocks are a fraction of the size, evict
+    and re-read as plain byte buffers, and cost one cheap
+    UnsafeRow-level (de)serialization pass. Node-sized loop state
+    keeps the default level — its working set is small and the
+    deserialized read path is marginally faster there.
+
+    Python's StorageLevel.MEMORY_AND_DISK is the serialized variant
+    (deserialized=False); the JVM default is MEMORY_AND_DISK_DESER.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+
+
 # One live checkpoint GENERATION per call site: query functions whose
 # RESULT is backed by a per-invocation localCheckpoint cannot release
 # it before returning (the caller's action still reads it), so they

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..tables import load
 from . import register
-from ._util import rotate_checkpoint
+from ._util import rotate_checkpoint, ser_checkpoint
 
 # 8 bands x 2 rows: band-collision probability 1-(1-j^2)^8 keeps
 # recall >= 0.99 even for short docs whose planted-dup Jaccard dips to
@@ -375,11 +375,12 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
     # ADVICE leak).
     kept = rotate_checkpoint(
         "ext_dedup.candidate_pairs.kept",
-        bands.repartition(sc.defaultParallelism, *keys)
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
-        .filter(F.col("n") <= MINHASH_MAX_BUCKET)
-        .drop("n")
-        .localCheckpoint(),
+        ser_checkpoint(
+            bands.repartition(sc.defaultParallelism, *keys)
+            .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+            .filter(F.col("n") <= MINHASH_MAX_BUCKET)
+            .drop("n")
+        ),
     )
     a = kept.alias("a")
     b = kept.alias("b")

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from . import register
-from ._util import release_checkpoint, rotate_checkpoint
+from ._util import release_checkpoint, rotate_checkpoint, ser_checkpoint
 from .ext_dedup import (
     _MINHASH_ORACLE,
     _corpus,
@@ -124,11 +124,15 @@ def connected_components(
     # the union's two branches each contain the caller's (possibly
     # expensive — semdedup's pair search) edge subtree, so without the
     # checkpoint the first action computes it twice.
-    edges = edges.localCheckpoint()
+    # pair-stream checkpoints store SERIALIZED (corpus-scale rows;
+    # see _util.ser_checkpoint — the deserialized default's re-inflate
+    # storm is the sf30 session-death signature); node-sized loop
+    # state below keeps the default level.
+    edges = ser_checkpoint(edges)
     retired = edges  # superseded checkpoint, released once replaced
     for _ in range(contract_levels):
         nparts = max(1, edges.rdd.getNumPartitions())
-        stars = partition_local_contract(edges).localCheckpoint()
+        stars = ser_checkpoint(partition_local_contract(edges))
         _release_checkpoint(retired)
         retired = stars
         if nparts == 1 and (
@@ -156,7 +160,7 @@ def connected_components(
     und = fwd.unionByName(rev)
     if dedup_edges:
         und = und.distinct()
-    und = und.localCheckpoint()
+    und = ser_checkpoint(und)
     _release_checkpoint(retired)  # und now holds the (contracted) edges
     labels = (
         und.select(F.col("src").alias("doc_id"))

@@ -191,14 +191,15 @@ def match_fuzzy_parts_capped(spark, sf_dir):
     w = Window.partitionBy("p_brand", "blk").orderBy("p_name", "p_partkey")
     # rotated: the returned pairs read this checkpoint; the next
     # invocation releases it (one live generation per session)
-    from ._util import rotate_checkpoint
+    from ._util import rotate_checkpoint, ser_checkpoint
 
     ranked = rotate_checkpoint(
         "ext_match.match_fuzzy_parts_capped.ranked",
-        p.withColumn("rn", F.row_number().over(w) - 1)
-        .withColumn("chunk0", F.floor(F.col("rn") / _CAP))
-        .withColumn("chunk1", F.floor((F.col("rn") + _HALF) / _CAP))
-        .localCheckpoint(),
+        ser_checkpoint(
+            p.withColumn("rn", F.row_number().over(w) - 1)
+            .withColumn("chunk0", F.floor(F.col("rn") / _CAP))
+            .withColumn("chunk1", F.floor((F.col("rn") + _HALF) / _CAP))
+        ),
     )
     # Two overlapping chunkings as a union of two plain projections of
     # the materialized artifact (no Generate in the join stage), then

@@ -128,11 +128,11 @@ def search_hybrid_rrf(spark, sf_dir):
         .filter(F.col("df") * _MAX_DF_DIV <= n_docs)
         .select("tok")
     )
-    from ._util import rotate_checkpoint
+    from ._util import rotate_checkpoint, ser_checkpoint
 
     # rotated: backs the returned result; next invocation releases it
     postings = rotate_checkpoint(
-        "ext_search2.postings", toks.join(df_ok, "tok").localCheckpoint()
+        "ext_search2.postings", ser_checkpoint(toks.join(df_ok, "tok"))
     )
 
     q_ids = (

@@ -175,10 +175,12 @@ def semdedup_cell_table(spark, sf_dir):
         assigned = corpus.select("vec_id", "v", "nrm").mapInPandas(
             assign, "vec_id long, cent_id long"
         )
-        return (
-            assigned.join(corpus, "vec_id")
-            .select("vec_id", "v", "nrm", "cent_id")
-            .localCheckpoint()
+        from ._util import ser_checkpoint
+
+        return ser_checkpoint(
+            assigned.join(corpus, "vec_id").select(
+                "vec_id", "v", "nrm", "cent_id"
+            )
         )
 
     return _persisted_fingerprints(spark, sf_dir, "semdedup_cells", build, persist=False)

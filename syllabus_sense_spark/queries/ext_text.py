@@ -116,19 +116,21 @@ def quality_unigram_lm_score(spark, sf_dir):
     # across consumers — left lazy, the scan + explode + md5 ran
     # twice (the simhash shingle lesson; measured 7.5 -> 3.3 s at
     # sf1). Same session-artifact posture as the dedup fingerprints.
-    from ._util import rotate_checkpoint
+    from ._util import rotate_checkpoint, ser_checkpoint
 
     # rotated: the token table backs the returned result — the next
     # invocation releases it (token-instance-sized, the biggest
     # per-invocation checkpoint in the text family)
     tok = rotate_checkpoint(
         "ext_text.quality_unigram_lm_score.tok",
-        d.select("doc_id", F.explode(toks).alias("tok")).select(
-            "doc_id",
-            F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10)
-            .cast("bigint")
-            .alias("h"),
-        ).localCheckpoint(),
+        ser_checkpoint(
+            d.select("doc_id", F.explode(toks).alias("tok")).select(
+                "doc_id",
+                F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10)
+                .cast("bigint")
+                .alias("h"),
+            )
+        ),
     )
     freq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").cast("bigint").alias("n"))

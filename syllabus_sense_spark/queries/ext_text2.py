@@ -62,14 +62,14 @@ def text_tfidf_top_term(spark, sf_dir):
     # carries no stats, so the auto-threshold never fires); at a
     # corpus whose vocabulary outgrows broadcast, drop the hint and
     # this becomes the standard shuffled tf x idf join.
-    from ._util import rotate_checkpoint
+    from ._util import rotate_checkpoint, ser_checkpoint
 
     # rotated: backs the returned result; next invocation releases it
     tf = rotate_checkpoint(
         "ext_text2.tfidf.tf",
-        toks.groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(),
+        ser_checkpoint(
+            toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+        ),
     )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df), "tok").select(
