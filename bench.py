@@ -169,13 +169,75 @@ def _calibration(spark) -> float:
     return best
 
 
-def _prev_calibration() -> float | None:
-    """The previous round's calibration seconds, recovered from the
+def _latest_bench_round(here: str | None = None) -> int:
+    """Highest N over the driver-archived BENCH_r{N}.json files beside
+    this script (0 when none exist — round 1)."""
+    import glob
+    import re
+
+    here = here or os.path.dirname(os.path.abspath(__file__))
+    best = 0
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def _history_path(rnd: int, here: str | None = None) -> str:
+    here = here or os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(here, "tools", "bench_history", f"r{rnd}.json")
+
+
+def _write_history(payload: dict, here: str | None = None) -> str:
+    """Persist the FULL bench JSON to a committed per-round history
+    file (r13 judge item 2: the driver archives only a 2000-char
+    stdout tail, and BENCH_r13 ran with movers_basis='none' because
+    r12's tail was consumed by its movers block — a 5× mover sailed
+    through uncompared). The current round is the latest archived
+    BENCH round + 1 (the driver writes BENCH_r{N}.json AFTER round N's
+    bench runs, so at run time only rounds < N are archived); re-runs
+    within a round overwrite, keeping exactly one file per round."""
+    rnd = _latest_bench_round(here) + 1
+    path = _history_path(rnd, here)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    return path
+
+
+def _prev_history(here: str | None = None) -> dict | None:
+    """The previous round's FULL bench payload from the committed
+    history file, matched to the latest driver-archived round (the
+    bench that ran during round N wrote history r{N}; the driver then
+    archived BENCH_r{N}.json — same N)."""
+    rnd = _latest_bench_round(here)
+    if rnd <= 0:
+        return None
+    try:
+        with open(_history_path(rnd, here)) as fh:
+            data = json.load(fh)
+        return data if isinstance(data, dict) else None
+    except Exception:
+        return None
+
+
+def _prev_calibration(here: str | None = None) -> float | None:
+    """The previous round's calibration seconds — from the committed
+    bench-history file when present, else recovered from the
     BENCH_r*.json stdout tail (None before round 12 / if truncated)."""
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    hist = _prev_history(here)
+    if hist is not None:
+        try:
+            cal = float(hist.get("calibration_sec") or 0)
+            if cal > 0:
+                return cal
+        except Exception:
+            pass
+    here = here or os.path.dirname(os.path.abspath(__file__))
     best_round, best_path = -1, None
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"r(\d+)", os.path.basename(path))
@@ -192,18 +254,28 @@ def _prev_calibration() -> float | None:
         return None
 
 
-def _prev_bench_queries() -> tuple[dict[str, float], str]:
-    """Per-query seconds from the latest BENCH_r*.json beside this
-    file, plus which half they are ('queries' = fn+write totals,
-    'execute' = noop-write half) so the caller compares like with
-    like. The driver archives only a 2000-char stdout TAIL, which
-    truncates the leading 'queries' dict but usually preserves the
-    later 'execute' dict — recover whichever parses. Empty when
-    nothing is recoverable (round 1 / format change)."""
+def _prev_bench_queries(here: str | None = None) -> tuple[dict[str, float], str]:
+    """Per-query seconds for the previous round, plus which half they
+    are ('queries' = fn+write totals, 'execute' = noop-write half) so
+    the caller compares like with like. Prefers the committed
+    bench-history file (full payload, both halves — 'queries' wins);
+    falls back to the driver's BENCH_r*.json archive, whose 2000-char
+    stdout TAIL truncates the leading 'queries' dict but usually
+    preserves the later 'execute' dict — recover whichever parses.
+    Empty when nothing is recoverable (round 1 / format change)."""
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    hist = _prev_history(here)
+    if hist is not None:
+        for key in ("queries", "execute"):
+            q = hist.get(key)
+            if isinstance(q, dict) and q:
+                try:
+                    return {k: float(v) for k, v in q.items()}, key
+                except Exception:
+                    pass
+    here = here or os.path.dirname(os.path.abspath(__file__))
     best_round, best_path = -1, None
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"r(\d+)", os.path.basename(path))
@@ -245,9 +317,32 @@ def _time_query(spark, fn, sf_dir: str, n_iters: int) -> tuple[float, float]:
     return best, best_e
 
 
+def _pin_driver_memory() -> None:
+    """r13 ADVICE: ``spark.driver.memory`` defaults to ~60% of
+    MemAvailable (session.py), so a loaded box silently hands the
+    bench a smaller heap than the documented 28g posture — variance
+    the calibration job cannot see (it measures CPU, not spill). Pin
+    the 28g posture whenever the box affords it; an explicit
+    SPARK_DRIVER_MEMORY always wins, and the resolved value is logged
+    into the bench JSON either way so a heap change is detectable
+    round-over-round."""
+    if os.environ.get("SPARK_DRIVER_MEMORY"):
+        return
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    if int(line.split()[1]) / (1024 * 1024) >= 64:
+                        os.environ["SPARK_DRIVER_MEMORY"] = "28g"
+                    return
+    except OSError:
+        pass
+
+
 def _isolated_one(name: str) -> None:
     """Child-process mode: fresh session, same warmup + min-of-N
     discipline, one query, one JSON line."""
+    _pin_driver_memory()
     from syllabus_sense_spark.session import get_spark
     from syllabus_sense_spark import queries as q
     from syllabus_sense_spark.tables import TABLE_NAMES, load
@@ -356,7 +451,12 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    _pin_driver_memory()
     spark = get_spark("syllabus-sense-bench")
+    try:
+        driver_memory = spark.conf.get("spark.driver.memory")
+    except Exception:  # noqa: BLE001
+        driver_memory = "unknown"
 
     # Warm-up: touch every input table once (parquet footer reads, JVM
     # JIT, Python worker spin-up) so timings measure query work, the
@@ -468,13 +568,15 @@ def main() -> None:
                 "session": sec,
                 "ratio": round(ratio, 2),
             }
-    if movers and prev_cal is None:
-        # No calibration anchor for the previous round: there is no
-        # way to separate code movement from host movement, so every
-        # verdict is inconclusive — round 12 emitted five
-        # `confirmed_slower` against the unanchored r11 tail and all
-        # five were judge-adjudicated hypervisor drift. Skip the
-        # isolated re-runs too (their verdict would be foregone).
+    if movers and not prev_cal:
+        # No calibration anchor for the previous round (missing OR a
+        # parsed zero — same predicate `_mover_verdict` uses, r13
+        # ADVICE): there is no way to separate code movement from host
+        # movement, so every verdict is inconclusive — round 12
+        # emitted five `confirmed_slower` against the unanchored r11
+        # tail and all five were judge-adjudicated hypervisor drift.
+        # Skip the isolated re-runs too (their verdict would be
+        # foregone).
         for name in movers:
             movers[name]["verdict"] = "no_anchor_inconclusive"
     elif movers:
@@ -505,37 +607,40 @@ def main() -> None:
             movers[name]["verdict"] = "isolated_skipped_cap"
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # independent minima of the two halves (construction =
-                # fn(), execution = noop write); they need not sum to
-                # the total, which is min over whole iterations
-                "construct": construct,
-                "execute": execute,
-                "streaming_excluded_from_total": streaming,
-                # r5 methodology change: construction+execution timed
-                # together (write-only timing under-reported eager
-                # iterative operators); compare r4 per-query numbers
-                # accordingly
-                "timing": "min over warm iters of fn()+noop-write",
-                "order": "sorted-name",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "movers_basis": prev_kind,
-                **({"movers_vs_prev_round": movers} if movers else {}),
-                **({"errors": errors} if errors else {}),
-                # keep these LAST: the driver archives only the final
-                # 2000 chars of stdout, and next round's host-speed
-                # correction needs calibration_sec recoverable
-                "host_speed_vs_prev": round(host_ratio, 3),
-                "calibration_sec": round(cal, 3),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        # independent minima of the two halves (construction =
+        # fn(), execution = noop write); they need not sum to
+        # the total, which is min over whole iterations
+        "construct": construct,
+        "execute": execute,
+        "streaming_excluded_from_total": streaming,
+        # r5 methodology change: construction+execution timed
+        # together (write-only timing under-reported eager
+        # iterative operators); compare r4 per-query numbers
+        # accordingly
+        "timing": "min over warm iters of fn()+noop-write",
+        "order": "sorted-name",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "driver_memory": driver_memory,
+        "movers_basis": prev_kind,
+        **({"movers_vs_prev_round": movers} if movers else {}),
+        **({"errors": errors} if errors else {}),
+        # keep these LAST: the driver archives only the final
+        # 2000 chars of stdout, and next round's host-speed
+        # correction needs calibration_sec recoverable even when
+        # the history file below is somehow lost
+        "host_speed_vs_prev": round(host_ratio, 3),
+        "calibration_sec": round(cal, 3),
+    }
+    print(json.dumps(payload))
+    try:
+        _write_history(payload)
+    except Exception as exc:  # noqa: BLE001 — history is best-effort
+        print(f"BENCH WARN: history write failed: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

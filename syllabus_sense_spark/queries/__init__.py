@@ -45,22 +45,17 @@ def register(name: str, oracle: str | None = None):
 # last-green round, so the oldest evidence rotates back into the
 # 50-slot window first and stale green rows get re-confirmed.
 _FORCE_RECHECK: list[str] = [
-    # Round-13 state: all r12 force entries landed latest-green r12
-    # rows (CORRECTNESS_r12: 50/50 green). Most round-13 changes are
-    # checkpoint LIFECYCLE only (rotate_checkpoint releases the
-    # PREVIOUS invocation's blocks; plans and outputs bit-identical —
-    # pinned by tests/test_checkpoint_lifecycle.py and the full local
-    # oracle gate), which needs no re-earn. The sixth-decade (sf30)
-    # fixes below DID change plans/mechanics — outputs verified
-    # identical on the local gate, rows re-earned by policy:
-    # - trade-graph node guard + rpd precombine + columnar snapshot
+    # Round-14 state: all five r13 force entries landed latest-green
+    # r13 rows (CORRECTNESS_r13: 50/50 green) — pruned. This round's
+    # only plan-changing edit is the trade-graph edge snapshot moving
+    # from a bare columnar persist to a SERIALIZED localCheckpoint
+    # (lineage-truncated opaque leaf — the r13 judge's `weak` fix for
+    # the ~5× sf0.1 BFS constant), which changes both graph
+    # iterations' physical plans; outputs verified identical on the
+    # full local oracle gate, rows re-earned by policy:
     "graph_pagerank_trade",
     "graph_bfs_levels",
-    # - coarse assignment as batched numpy GEMM (margin-law-backed)
-    "dedup_semantic_clusters",
-    "similarity_ivf_cells",
-    "training_hard_negatives_ivf",
-    # The rest of the 50-slot window drains the r03/r04-vintage tail.
+    # The rest of the 50-slot window drains the r04/r06-vintage tail.
 ]
 
 _NEW_THIS_ROUND: list[str] = [

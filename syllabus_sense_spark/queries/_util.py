@@ -226,7 +226,7 @@ def ser_checkpoint(df):
 # checkpoint per site instead of one per call (the sf10 session-death
 # class: a 19-query probe session accumulated dead band-table
 # checkpoints until storage exhausted).
-_CHECKPOINT_GENERATIONS: dict[str, list] = {}
+_CHECKPOINT_GENERATIONS: dict[tuple[str, str], list] = {}
 
 
 def rotate_checkpoint(key: str, *dfs):
@@ -241,10 +241,26 @@ def rotate_checkpoint(key: str, *dfs):
     holds invocation N's lazy result across invocation N+1 fails hard
     on its next action). Returns the single df (or the tuple) for
     inline wrapping.
+
+    Generations are keyed by (applicationId, call site): after a
+    session restart in the same process the first invocation must not
+    "rotate" against a dead session's handles (release on them only
+    swallows a py4j error, and the registry would retain them
+    forever). Entries from OTHER applications are pruned on every
+    rotate — best-effort released if their session is somehow still
+    alive, dropped either way.
     """
-    prev = _CHECKPOINT_GENERATIONS.pop(key, None)
+    try:
+        app = dfs[0].sparkSession.sparkContext.applicationId
+    except Exception:  # noqa: BLE001 — a dying session still rotates
+        app = ""
+    for stale in [k for k in _CHECKPOINT_GENERATIONS if k[0] != app]:
+        for d in _CHECKPOINT_GENERATIONS.pop(stale):
+            release_checkpoint(d)
+    full_key = (app, key)
+    prev = _CHECKPOINT_GENERATIONS.pop(full_key, None)
     if prev:
         for d in prev:
             release_checkpoint(d)
-    _CHECKPOINT_GENERATIONS[key] = list(dfs)
+    _CHECKPOINT_GENERATIONS[full_key] = list(dfs)
     return dfs[0] if len(dfs) == 1 else dfs

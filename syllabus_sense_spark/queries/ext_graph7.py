@@ -71,9 +71,11 @@ l{k} AS (
 
 @register("graph_bfs_levels", _oracle())
 def graph_bfs_levels(spark, sf_dir):
-    # shared columnar trade-graph snapshot + doubled edge view (lazy
-    # map-side below the node guard, the src-partitioned cached
-    # artifact above it) — see ext_graph2 for the sixth-decade story
+    # shared serialized-checkpoint trade-graph snapshot + doubled edge
+    # view (lazy map-side below the node guard, the src-partitioned
+    # cached artifact above it) — see ext_graph2 for the sixth-decade
+    # story and the r14 lineage-truncation fix (the 3-hop unroll below
+    # references the edge table ~14× and needs it to be an opaque leaf)
     from .ext_graph2 import trade_edges, trade_node_hint, trade_und
 
     edges = trade_edges(spark, sf_dir)

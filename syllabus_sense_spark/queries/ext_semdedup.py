@@ -21,11 +21,17 @@ The harness embeddings are unit-norm near-random (background cosine
 ``v + 0.05`` per coordinate gives cosine ≈ 0.92 against the original —
 and must find exactly those groups at τ = 0.9.
 
-Cross-engine exactness: float→double casts are exact, the planted
-perturbation is one identical IEEE op, and the dot product is a
+Cross-engine exactness, scoped per stage: the >= τ PAIR predicate is
+bitwise-identical — float→double casts are exact, the planted
+perturbation is one identical IEEE op, and the pair dot product is a
 left-associated unrolled sum in Spark matching DuckDB's
-``list_dot_product`` fold — so the >= τ edge predicate decides
-identically in both engines and the component structure is hashable.
+``list_dot_product`` fold — so the edge set and hence the component
+structure is hashable. The COARSE ASSIGNMENT (step 1) is NOT bitwise:
+it runs as a BLAS GEMM whose summation order differs from DuckDB's
+fold, and its parity with the oracle's ``ORDER BY sim DESC, cent_id``
+is margin-based — adjacent centroid cosines for this corpus family
+are separated far beyond the O(1e-13) summation-order drift, pinned
+by ``tests/test_semdedup_margin.py``.
 """
 
 from __future__ import annotations
@@ -162,12 +168,16 @@ def semdedup_cell_table(spark, sf_dir):
                 m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
                 vn = pdf["nrm"].to_numpy().astype(np.float64)
                 s = (m @ mat.T) / np.outer(vn, nr)
-                # stable argsort on -sim == ORDER BY sim DESC, cent_id
+                # stable argsort on -sim == ORDER BY sim DESC, cent_id;
+                # k = actual column count so a single-centroid matrix
+                # (C=1) degrades to single-probe instead of crashing
+                # on a repeat/ravel length mismatch
                 top = np.argsort(-s, axis=1, kind="stable")[:, :2]
+                k = top.shape[1]
                 vid = pdf["vec_id"].to_numpy()
                 yield pd.DataFrame(
                     {
-                        "vec_id": np.repeat(vid, 2),
+                        "vec_id": np.repeat(vid, k),
                         "cent_id": ids[top].ravel(),
                     }
                 )

@@ -34,6 +34,7 @@ def test_rotate_checkpoint_bounds_generations(spark):
     """Direct law for the helper: N rotations under one key keep ONE
     live generation, and the previous generation's blocks are freed."""
     key = "test.rotate.bounds"
+    app = spark.sparkContext.applicationId
     try:
         base = _n_persistent(spark)
         first = spark.range(100).localCheckpoint()
@@ -46,7 +47,31 @@ def test_rotate_checkpoint_bounds_generations(spark):
                 "rotation leaked a superseded generation"
             )
     finally:
-        for d in _CHECKPOINT_GENERATIONS.pop(key, []):
+        for d in _CHECKPOINT_GENERATIONS.pop((app, key), []):
+            release_checkpoint(d)
+
+
+def test_rotate_checkpoint_prunes_dead_app_generations(spark):
+    """r13 ADVICE: generations are keyed by (applicationId, site), and
+    entries left behind by a DIFFERENT application (a restarted session
+    in the same process) are pruned on the next rotate instead of being
+    retained forever or 'rotated' as if they were this session's
+    state."""
+    key = "test.rotate.appkey"
+    app = spark.sparkContext.applicationId
+    try:
+        stale_key = ("dead-app-id", key)
+        _CHECKPOINT_GENERATIONS[stale_key] = [spark.range(10).localCheckpoint()]
+        live = spark.range(20).localCheckpoint()
+        rotate_checkpoint(key, live)
+        assert stale_key not in _CHECKPOINT_GENERATIONS, (
+            "dead-application generation survived a rotate"
+        )
+        assert _CHECKPOINT_GENERATIONS[(app, key)] == [live], (
+            "live generation not keyed by (applicationId, site)"
+        )
+    finally:
+        for d in _CHECKPOINT_GENERATIONS.pop((app, key), []):
             release_checkpoint(d)
 
 

@@ -25,6 +25,21 @@ Usage:
                                        # tools/sf10_budgets.json (3x
                                        # quiet-host SCALE.md ladder),
                                        # data tiled 100x (~1.6 GB)
+  python tools/sf1_smoke.py --sf30     # sixth-decade SPOT-gate (judge
+                                       # r13 item 6): only the three
+                                       # queries whose cliff classes
+                                       # died at sf30 in round 13
+                                       # (trade-graph broadcast OOM,
+                                       # per-pair assignment dots,
+                                       # deserialized checkpoint
+                                       # storage). Budgets are dicts
+                                       # {cold, warm}: the COLD first
+                                       # run is gated too, because the
+                                       # 524 s assignment cliff lived
+                                       # entirely in the one-time
+                                       # artifact build that min-of-2-
+                                       # warm would mask. Data tiled
+                                       # 300x (~4.6 GB), ~3 min green.
 Exit 1 on any budget violation or error. If the data tier is absent,
 builds it first (deterministic: tools/make_scale_data.py, verified
 byte-identical across runs in SCALE.md round-10).
@@ -52,6 +67,13 @@ TIERS = {
     # checkpoint block leak — budgets are 3x the quiet-host sf10
     # ladder in SCALE.md §Round-12. ~1.6 GB tile, ~10 min green run.
     "sf10": ("sf10_budgets.json", "100", "/tmp/scale_data/sf10"),
+    # sixth decade (round-13 judge item 6): a SPOT-gate, not a ladder —
+    # the full 18-query sf30 session is a ~45-min manual probe; this
+    # gates just the three cliff classes that killed round-13's first
+    # two sf30 sessions, with dict budgets {cold, warm} so a regression
+    # in the one-time artifact build (the 524 s GEMM-fixed cliff) trips
+    # the gate even though the warm probe would hide it.
+    "sf30": ("sf30_budgets.json", "300", "/tmp/scale_data/sf30"),
 }
 
 
@@ -69,8 +91,17 @@ def main() -> int:
         action="store_true",
         help="gate the fifth decade against tools/sf10_budgets.json",
     )
+    ap.add_argument(
+        "--sf30",
+        action="store_true",
+        help="sixth-decade spot-gate (3 cliff-class queries, cold+warm budgets)",
+    )
     args = ap.parse_args()
-    tier = "sf10" if args.sf10 else ("sf3" if args.sf3 else "sf1")
+    tier = (
+        "sf30"
+        if args.sf30
+        else ("sf10" if args.sf10 else ("sf3" if args.sf3 else "sf1"))
+    )
     budget_file, tile_k, default_dir = TIERS[tier]
     budgets_path = os.path.join(HERE, budget_file)
     if args.dir is None:
@@ -92,41 +123,61 @@ def main() -> int:
     q.load_all_queries()
     spark = get_spark(f"{tier}-smoke")
     failed = 0
-    measured: dict[str, float] = {}
+    measured: dict[str, tuple[float, float]] = {}  # name -> (cold, warm-min)
     for name, budget in budgets.items():
         fn = q.QUERIES[name]
         # min of 2 — the budgets are 3x MIN-OF-2-WARM sweep numbers,
         # and a single cold run pays ~15-20 s of JIT warmup on the
         # scorer-family codegen, which is startup cost, not regression
-        sec = float("inf")
+        sec = cold = float("inf")
         try:
-            for _ in range(2):
+            for i in range(2):
                 t0 = time.time()
                 fn(spark, args.dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                sec = min(sec, time.time() - t0)
+                dt = time.time() - t0
+                sec = min(sec, dt)
+                if i == 0:
+                    cold = dt
         except Exception as exc:  # noqa: BLE001 — a smoke reports and moves on
             print(f"ERR  {name}: {type(exc).__name__}: {exc}"[:160])
             failed += 1
             continue
-        measured[name] = sec
-        status = "ok  " if sec <= budget else "SLOW"
-        if sec > budget:
-            failed += 1
-        print(f"{status} {name}: {sec:.1f}s (budget {budget:.1f}s)")
+        measured[name] = (cold, sec)
+        if isinstance(budget, dict):
+            # {cold, warm} form (the sf30 spot-gate): the cold first
+            # run carries the one-time artifact build — the cliff
+            # class a warm-only budget cannot see.
+            bad = cold > budget["cold"] or sec > budget["warm"]
+            status = "SLOW" if bad else "ok  "
+            if bad:
+                failed += 1
+            print(
+                f"{status} {name}: cold {cold:.1f}s (budget "
+                f"{budget['cold']:.1f}s), warm {sec:.1f}s (budget "
+                f"{budget['warm']:.1f}s)"
+            )
+        else:
+            status = "ok  " if sec <= budget else "SLOW"
+            if sec > budget:
+                failed += 1
+            print(f"{status} {name}: {sec:.1f}s (budget {budget:.1f}s)")
     if args.rebudget:
         # A query that ERRORED during the rebudget run must not be
         # silently dropped from the budget file (it would disappear
         # from future smoke coverage): keep its old budget, warn, and
         # fail the rebudget so the error gets fixed first.
-        new_budgets = {n: round(3 * s, 1) for n, s in measured.items()}
+        if tier == "sf30":
+            new_budgets = {
+                n: {"cold": round(3 * c, 1), "warm": round(3 * w, 1)}
+                for n, (c, w) in measured.items()
+            }
+        else:
+            new_budgets = {n: round(3 * w, 1) for n, (_, w) in measured.items()}
         errored = [n for n in budgets if n not in measured]
         for n in errored:
-            print(
-                f"WARN {n}: errored during rebudget — keeping old "
-                f"budget {budgets[n]:.1f}s"
-            )
+            print(f"WARN {n}: errored during rebudget — keeping old budget")
             new_budgets[n] = budgets[n]
         json.dump(new_budgets, open(budgets_path, "w"), indent=2, sort_keys=True)
         print(f"budgets rewritten to 3x measured -> {budgets_path}")
