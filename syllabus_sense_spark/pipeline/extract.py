@@ -96,8 +96,19 @@ def plan_questions(subtopics: DataFrame, min_per_subtopic: int = 9) -> DataFrame
     """
 
     def gen(batches):
+        md5 = hashlib.md5
         for pdf in batches:
-            out = []
+            # Column-list building (no per-row dicts, no pandas row
+            # inference): the md5 arithmetic is unchanged — same
+            # digests, same values — but the output frame is built
+            # column-at-a-time, which is the cheap path through
+            # pandas + Arrow (guide §4.2; the row-dict version spent
+            # more time assembling frames than hashing).
+            c_qid: list[str] = []
+            c_topic: list[str] = []
+            c_sub: list[str] = []
+            c_diff: list[str] = []
+            c_concept: list[str] = []
             for name, topic_title, key_concepts in zip(
                 pdf["subtopic_name"].tolist(),
                 pdf["topic_title"].tolist(),
@@ -107,22 +118,25 @@ def plan_questions(subtopics: DataFrame, min_per_subtopic: int = 9) -> DataFrame
                 concepts = list(key_concepts) if key_concepts is not None else []
                 if not concepts:
                     concepts = ["general"]
+                n_c = len(concepts)
+                prefix = f"{topic_title}|{name}|".encode()
                 for i in range(n_q):
-                    qid = hashlib.md5(
-                        f"{topic_title}|{name}|{i}".encode()
-                    ).hexdigest()[:12]
-                    out.append(
-                        {
-                            "question_id": f"q_{qid}",
-                            "topic": topic_title,
-                            "subtopic": name,
-                            "difficulty": DIFFICULTIES[_h(qid, 3)],
-                            "concept_area": concepts[i % len(concepts)],
-                            "status": "planned",
-                        }
-                    )
+                    qid = md5(prefix + str(i).encode()).hexdigest()[:12]
+                    c_qid.append(f"q_{qid}")
+                    c_topic.append(topic_title)
+                    c_sub.append(name)
+                    c_diff.append(DIFFICULTIES[_h(qid, 3)])
+                    c_concept.append(concepts[i % n_c])
             yield pd.DataFrame(
-                out, columns=[f.name for f in PLANNED_QUESTION_SCHEMA.fields]
+                {
+                    "question_id": c_qid,
+                    "topic": c_topic,
+                    "subtopic": c_sub,
+                    "difficulty": c_diff,
+                    "concept_area": c_concept,
+                    "status": "planned",
+                },
+                columns=[f.name for f in PLANNED_QUESTION_SCHEMA.fields],
             )
 
     return subtopics.mapInPandas(gen, PLANNED_QUESTION_SCHEMA)
@@ -148,55 +162,81 @@ def generate_questions(batches: DataFrame) -> DataFrame:
     because generation is row-local given the joined context.
     """
 
-    def _rows_for(pdf: pd.DataFrame) -> list[dict]:
-        out = []
-        for qid, concept, topic, subtopic, academic_class, difficulty in zip(
-            pdf["question_id"].tolist(),
-            pdf["concept_area"].tolist(),
-            pdf["topic"].tolist(),
-            pdf["subtopic"].tolist(),
-            pdf["academic_class"].tolist(),
-            pdf["difficulty"].tolist(),
-        ):
-            correct = _h(qid, 4)
-            choices = [
-                {"text": f"choice {j + 1} for {qid}", "is_correct": j == correct}
-                for j in range(4)
-            ]
-            out.append(
-                {
-                    "question_id": qid,
-                    "text": f"Question on {concept} ({qid})?",
-                    "topic": topic,
-                    "sub_topic": subtopic,
-                    "academic_class": academic_class,
-                    "examination_level": "MSCE",
-                    "difficulty": difficulty,
-                    "tags": [concept, difficulty.lower()],
-                    "choices": choices,
-                    "solution": {
-                        "explanation": f"Because choice {correct + 1} is correct.",
-                        "steps": [f"step {s + 1}" for s in range(2 + _h(qid + "s", 2))],
-                    },
-                    "hint": f"Consider {concept}.",
-                    "metadata": {
-                        "created_by": "syllabus_sense_spark",
-                        "created_at": "2026-01-01T00:00:00Z",
-                        "updated_at": "2026-01-01T00:00:00Z",
-                        "time_estimate": {"minutes": str(1 + _h(qid, 5))},
-                    },
-                }
-            )
-        return out
+    # Row-invariant nested values, shared across rows (the Arrow
+    # serializer only READS them): two step lists keyed by the
+    # _h(qid+"s", 2) coin, five metadata structs keyed by the
+    # 1 + _h(qid, 5) minutes value, one explanation string per
+    # correct-choice index. Byte-identical to the per-row literals.
+    _STEPS = (["step 1", "step 2"], ["step 1", "step 2", "step 3"])
+    _META = {
+        m: {
+            "created_by": "syllabus_sense_spark",
+            "created_at": "2026-01-01T00:00:00Z",
+            "updated_at": "2026-01-01T00:00:00Z",
+            "time_estimate": {"minutes": str(m)},
+        }
+        for m in range(1, 6)
+    }
+    _EXPLAIN = tuple(f"Because choice {c + 1} is correct." for c in range(4))
+
+    def _frame_for(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Column-list building (guide §4.2): generation is row-local
+        # md5 arithmetic, and the old list-of-row-dicts path spent its
+        # time constructing 13-key dicts and letting pandas re-infer
+        # them, not hashing. One digest of qid serves both the
+        # correct-choice (mod 4) and minutes (mod 5) draws.
+        qids = pdf["question_id"].tolist()
+        concepts = pdf["concept_area"].tolist()
+        diffs = pdf["difficulty"].tolist()
+        h_qid = [
+            int.from_bytes(hashlib.md5(q.encode()).digest()[:4], "big")
+            for q in qids
+        ]
+        correct = [h % 4 for h in h_qid]
+        return pd.DataFrame(
+            {
+                "question_id": qids,
+                "text": [
+                    f"Question on {c} ({q})?" for c, q in zip(concepts, qids)
+                ],
+                "topic": pdf["topic"].tolist(),
+                "sub_topic": pdf["subtopic"].tolist(),
+                "academic_class": pdf["academic_class"].tolist(),
+                "examination_level": "MSCE",
+                "difficulty": diffs,
+                "tags": [[c, d.lower()] for c, d in zip(concepts, diffs)],
+                "choices": [
+                    [
+                        {"text": f"choice {j + 1} for {q}", "is_correct": j == k}
+                        for j in range(4)
+                    ]
+                    for q, k in zip(qids, correct)
+                ],
+                "solution": [
+                    {
+                        "explanation": _EXPLAIN[k],
+                        "steps": _STEPS[_h(q + "s", 2)],
+                    }
+                    for q, k in zip(qids, correct)
+                ],
+                "hint": [f"Consider {c}." for c in concepts],
+                "metadata": [_META[1 + h % 5] for h in h_qid],
+            },
+            columns=[f.name for f in QUESTION_SCHEMA.fields],
+        )
 
     def gen(chunks: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in QUESTION_SCHEMA.fields]
         for pdf in chunks:
-            out: list[dict] = []
-            # One "call" per (topic, batch_id) — the reference's
-            # micro-batch boundary (syllabus_ai_graph.py:163-167).
-            for _, batch in pdf.groupby(["topic", "batch_id"], sort=False):
-                out.extend(_rows_for(batch))
-            yield pd.DataFrame(out, columns=cols)
+            # The reference's micro-batch boundary (one external call
+            # per (topic, batch_id), syllabus_ai_graph.py:163-167) is
+            # carried by the batch_id column upstream; the
+            # deterministic stand-in is row-local, so the whole Arrow
+            # chunk generates in one vectorized pass — swapping a real
+            # model back in means re-inserting
+            # ``pdf.groupby(["topic", "batch_id"])`` around the call
+            # (output rows are identical either way; a per-5-row-group
+            # pandas groupby+concat was the dominant cost of the old
+            # stand-in, not the generation arithmetic).
+            yield _frame_for(pdf)
 
     return batches.mapInPandas(gen, QUESTION_SCHEMA)

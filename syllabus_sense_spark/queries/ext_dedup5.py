@@ -82,14 +82,31 @@ def _containment_groups(spark, sf_dir):
     return _persisted_fingerprints(spark, sf_dir, "containment_groups", build)
 
 
+def _containment_sizes(spark, sf_dir):
+    """Session-persisted per-doc KEPT-fingerprint count — derived once
+    from the groups artifact. Left lazy it was re-exploded TWICE per
+    run (the n_a and n_b join branches have no cross-consumer CSE:
+    two full explode+groupBy passes per query, ~1.2 s of the 2.2 s
+    warm run at sf0.1 in the r14 profile); as an artifact both
+    branches broadcast-probe one doc-sized table. Same posture as
+    ``planted_corpus_sizes`` on the minhash side."""
+    from .ext_dedup import _persisted_fingerprints
+
+    def build():
+        grp = _containment_groups(spark, sf_dir)
+        return (
+            grp.select(F.explode("docs").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    return _persisted_fingerprints(spark, sf_dir, "containment_sizes", build)
+
+
 @register("dedup_containment", _CONTAINMENT_ORACLE)
 def dedup_containment(spark, sf_dir):
     grp = _containment_groups(spark, sf_dir)
-    sizes = (
-        grp.select(F.explode("docs").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    sizes = _containment_sizes(spark, sf_dir)
     # All C(df,2) ordered pairs per fingerprint, generated JVM-side
     # from the sorted list (x < y by construction — no discarded
     # half, no self-pairs), then one aggregation on the pair key.

@@ -91,18 +91,30 @@ def dedup_repeated_passages(spark, sf_dir):
             F.concat_ws(" ", F.slice("w", F.col("i"), _N)).alias("gram"),
         )
     )
-    rep = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram", F.lit(1).alias("hit"))
-    )
+    # ONE pass over the gram stream (r14): the old shape computed
+    # `grams` twice (countDistinct branch + probe branch — no
+    # cross-consumer CSE, two full explode+concat passes) and attached
+    # the repeated-gram set back via a BROADCAST whose size is
+    # data-scale (every repeated 8-gram string — fine at sf0.1, a
+    # driver/executor OOM at 100 TB; past the broadcast threshold the
+    # planner degrades to re-shuffling the full gram stream). Now:
+    # collapse instances to (gram, doc_id, c) [one exchange, map-side
+    # combined], count each gram's distinct docs with a window over
+    # the collapsed table [sort-based — spills instead of OOM on a
+    # boilerplate mega-gram], and fold both per-doc sums (total
+    # instances, repeated instances) in ONE final aggregation.
+    from pyspark.sql import Window
+
+    gd = grams.groupBy("gram", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("gram"))
     return (
-        grams.join(rep, "gram", "left")
+        gd.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count("hit").alias("n_repeated"),
+            F.sum("c").alias("n_grams"),
+            F.sum(
+                F.when(F.col("nd") >= 2, F.col("c")).otherwise(F.lit(0).cast("long"))
+            ).alias("n_repeated"),
         )
         .filter(F.col("n_repeated") > 0)
         .select(

@@ -118,52 +118,53 @@ def ml_pca_power_iteration(spark, sf_dir):
             G = X.T @ X  # (64, 64), entries ≤ 1e6·rows — far from 2^63
             s = X.sum(axis=0)
             i, j = np.indices(G.shape)
+            # One extra (-1, -1, batch_rows) row per batch: summed by
+            # the same groupBy fold it yields N — the corpus count —
+            # without a second scan of the embeddings table.
             yield pd.DataFrame(
                 {
-                    "i": np.concatenate([i.ravel(), np.arange(X.shape[1])]),
-                    "j": np.concatenate([j.ravel(), np.full(X.shape[1], -1)]),
-                    "p": np.concatenate([G.ravel(), s]),
-                    "rows": np.full(G.size + X.shape[1], X.shape[0], np.int64),
+                    "i": np.concatenate([i.ravel(), np.arange(X.shape[1]), [-1]]),
+                    "j": np.concatenate([j.ravel(), np.full(X.shape[1], -1), [-1]]),
+                    "p": np.concatenate([G.ravel(), s, [X.shape[0]]]),
                 }
             )
 
     partials = emb.select("embedding").mapInPandas(
-        partial_gram, "i int, j int, p long, rows long"
+        partial_gram, "i int, j int, p long"
     )
-    folded = partials.groupBy("i", "j").agg(F.sum("p").alias("p"))
-    gram_raw = folded.filter(F.col("j") >= 0)
-    sums = folded.filter(F.col("j") == -1).select("i", F.col("p").alias("s"))
-    n = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    si = sums.select(F.col("i").alias("si_i"), F.col("s").alias("si_s"))
-    sj = sums.select(F.col("i").alias("sj_i"), F.col("s").alias("sj_s"))
-    gram = (
-        gram_raw.join(F.broadcast(si), gram_raw.i == si.si_i)
-        .join(F.broadcast(sj), gram_raw.j == sj.sj_i)
-        .crossJoin(F.broadcast(n))
-        .select(
-            "i",
-            "j",
-            (
-                F.col("n").cast("decimal(38,0)") * F.col("p")
-                - F.col("si_s").cast("decimal(38,0)") * F.col("sj_s")
-            ).alias("g"),
-        )
-    )
-    v1 = gram.groupBy("i").agg(
-        F.sum("g").cast("decimal(38,0)").alias("v")
-    ).select(F.col("i").alias("v1_i"), F.col("v").alias("v1_v"))
-    v2 = (
-        gram.join(F.broadcast(v1), gram.j == v1.v1_i)
-        .groupBy("i")
-        .agg(F.sum(F.col("g") * F.col("v1_v")).cast("decimal(38,0)").alias("v"))
-    )
-    mx = v2.agg(F.max(F.abs(F.col("v"))).alias("m"))
-    return v2.crossJoin(F.broadcast(mx)).select(
-        F.col("i").cast("long").alias("dim"),
-        (
-            F.when(F.col("v") < 0, -1).otherwise(1)
-            * F.expr(f"CAST((abs(v) * {_SCALE}) DIV m AS DECIMAL(38,0))")
-        )
-        .cast("long")
-        .alias("ratio_ppm"),
+    # ONE distributed job: scan + per-batch GEMM + map-side-combined
+    # fold into ≤ dims² + dims + 1 = 4161 cells, a size that is
+    # CORPUS-INDEPENDENT (the 100 TB run collects the same 33 KB).
+    # The power iteration itself is O(dims²) arithmetic over that
+    # bounded table — finishing it driver-side in exact Python ints
+    # (arbitrary precision ⊇ the DECIMAL(38,0) lane) replaces the old
+    # lazy 6-stage join/agg cascade whose every reference re-ran the
+    # full scan + Arrow GEMM pass (32 parquet scans / 24 MapInPandas
+    # nodes in the r14 before-plan) and whose per-stage scheduling
+    # overhead dominated even checkpointed (guide §1.2: the bounded
+    # tail of a distributed aggregate is driver work, like the
+    # centroid tables). Exactness: n·p − sᵢ·sⱼ, the two matvecs, and
+    # the final |v|·1e6 // mx are integer ops — Python `//` on
+    # non-negative ints is the same truncating DIV both engines use.
+    cells = partials.groupBy("i", "j").agg(F.sum("p").alias("p")).collect()
+    n = 0
+    s = [0] * _D
+    gp = {}
+    for r in cells:
+        if r.j >= 0:
+            gp[(r.i, r.j)] = r.p
+        elif r.i >= 0:
+            s[r.i] = r.p
+        else:
+            n = r.p
+    out_schema = "dim long, ratio_ppm long"
+    if not gp:
+        return spark.createDataFrame([], out_schema)
+    g = [[n * gp.get((i, j), 0) - s[i] * s[j] for j in range(_D)] for i in range(_D)]
+    v1 = [sum(row) for row in g]
+    v2 = [sum(gi[j] * v1[j] for j in range(_D)) for gi in g]
+    mx = max(abs(v) for v in v2)
+    return spark.createDataFrame(
+        [(i, (-1 if v < 0 else 1) * ((abs(v) * _SCALE) // mx)) for i, v in enumerate(v2)],
+        out_schema,
     )
