@@ -46,15 +46,25 @@ def register(name: str, oracle: str | None = None):
 # 50-slot window first and stale green rows get re-confirmed.
 _FORCE_RECHECK: list[str] = [
     # Round-14 state: all five r13 force entries landed latest-green
-    # r13 rows (CORRECTNESS_r13: 50/50 green) — pruned. This round's
-    # only plan-changing edit is the trade-graph edge snapshot moving
-    # from a bare columnar persist to a SERIALIZED localCheckpoint
-    # (lineage-truncated opaque leaf — the r13 judge's `weak` fix for
-    # the ~5× sf0.1 BFS constant), which changes both graph
-    # iterations' physical plans; outputs verified identical on the
-    # full local oracle gate, rows re-earned by policy:
+    # r13 rows (CORRECTNESS_r13: 50/50 green) — pruned. Force-listed
+    # below: every query whose plan/output path round 14's
+    # optimization edits actually changed (outputs verified identical
+    # on the full local oracle gate; rows re-earned by policy).
+    # The trade-graph edge snapshot moved from a bare columnar persist
+    # to a SERIALIZED localCheckpoint (lineage-truncated opaque leaf —
+    # the r13 judge's `weak` fix for the ~5× sf0.1 BFS constant),
+    # changing both graph iterations' physical plans:
     "graph_pagerank_trade",
     "graph_bfs_levels",
+    # Redundant-pass rewrites (one corpus scan instead of 2-16; plan
+    # Exchange counts drop accordingly):
+    "ml_pca_power_iteration",
+    "dedup_repeated_passages",
+    "dedup_containment",
+    "pipeline_flagship_questions",
+    "curation_pipeline_summary",
+    "training_importance_selection",
+    "training_temperature_mixture",
     # The rest of the 50-slot window drains the r04/r06-vintage tail.
 ]
 

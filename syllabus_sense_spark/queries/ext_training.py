@@ -253,22 +253,70 @@ GROUP BY split, lang
 
 @register("curation_pipeline_summary", _CURATION_ORACLE)
 def curation_pipeline_summary(spark, sf_dir):
-    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    corpus = d.unionByName(
-        d.filter(F.col("doc_id") % 5 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
-        )
+    # ONE scan of documents (r14): the corpus self-union re-read the
+    # parquet (and re-split + re-hashed the text) once per half; the
+    # planted 1/5 copies differ from their originals only in doc_id,
+    # so the union is an explode of a per-row doc_id list computed
+    # AFTER the text work — text bytes are read, tokenized and hashed
+    # exactly once per source row (guide §2.3: shuffle/scan the
+    # lightweight proxy, not the payload twice). The lang and
+    # n_tokens filters commute with the copy (both depend only on
+    # columns the copy preserves).
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .filter(F.col("lang").isin("en", "fr", "es"))
     )
     toks = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
-    quality = (
-        corpus.filter(F.col("lang").isin("en", "fr", "es"))
-        .withColumn("n_tokens", F.size(toks).cast("long"))
+    base = (
+        d.withColumn("n_tokens", F.size(toks).cast("long"))
         .filter(F.col("n_tokens") >= 5)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.md5("text").alias("content_hash"),
+        )
     )
-    deduped = quality.groupBy(F.md5("text").alias("content_hash")).agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min("lang").alias("lang"),
-        F.min("n_tokens").alias("n_tokens"),
+    quality = base.select(
+        F.explode(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.array(F.col("doc_id"), F.col("doc_id") + 1000000),
+            ).otherwise(F.array(F.col("doc_id")))
+        ).alias("doc_id"),
+        "lang",
+        "n_tokens",
+        "content_hash",
+    )
+    # min(lang) over a STRING buffer forces SortAggregate (two full
+    # sorts of the corpus around the dedup exchange); the lang domain
+    # is pinned to {en, es, fr} by the filter above, so encode it in
+    # lexicographic order, take the min of an int, and decode — the
+    # dedup becomes a partial+final HashAggregate (r14; before-plan
+    # plans/r14/curation_pipeline_summary_before.txt shows the
+    # SortAggregate pair).
+    lang_code = (
+        F.when(F.col("lang") == "en", 0)
+        .when(F.col("lang") == "es", 1)
+        .otherwise(2)
+    )
+    deduped = (
+        quality.withColumn("lang_code", lang_code)
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("lang_code").alias("lang_code"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("lang_code") == 0, "en")
+            .when(F.col("lang_code") == 1, "es")
+            .otherwise("fr")
+            .alias("lang"),
+            "n_tokens",
+        )
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)

@@ -93,23 +93,39 @@ def training_importance_selection(spark, sf_dir):
             F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
         ).alias("tok"),
     )
-    raw_counts = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c_r"))
-    tgt_counts = (
-        occ.filter(F.col("lang") == "en")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c_t"))
+    # ONE vocab table from ONE occurrence pass (r14): raw and target
+    # counts were separate groupBys, each re-running the full
+    # scan+explode (no cross-consumer CSE), and `totals` re-expanded
+    # both AGAIN — five token passes per run in the before-plan
+    # (plans/r14/training_importance_selection_before.txt). A
+    # conditional count folds both dictionaries in one aggregation;
+    # c_t is 0 (not NULL) for tokens with no target occurrences, which
+    # the old left-join+coalesce produced identically. The dictionary
+    # is materialized (rotated serialized checkpoint — vocabulary-
+    # sized) so the totals aggregate and the broadcast probe read it
+    # instead of re-deriving it; two token passes remain — the floor,
+    # since the score needs corpus-wide counts before the per-doc sum.
+    from ._util import rotate_checkpoint, ser_checkpoint
+
+    vocab = rotate_checkpoint(
+        "ext_training17.importance.vocab",
+        ser_checkpoint(
+            occ.groupBy("tok").agg(
+                F.count(F.lit(1)).alias("c_r"),
+                F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
+            )
+        ),
     )
-    totals = raw_counts.agg(F.sum("c_r").alias("t_r")).crossJoin(
-        F.broadcast(tgt_counts.agg(F.sum("c_t").alias("t_t")))
+    totals = vocab.agg(
+        F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t")
     )
-    # Dictionary joins: vocabulary-sized sides, broadcast (the 100 TB
+    # Dictionary join: vocabulary-sized side, broadcast (the 100 TB
     # fallback is AQE skew-join on the Zipf-heavy token key).
     doc_sums = (
-        occ.join(F.broadcast(raw_counts), "tok")
-        .join(F.broadcast(tgt_counts), "tok", "left")
+        occ.join(F.broadcast(vocab), "tok")
         .groupBy("doc_id")
         .agg(
-            F.sum(F.coalesce(F.col("c_t"), F.lit(0))).cast("long").alias("num"),
+            F.sum("c_t").cast("long").alias("num"),
             F.sum("c_r").cast("long").alias("den"),
         )
     )

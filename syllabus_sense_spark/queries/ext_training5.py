@@ -82,26 +82,51 @@ FROM rates r LEFT JOIN picks p ON p.source = r.source
 
 @register("training_temperature_mixture", _MIXTURE_ORACLE)
 def training_temperature_mixture(spark, sf_dir):
+    # TWO scans of documents — the floor (the rate needs corpus-wide
+    # stats before the accept test) — instead of the before-plan's
+    # four: `stats` fed three lazy consumers (tot, rates, the final
+    # join) and each reference re-ran the scan+groupBy (no
+    # cross-consumer CSE). The stats table is source-count-sized —
+    # the same bounded-metadata class as the IVF centroid tables — so
+    # stages 2-3 (weight, totals, rates) are exact integer/IEEE-sqrt
+    # arithmetic on a handful of rows, done driver-side: Python ints
+    # are arbitrary-precision (⊇ the BIGINT lane), `//` on
+    # non-negative ints is the truncating DIV both engines use, and
+    # math.sqrt is the same correctly-rounded IEEE double as
+    # java.lang.Math.sqrt.
+    import math
+
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    stats = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("mass"),
+    stats = sorted(
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("mass"),
+        )
+        .collect()
     )
-    w = stats.withColumn("weight", F.floor(F.sqrt(F.col("mass"))))
-    tot = w.agg(
-        F.sum("weight").alias("tot_w"),
-        F.expr(f"sum(n_docs) DIV {_TARGET_DIV}").alias("target"),
+    out_schema = (
+        "source string, n_docs long, mass long, weight long, rate_ppm long"
     )
-    rates = w.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_docs",
-        "mass",
-        "weight",
-        F.least(
-            F.lit(1_000_000).cast("long"),
-            F.expr("(target * weight * 1000000) DIV (tot_w * n_docs)"),
-        ).alias("rate_ppm"),
-    )
+    if not stats:
+        rates = spark.createDataFrame([], out_schema)
+    else:
+        weights = [int(math.floor(math.sqrt(r.mass))) for r in stats]
+        tot_w = sum(weights)
+        target = sum(r.n_docs for r in stats) // _TARGET_DIV
+        rates = spark.createDataFrame(
+            [
+                (
+                    r.source,
+                    r.n_docs,
+                    r.mass,
+                    wt,
+                    min(1_000_000, (target * wt * 1_000_000) // (tot_w * r.n_docs)),
+                )
+                for r, wt in zip(stats, weights)
+            ],
+            out_schema,
+        )
     picks = (
         d.join(F.broadcast(rates.select("source", "rate_ppm")), "source")
         .filter(F.expr(f"(doc_id * {_KNUTH}) % 1000000") < F.col("rate_ppm"))
