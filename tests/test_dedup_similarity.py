@@ -82,11 +82,19 @@ def test_fingerprint_table_shared_across_dedup_queries(spark, sf_dir):
     # base + planted-dupe halves + their persisted union (built from
     # the persisted halves, not by re-shingling) + the per-doc size
     # table (one count aggregation, persisted so verify passes stop
-    # re-shuffling the full fingerprint table)
-    assert builds_after_first == 4
+    # re-shuffling the full fingerprint table) + the capped LSH band
+    # table (the index a near-dedup job probes — signatures→bands→
+    # occupancy window run once per session, not per query)
+    assert builds_after_first == 5
 
     QUERIES["dedup_incremental_index"](spark, sf_dir).count()
     assert ext_dedup._FP_BUILDS == builds_after_first  # pure cache hit
+
+    # dedup_components probes the SAME fingerprint + band artifacts
+    # (its corpus is the same distinct (doc_id, h) multiset by
+    # construction) — zero new builds, no re-shingling, no re-banding
+    QUERIES["dedup_components"](spark, sf_dir).count()
+    assert ext_dedup._FP_BUILDS == builds_after_first
 
     base = ext_dedup.base_fingerprints(spark, sf_dir)
     assert base.storageLevel.useMemory  # persisted, not re-derived
