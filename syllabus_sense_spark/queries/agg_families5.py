@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2
+from ._util import cents, dec2
 
 _ROBUST_ORACLE = """
 WITH o AS (
@@ -50,7 +50,7 @@ GROUP BY o.o_orderpriority
 def agg_trimmed_winsorized(spark, sf_dir):
     o = load(spark, sf_dir, "orders").select(
         "o_orderpriority",
-        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+        cents("o_totalprice").alias("cents"),
     )
 
     def pd(p):

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2
+from ._util import cents, dec2, xsum_total
 
 _FILTER_ORACLE = """
 SELECT l_returnflag,
@@ -84,10 +84,10 @@ def agg_median_exact(spark, sf_dir):
     both engines. An ordered-set aggregate inside the hash agg, not a
     global sort."""
     o = load(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    c_total = cents("o_totalprice")
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.median(cents).cast("double").alias("median_cents"),
+        F.median(c_total).cast("double").alias("median_cents"),
     )
 
 
@@ -142,7 +142,7 @@ def agg_any_value_functional(spark, sf_dir):
         .agg(
             F.any_value(F.col("c_name")).alias("customer_name"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+            xsum_total(cents("o_totalprice")).cast("long").alias("cents"),
         )
         .filter(F.col("n_orders") >= 10)
     )

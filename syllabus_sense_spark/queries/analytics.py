@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2
+from ._util import cents, dec2, xsum_total
 
 # --- 1. Pareto frontier (2-D skyline) --------------------------------
 #
@@ -150,7 +150,7 @@ FROM bands
 def customer_revenue_concentration(spark, sf_dir):
     orders = load(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
-        (F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("cents")
+        xsum_total(cents("o_totalprice")).cast("long").alias("cents")
     )
     ranked = rev.select(
         "cents",

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2
+from ._util import cents, dec2
 
 # Benford P(d) = log10(1 + 1/d), in exact ppm literals
 _BENFORD_PPM = {
@@ -73,12 +73,12 @@ FROM counts
 
 @register("dq_benford_first_digit", _BENFORD_ORACLE)
 def dq_benford_first_digit(spark, sf_dir):
-    cents = (
+    cents_df = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 0)
-        .select((dec2("o_totalprice") * 100).cast("bigint").alias("c"))
+        .select(cents("o_totalprice").alias("c"))
     )
-    d = cents.select(
+    d = cents_df.select(
         F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias(
             "first_digit"
         )

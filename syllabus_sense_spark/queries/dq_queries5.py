@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2, epoch_us
+from ._util import cents, dec2, epoch_us
 
 _US_PER_DAY = 86_400_000_000
 
@@ -49,7 +49,7 @@ FROM flagged GROUP BY 1
 def dq_suspected_duplicate_orders(spark, sf_dir):
     o = load(spark, sf_dir, "orders").select(
         "o_custkey",
-        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+        cents("o_totalprice").alias("cents"),
         epoch_us(F.col("o_orderdate")).alias("us"),
         "o_orderkey",
     )

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
+from ._util import cents
 
 _N_BUCKETS = 64
 
@@ -64,8 +65,7 @@ def dq_table_fingerprint(spark, sf_dir):
         F.col("o_orderkey").cast("string"),
         F.col("o_custkey").cast("string"),
         F.col("o_orderstatus"),
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")
+        cents("o_totalprice")
         .cast("string"),
         F.col("o_orderdate").cast("date").cast("string"),
         F.col("o_orderpriority"),

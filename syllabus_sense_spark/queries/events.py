@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..operators.asof import asof_join
 from ..tables import load
 from . import register
-from ._util import dec2, epoch_us
+from ._util import cents, dec2, epoch_us, xsum
 
 _TUMBLING_ORACLE = """
 SELECT
@@ -46,7 +46,7 @@ def events_tumbling_hourly(spark, sf_dir):
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
-        F.sum(dec2("value")).cast("double").alias("total_value"),
+        xsum(cents("value"), 2, 18).alias("total_value"),
     )
 
 
@@ -114,7 +114,7 @@ def events_sessionize_gap30m(spark, sf_dir):
         (epoch_us(F.max("ts")) - epoch_us(F.min("ts")))
         .cast("long")
         .alias("duration_us"),
-        F.sum(dec2("value")).cast("double").alias("session_value"),
+        xsum(cents("value"), 2, 18).alias("session_value"),
     )
 
 

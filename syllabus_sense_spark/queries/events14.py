@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..operators.asof import asof_join
 from ..tables import load
 from . import register
-from ._util import dec2, epoch_us
+from ._util import cents, dec2, epoch_us
 
 _ATTRIBUTION_ORACLE = """
 WITH probe AS (
@@ -62,7 +62,7 @@ def events_attribution_last_touch(spark, sf_dir):
     probe = e.filter(F.col("event_type") == "purchase").select(
         "user_id",
         epoch_us(F.col("ts")).alias("us"),
-        (dec2("value") * 100).cast("bigint").alias("cents"),
+        cents("value").alias("cents"),
     )
     channels = e.filter(F.col("event_type") != "purchase").select(
         "user_id",

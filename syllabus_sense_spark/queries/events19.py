@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2, epoch_us
+from ._util import cents, dec2, epoch_us
 
 _US_PER_DAY = 86_400_000_000
 
@@ -80,7 +80,7 @@ def events_gapfill_linear(spark, sf_dir):
         .select(
             "user_id",
             epoch_us(F.col("ts")).alias("us"),
-            (dec2("value") * 100).cast("bigint").alias("c"),
+            cents("value").alias("c"),
         )
         .groupBy("user_id", F.expr(f"us DIV {_US_PER_DAY}").alias("day"))
         .agg(F.sum("c").cast("bigint").alias("cents"))

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2
+from ._util import cents, dec2, xsum, xsum_total
 
 # --- sliding windows: 1h length, 15min hop --------------------------------
 # Spark's F.window with a slide expands each event into 4 rows (one per
@@ -63,7 +63,7 @@ def events_sliding_window_agg(spark, sf_dir):
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(dec2("value")).cast("double").alias("total_value"),
+        xsum(cents("value"), 2, 18).alias("total_value"),
     )
 
 
@@ -106,7 +106,7 @@ def events_session_window_native(spark, sf_dir):
         e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec2("value")).cast("double").alias("session_value"),
+            xsum(cents("value"), 2, 18).alias("session_value"),
         )
         .select(
             "user_id",
@@ -153,14 +153,18 @@ def events_rollup_daily_from_hourly(spark, sf_dir):
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(dec2("value")).alias("total_value"),
+        # exact per-hour total in cents (scaled long) — the daily
+        # re-aggregation re-splits it, staying in long sums end to end
+        xsum_total(cents("value")).cast("long").alias("total_cents"),
     )
     return hourly.groupBy(
         F.date_trunc("day", F.col("hour_start")).alias("day_start"),
         "event_type",
     ).agg(
         F.sum("n_events").alias("n_events"),
-        F.sum("total_value").cast("double").alias("total_value"),
+        # sum over hourly decimal(28,2) partials typed (38,2) — the
+        # reconstruction matches it via prec=28
+        xsum(F.col("total_cents"), 2, 28).alias("total_value"),
         F.count(F.lit(1)).alias("n_active_hours"),
     )
 

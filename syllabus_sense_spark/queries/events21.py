@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2, epoch_us
+from ._util import cents, dec2, epoch_us
 
 _US_PER_DAY = 86_400_000_000
 
@@ -90,7 +90,7 @@ def events_attribution_first_touch(spark, sf_dir):
     purch = e.filter(F.col("event_type") == "purchase").select(
         "user_id",
         epoch_us(F.col("ts")).alias("us"),
-        (dec2("value") * 100).cast("bigint").alias("cents"),
+        cents("value").alias("cents"),
     )
     return (
         purch.join(F.broadcast(ft), "user_id", "left")
@@ -127,7 +127,7 @@ def events_weekend_split(spark, sf_dir):
     e = load(spark, sf_dir, "events").select(
         "event_type",
         epoch_us(F.col("ts")).alias("us"),
-        (dec2("value") * 100).cast("bigint").alias("cents"),
+        cents("value").alias("cents"),
     )
     return (
         e.select(

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2
+from ._util import cents, dec2, xsum
 
 _GAP_US_SQL = (
     "CASE WHEN event_type = 'purchase' THEN 3600000000 ELSE 1800000000 END"
@@ -86,7 +86,7 @@ def events_sessionize_dynamic_gap(spark, sf_dir):
             F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
             .cast("bigint")
             .alias("n_purchases"),
-            F.sum(dec2("value")).cast("double").alias("session_value"),
+            xsum(cents("value"), 2, 18).alias("session_value"),
         )
         .select(
             "user_id",

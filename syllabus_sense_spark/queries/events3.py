@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2, epoch_us
+from ._util import cents, dec2, epoch_us, xsum
 
 # --------------------------------------------------------------------------
 # Capped sessions: 30-minute-gap sessions chunked into ≤1h windows
@@ -100,7 +100,7 @@ def events_session_capped(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
             F.min("ts").alias("chunk_start"),
             F.max("ts").alias("chunk_end"),
-            F.sum(dec2("value")).cast("double").alias("chunk_value"),
+            xsum(cents("value"), 2, 18).alias("chunk_value"),
         )
     )
 

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2
+from ._util import cents, dec2, xsum
 
 # --------------------------------------------------------------------------
 # Interval join: for every purchase, the count/value of the same
@@ -75,8 +75,7 @@ def events_interval_join_views(spark, sf_dir):
     )
     return joined.groupBy("event_id", "user_id", "ts").agg(
         F.count("vts").alias("n_prior_views"),
-        F.coalesce(F.sum(dec2("v_value")), F.lit(0).cast("decimal(18,2)"))
-        .cast("double")
+        F.coalesce(xsum(cents("v_value"), 2, 18), F.lit(0).cast("double"))
         .alias("prior_view_value"),
     )
 
@@ -126,7 +125,7 @@ def events_gapfill_forward(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(
         "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
-    ).agg(F.sum(dec2("value")).alias("day_value"))
+    ).agg(xsum(cents("value"), 2, 18).alias("day_value"))
     bounds = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
@@ -194,5 +193,5 @@ def events_histogram_bins(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.min("value").alias("bin_min"),
         F.max("value").alias("bin_max"),
-        F.sum(dec2("value")).cast("double").alias("total_value"),
+        xsum(cents("value"), 2, 18).alias("total_value"),
     )

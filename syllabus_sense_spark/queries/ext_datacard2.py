@@ -100,7 +100,9 @@ def curation_doc_decisions(spark, sf_dir):
         .alias("n_tokens"),
     )
     fp = planted_corpus_fingerprints(spark, sf_dir)
-    df = fp.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    from .ext_dedup import planted_corpus_doc_freq
+
+    df = planted_corpus_doc_freq(spark, sf_dir)
     novelty = (
         fp.join(df, "h")
         .groupBy("doc_id")

@@ -239,6 +239,23 @@ def planted_corpus_sizes(spark, sf_dir: str) -> DataFrame:
     return _persisted_fingerprints(spark, sf_dir, "planted_all_sizes", build)
 
 
+def planted_corpus_doc_freq(spark, sf_dir: str) -> DataFrame:
+    """(h, df): document frequency per fingerprint, session-persisted
+    — the DF index of the planted corpus (production keeps document
+    frequency beside the postings; novelty/data-card passes probe it
+    rather than re-shuffling the full fingerprint table per query —
+    r14; shared by text_ngram_novelty and the data-card decision)."""
+
+    def build():
+        return (
+            planted_corpus_fingerprints(spark, sf_dir)
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+
+    return _persisted_fingerprints(spark, sf_dir, "planted_all_df", build)
+
+
 def planted_corpus_token_arrays(spark, sf_dir: str) -> DataFrame:
     """(doc_id, hs, s): each doc's SORTED fingerprint array plus its
     size, session-persisted. The compact per-doc form a candidate

@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from . import register
-from .ext_dedup import _SQL_SHINGLE_HASHES, planted_corpus_fingerprints
+from .ext_dedup import (
+    _SQL_SHINGLE_HASHES,
+    planted_corpus_doc_freq,
+    planted_corpus_fingerprints,
+)
 
 _NOVELTY_ORACLE = f"""
 WITH corpus AS (
@@ -52,7 +56,7 @@ GROUP BY fp.doc_id
 @register("text_ngram_novelty", _NOVELTY_ORACLE)
 def text_ngram_novelty(spark, sf_dir):
     fp = planted_corpus_fingerprints(spark, sf_dir)
-    df = fp.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    df = planted_corpus_doc_freq(spark, sf_dir)
     per_doc = (
         fp.join(df, "h")
         .groupBy("doc_id")

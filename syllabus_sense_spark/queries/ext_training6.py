@@ -147,25 +147,40 @@ def _merge_best(words, best):
     )
 
 
+def _word_types(spark, sf_dir):
+    """The corpus's word-TYPE frequency table (char-spaced seq, freq)
+    as a session artifact — the tokenizer-training input every BPE
+    query reads. Re-deriving it per invocation re-ran the corpus
+    explode+groupBy each time (r14); the merge LOOP below stays live
+    per invocation (its state is the query's result path)."""
+    from .ext_dedup import session_artifact
+    from ._util import ser_checkpoint
+
+    def build():
+        docs = load(spark, sf_dir, "documents").select("text")
+        return ser_checkpoint(
+            docs.select(F.explode(F.split("text", " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .select(
+                F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
+                "freq",
+            )
+        )
+
+    return session_artifact(spark, sf_dir, "bpe_word_types", build, persist=False)
+
+
 def _run_merges(spark, sf_dir):
     """Shared loop. Returns (per-iteration best rows, initial word
     table w1, final word table w{N+1})."""
-    docs = load(spark, sf_dir, "documents").select("text")
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select(
-            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seq"),
-            "freq",
-        )
-    )
     from ._util import release_checkpoint, rotate_checkpoint
 
-    # The type table is the loop state: checkpoint it so iteration k's
-    # plan doesn't re-tokenize the corpus or re-run merges 1..k-1.
-    initial = words.localCheckpoint()
+    # The type table is the loop state: materialized (artifact) so
+    # iteration k's plan doesn't re-tokenize the corpus or re-run
+    # merges 1..k-1.
+    initial = _word_types(spark, sf_dir)
     words = initial
     merge_rows = []
     bests = []
@@ -193,8 +208,9 @@ def _run_merges(spark, sf_dir):
         if prev_words is not initial:
             release_checkpoint(prev_words)
     # survivors back the returned DataFrames; the next invocation
-    # rotates them out as one generation
-    rotate_checkpoint("ext_training6._run_merges", initial, words, *bests)
+    # rotates them out as one generation (NOT `initial` — that is the
+    # session artifact, released only via clear_session_artifacts)
+    rotate_checkpoint("ext_training6._run_merges", words, *bests)
     return merge_rows, initial, words
 
 

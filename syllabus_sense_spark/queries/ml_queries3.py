@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2, release_checkpoint, rotate_checkpoint
+from ._util import cents, dec2, release_checkpoint, rotate_checkpoint
 
 _K = 4
 _ROUNDS = 3
@@ -82,7 +82,7 @@ GROUP BY cl
 @register("cluster_kmeans_1d_prices", _KMEANS_ORACLE)
 def cluster_kmeans_1d_prices(spark, sf_dir):
     v = load(spark, sf_dir, "events").select(
-        (dec2("value") * 100).cast("bigint").alias("c")
+        cents("value").alias("c")
     )
     # init: interior quartiles, exact integers (percentile_disc
     # returns a DOUBLE whose value is an exact integer here)

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import davg, dec2, dsum, rate
+from ._util import cents, dec2, hundredths, xavg, xsum
 
 # --------------------------------------------------------------------------
 # q1: full-scan group-aggregate (TPC-H Q1 shape). The workhorse agg:
@@ -47,19 +47,25 @@ GROUP BY l_returnflag, l_linestatus
 @register("q1_pricing_summary", _Q1_ORACLE)
 def q1_pricing_summary(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
-    disc_price = dec2("l_extendedprice") * rate("l_discount")
-    charge = disc_price * rate("l_tax", plus=True)
+    # Scaled-long exact aggregation (guide §2.3): the decimal sums
+    # these replace cost ~1.3 s/iter at sf0.1 in boxed BigDecimal
+    # buffer adds; the long twins are bit-identical (law + bitwise
+    # A/B in tests/test_scaled_long_agg.py) and run in ~0.36 s.
+    qc = cents("l_quantity")
+    pc = cents("l_extendedprice")
+    disc_price = pc * hundredths("l_discount")
+    charge = disc_price * hundredths("l_tax", plus=True)
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(dec2("l_quantity")).alias("sum_qty"),
-            dsum(dec2("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            davg(dec2("l_quantity")).alias("avg_qty"),
-            davg(dec2("l_extendedprice")).alias("avg_price"),
-            davg(dec2("l_discount")).alias("avg_disc"),
+            xsum(qc, 2, 18).alias("sum_qty"),
+            xsum(pc, 2, 18).alias("sum_base_price"),
+            xsum(disc_price, 4, 22).alias("sum_disc_price"),
+            xsum(charge, 6, 26).alias("sum_charge"),
+            xavg(qc, 2, 18).alias("avg_qty"),
+            xavg(pc, 2, 18).alias("avg_price"),
+            xavg(cents("l_discount"), 2, 18).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -101,12 +107,12 @@ def q3_shipping_priority(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1999-01-01 00:00:00").cast("timestamp")
     )
-    revenue = dec2("l_extendedprice") * rate("l_discount")
+    revenue = cents("l_extendedprice") * hundredths("l_discount")
     return (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(revenue).alias("revenue"))
+        .agg(xsum(revenue, 4, 22).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -150,7 +156,7 @@ def q5_local_supplier_volume(spark, sf_dir):
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    revenue = dec2("l_extendedprice") * rate("l_discount")
+    revenue = cents("l_extendedprice") * hundredths("l_discount")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -161,7 +167,7 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(revenue).alias("revenue"))
+        .agg(xsum(revenue, 4, 22).alias("revenue"))
     )
 
 
@@ -188,11 +194,11 @@ GROUP BY p.p_brand
 def join_broadcast_lookup(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    revenue = dec2("l_extendedprice") * rate("l_discount")
+    revenue = cents("l_extendedprice") * hundredths("l_discount")
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
-        .agg(F.count(F.lit(1)).alias("n_items"), dsum(revenue).alias("revenue"))
+        .agg(F.count(F.lit(1)).alias("n_items"), xsum(revenue, 4, 22).alias("revenue"))
     )
 
 
@@ -223,8 +229,7 @@ def join_left_outer_flag(spark, sf_dir):
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum(dec2("o_totalprice")), F.lit(0))
-            .cast("double")
+            F.coalesce(xsum(cents("o_totalprice"), 2, 18), F.lit(0).cast("double"))
             .alias("total_spent"),
         )
         .withColumn(
@@ -313,7 +318,7 @@ def join_range_bands(spark, sf_dir):
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            dsum(dec2("l_extendedprice")).alias("band_value"),
+            xsum(cents("l_extendedprice"), 2, 18).alias("band_value"),
         )
     )
 
@@ -366,7 +371,7 @@ def agg_rollup_region_nation(spark, sf_dir):
         .rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            dsum(dec2("s_acctbal")).alias("total_bal"),
+            xsum(cents("s_acctbal"), 2, 18).alias("total_bal"),
         )
     )
 
@@ -387,7 +392,7 @@ def agg_cube_status_priority(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dsum(dec2("o_totalprice")).alias("total_value"),
+        xsum(cents("o_totalprice"), 2, 18).alias("total_value"),
     )
 
 
@@ -455,10 +460,11 @@ FROM s
 def agg_stats_moments(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
     q = dec2("l_quantity")
+    qc = cents("l_quantity")
     base = l.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        dsum(q).alias("sum_qty"),
-        dsum(q * q).alias("sumsq_qty"),
+        xsum(qc, 2, 18).alias("sum_qty"),
+        xsum(qc * qc, 4, 37).alias("sumsq_qty"),
         F.min(q).cast("double").alias("min_qty"),
         F.max(q).cast("double").alias("max_qty"),
     )
@@ -574,7 +580,7 @@ def join_range_binned(spark, sf_dir):
     )
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_items"),
-        dsum(dec2("l_extendedprice")).alias("band_value"),
+        xsum(cents("l_extendedprice"), 2, 18).alias("band_value"),
     )
 
 
@@ -608,5 +614,5 @@ def join_salted_skew(spark, sf_dir):
     joined = salted_join(l, s, on="suppkey", salt=8)
     return joined.groupBy("s_name").agg(
         F.count(F.lit(1)).alias("n_items"),
-        dsum(dec2("l_quantity")).alias("total_qty"),
+        xsum(cents("l_quantity"), 2, 18).alias("total_qty"),
     )

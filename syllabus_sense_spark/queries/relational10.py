@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2
+from ._util import cents, dec2
 
 _BASKET_ORACLE = """
 WITH per_order AS (
@@ -75,7 +75,7 @@ FROM rev
 @register("sales_share_hierarchy", _SHARE_TREE_ORACLE)
 def sales_share_hierarchy(spark, sf_dir):
     o = load(spark, sf_dir, "orders").select(
-        "o_custkey", (dec2("o_totalprice") * 100).cast("bigint").alias("c")
+        "o_custkey", cents("o_totalprice").alias("c")
     )
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load(spark, sf_dir, "nation").select(

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2, epoch_us
+from ._util import cents, dec2, epoch_us, xsum_total
 
 _US_PER_DAY = 86_400_000_000
 
@@ -44,7 +44,7 @@ def orders_open_aging(spark, sf_dir):
     o = load(spark, sf_dir, "orders").select(
         "o_orderstatus",
         epoch_us(F.col("o_orderdate")).alias("us"),
-        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+        cents("o_totalprice").alias("cents"),
     )
     maxd = o.agg(F.max("us").alias("mx"))
     open_orders = (
@@ -89,7 +89,7 @@ FROM b CROSS JOIN t
 def part_brand_price_index(spark, sf_dir):
     b = load(spark, sf_dir, "part").groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n"),
-        (F.sum(dec2("p_retailprice")) * 100).cast("bigint").alias("cents"),
+        xsum_total(cents("p_retailprice")).cast("long").alias("cents"),
     )
     t = b.agg(F.sum("n").alias("tn"), F.sum("cents").alias("tc"))
     return b.join(F.broadcast(t)).select(
@@ -132,7 +132,7 @@ FROM ranked
 @register("orders_pareto_8020", _PARETO_8020_ORACLE)
 def orders_pareto_8020(spark, sf_dir):
     rev = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
-        (F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("cents")
+        xsum_total(cents("o_totalprice")).cast("long").alias("cents")
     )
     w_rk = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
     w_all = Window.partitionBy()
@@ -194,7 +194,7 @@ def supply_concentration_hhi(spark, sf_dir):
     sp = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_partkey", "l_suppkey")
-        .agg((F.sum(dec2("l_quantity")) * 100).cast("bigint").alias("q"))
+        .agg(xsum_total(cents("l_quantity")).cast("long").alias("q"))
     )
     tot = sp.groupBy("l_partkey").agg(
         F.sum("q").alias("tq"), F.count(F.lit(1)).alias("n_suppliers")

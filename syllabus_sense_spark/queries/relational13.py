@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2
+from ._util import cents, dec2
 
 # Gini over per-customer revenue, by market segment. With x_1..x_n
 # ascending, G = (2·Σi·x_i − (n+1)·Σx_i) / (n·Σx_i) — rank ties on
@@ -56,7 +56,7 @@ FROM agg
 @register("customer_gini_segment", _GINI_ORACLE)
 def customer_gini_segment(spark, sf_dir):
     o = load(spark, sf_dir, "orders").select(
-        "o_custkey", (dec2("o_totalprice") * 100).cast("bigint").alias("cents")
+        "o_custkey", cents("o_totalprice").alias("cents")
     )
     c = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"),
@@ -133,7 +133,7 @@ FROM ranked
 @register("alloc_largest_remainder", _ALLOC_ORACLE)
 def alloc_largest_remainder(spark, sf_dir):
     o = load(spark, sf_dir, "orders").select(
-        "o_custkey", (dec2("o_totalprice") * 100).cast("bigint").alias("cents")
+        "o_custkey", cents("o_totalprice").alias("cents")
     )
     c = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("o_custkey"), "c_nationkey"

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load, load_all
 from . import register
-from ._util import dec2, dsum, rate
+from ._util import cents, dec2, hundredths, xsum
 
 # --- q4 shape: EXISTS semi-join with a correlated predicate ---------------
 
@@ -78,13 +78,13 @@ def q10_returned_revenue(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load(spark, sf_dir, "nation")
-    revenue = dec2("l_extendedprice") * rate("l_discount")
+    revenue = cents("l_extendedprice") * hundredths("l_discount")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(dsum(revenue).alias("revenue"))
+        .agg(xsum(revenue, 4, 22).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -148,17 +148,17 @@ JOIN part p ON l.l_partkey = p.p_partkey
 def q14_promo_revenue(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    revenue = dec2("l_extendedprice") * rate("l_discount")
+    revenue = cents("l_extendedprice") * hundredths("l_discount")
     promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
-        F.lit(0).cast("decimal(21,4)")
+        F.lit(0).cast("long")
     )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.0)
-                * F.sum(promo).cast("double")
-                / F.sum(revenue).cast("double")
+                * xsum(promo, 4, 22)
+                / xsum(revenue, 4, 22)
             ).alias("promo_revenue_pct")
         )
     )
@@ -227,7 +227,7 @@ WHERE (p.p_brand = 'BRAND#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1
 def q19_disjunctive_filters(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    revenue = dec2("l_extendedprice") * rate("l_discount")
+    revenue = cents("l_extendedprice") * hundredths("l_discount")
     cond = (
         ((F.col("p_brand") == "BRAND#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 10))
         | ((F.col("p_brand") == "BRAND#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 20))
@@ -236,7 +236,7 @@ def q19_disjunctive_filters(spark, sf_dir):
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .agg(xsum(revenue, 4, 22).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
 
 
@@ -444,7 +444,7 @@ SELECT c_nationkey, 'max_bal' AS metric, max_bal AS value FROM per_nation
 def unpivot_nation_metrics(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     wide = c.groupBy("c_nationkey").agg(
-        F.sum(dec2("c_acctbal")).cast("double").alias("total_bal"),
+        xsum(cents("c_acctbal"), 2, 18).alias("total_bal"),
         F.count(F.lit(1)).cast("double").alias("n_customers"),
         F.max(dec2("c_acctbal")).cast("double").alias("max_bal"),
     )

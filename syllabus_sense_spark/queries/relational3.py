@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load, load_all
 from . import register
-from ._util import dec2, dsum, rate
+from ._util import cents, hundredths, xsum
 
 _REV_SQL = (
     "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -25,8 +25,11 @@ _REV_SQL = (
 )
 
 
-def _rev():
-    return dec2("l_extendedprice") * rate("l_discount")
+def _rev_l():
+    """Scaled-long (4 dp) revenue term — 10^4·(price·(1−disc)) as an
+    exact long; aggregated via _util.xsum (bit-identical to the
+    decimal-sum form it replaced, at long-sum cost)."""
+    return cents("l_extendedprice") * hundredths("l_discount")
 
 
 # --------------------------------------------------------------------------
@@ -59,7 +62,7 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            dsum(dec2("l_extendedprice") * dec2("l_discount")).alias("revenue"),
+            xsum(cents("l_extendedprice") * cents("l_discount"), 4, 37).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -120,7 +123,7 @@ def q7_volume_shipping(spark, sf_dir):
     )
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
-    ).agg(dsum(_rev()).alias("revenue"))
+    ).agg(xsum(_rev_l(), 4, 22).alias("revenue"))
 
 
 # --------------------------------------------------------------------------
@@ -179,12 +182,12 @@ def q8_market_share(spark, sf_dir):
         .join(F.broadcast(p), l.l_partkey == p.p_partkey)
     )
     nation_rev = F.when(
-        F.col("supp_nation") == "NATION_5", _rev()
-    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        F.col("supp_nation") == "NATION_5", _rev_l()
+    ).otherwise(F.lit(0).cast("long"))
     return (
         joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            (F.sum(nation_rev).cast("double") / F.sum(_rev()).cast("double"))
+            (xsum(nation_rev, 4, 22) / xsum(_rev_l(), 4, 22))
             .cast("double")
             .alias("mkt_share")
         )
@@ -227,7 +230,7 @@ def q9_product_profit(spark, sf_dir):
     return joined.groupBy(
         F.col("n_name").alias("nation"),
         F.year("o_orderdate").cast("long").alias("o_year"),
-    ).agg(dsum(_rev()).alias("sum_profit"))
+    ).agg(xsum(_rev_l(), 4, 22).alias("sum_profit"))
 
 
 # --------------------------------------------------------------------------
@@ -293,7 +296,7 @@ def q15_top_supplier(spark, sf_dir):
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(dsum(_rev()).alias("total_revenue"))
+        .agg(xsum(_rev_l(), 4, 22).alias("total_revenue"))
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -332,14 +335,14 @@ def q17_small_quantity_revenue(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#15")
     part_avg = l.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
-        (F.sum(dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+        (xsum(cents("l_quantity"), 2, 18) / F.count(F.lit(1))).alias("avg_qty")
     )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(part_avg), l.l_partkey == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
-            (F.sum(dec2("l_extendedprice")).cast("double") / F.lit(7.0))
+            (xsum(cents("l_extendedprice"), 2, 18) / F.lit(7.0))
             .cast("double")
             .alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_small"),

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2, dsum
+from ._util import cents, dec2, xsum
 
 # --------------------------------------------------------------------------
 # q2 adapted: minimum-cost supplier per part. The classic correlated
@@ -75,7 +75,8 @@ def q2_min_cost_supplier(spark, sf_dir):
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             (
-                dsum(dec2("l_extendedprice")) / dsum(dec2("l_quantity"))
+                xsum(cents("l_extendedprice"), 2, 18)
+                / xsum(cents("l_quantity"), 2, 18)
             ).alias("unit_cost")
         )
     )

@@ -91,7 +91,7 @@ FROM cust
 def customer_rfm_segments(spark, sf_dir):
     from pyspark.sql import Window
 
-    from ._util import dec2
+    from ._util import cents, dec2, xsum
 
     o = load(spark, sf_dir, "orders")
     maxd = o.agg(F.max("o_orderdate").alias("d"))
@@ -100,7 +100,7 @@ def customer_rfm_segments(spark, sf_dir):
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).cast("bigint").alias("frequency"),
-            F.sum(dec2("o_totalprice")).cast("double").alias("monetary"),
+            xsum(cents("o_totalprice"), 2, 18).alias("monetary"),
         )
         .crossJoin(F.broadcast(maxd))
         .select(

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2, epoch_us
+from ._util import cents, dec2, epoch_us, xsum_total
 
 _MOM_ORACLE = """
 WITH m AS (
@@ -56,7 +56,7 @@ def orders_mom_growth(spark, sf_dir):
         (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        (F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("cents"),
+        xsum_total(cents("o_totalprice")).cast("long").alias("cents"),
     )
     w = Window.partitionBy("priority").orderBy("ym")
     return m.withColumn("prev_n", F.lag("n_orders").over(w)).select(

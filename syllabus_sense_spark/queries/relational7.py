@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2
+from ._util import cents, dec2
 
 _LTV_ORACLE = """
 WITH o AS (
@@ -55,7 +55,7 @@ def orders_cohort_ltv(spark, sf_dir):
     o = load(spark, sf_dir, "orders").select(
         "o_custkey",
         (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("midx"),
-        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+        cents("o_totalprice").alias("cents"),
     )
     cohort = o.groupBy("o_custkey").agg(F.min("midx").alias("cohort_midx"))
     cells = (
@@ -117,19 +117,19 @@ def orders_revenue_waterfall(spark, sf_dir):
     sum/difference with ONE final cast to double (the house float
     discipline — bit-identical across engines). ONE scan, one 1-row
     aggregate, stack-unpivoted to the 4 waterfall rows."""
-    from ._util import rate
+    from ._util import cents, hundredths, xsum_dec
 
     l = load(spark, sf_dir, "lineitem")
+    pc = cents("l_extendedprice")
+    dp = pc * hundredths("l_discount")
+    ch = dp * hundredths("l_tax", plus=True)
+    # xsum_dec keeps the decimal result types ((28,2)/(32,4)/(36,6))
+    # so the stack expression's decimal differences and casts below
+    # are unchanged — only the per-row aggregation went scaled-long
     agg = l.agg(
-        F.sum(dec2("l_extendedprice")).alias("gross"),
-        F.sum(dec2("l_extendedprice") * rate("l_discount")).alias(
-            "discounted"
-        ),
-        F.sum(
-            dec2("l_extendedprice")
-            * rate("l_discount")
-            * rate("l_tax", plus=True)
-        ).alias("net"),
+        xsum_dec(pc, 2, 18).alias("gross"),
+        xsum_dec(dp, 4, 22).alias("discounted"),
+        xsum_dec(ch, 6, 26).alias("net"),
     )
     return agg.select(
         F.expr(

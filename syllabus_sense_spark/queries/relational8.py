@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2, epoch_us
+from ._util import cents, dec2, epoch_us
 
 _US_PER_DAY = 86_400_000_000
 
@@ -54,7 +54,7 @@ def part_substitution_candidates(spark, sf_dir):
         "p_brand",
         "p_type",
         "p_size",
-        (dec2("p_retailprice") * 100).cast("bigint").alias("cents"),
+        cents("p_retailprice").alias("cents"),
     ).repartition(
         spark.sparkContext.defaultParallelism, "p_type", "p_size"
     )
@@ -121,7 +121,7 @@ def supplier_scorecard(spark, sf_dir):
         .select(
             "l_orderkey",
             "l_suppkey",
-            (dec2("l_extendedprice") * 100).cast("bigint").alias("cents"),
+            cents("l_extendedprice").alias("cents"),
             F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias(
                 "returned"
             ),

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2
+from ._util import cents, dec2, xsum_total
 
 _MIGRATION_ORACLE = """
 WITH cy AS (
@@ -61,7 +61,7 @@ def orders_segment_migration(spark, sf_dir):
     cy = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey", F.year("o_orderdate").alias("yr"))
-        .agg((F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("cents"))
+        .agg(xsum_total(cents("o_totalprice")).cast("long").alias("cents"))
     )
     w = Window.partitionBy("yr").orderBy(F.desc("cents"), F.asc("o_custkey"))
     seg = cy.select(

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
+from ._util import cents
 
 _MAP_HOF_ORACLE = """
 WITH cents AS (
@@ -54,7 +55,7 @@ GROUP BY fee
 @register("map_higher_order_pipeline", _MAP_HOF_ORACLE)
 def map_higher_order_pipeline(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    c_total = cents("o_totalprice")
     expr = (
         "map_entries(map_filter(map_zip_with("
         "  map_from_entries(array("
@@ -66,7 +67,7 @@ def map_higher_order_pipeline(spark, sf_dir):
         "(k, v) -> v >= 500000))"
     )
     return (
-        o.select(cents.alias("c"))
+        o.select(c_total.alias("c"))
         .select(F.explode(F.expr(expr)).alias("e"))
         .select(F.col("e.key").alias("fee"), F.col("e.value").alias("v"))
         .groupBy("fee")
@@ -104,8 +105,7 @@ def scalar_csv_roundtrip(spark, sf_dir):
         F.struct(
             F.col("o_orderkey"),
             F.col("o_orderstatus"),
-            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("bigint")
+            cents("o_totalprice")
             .alias("cents"),
         )
     )
@@ -122,7 +122,7 @@ def scalar_csv_roundtrip(spark, sf_dir):
         & (F.col("p.o_orderstatus") == F.col("o_orderstatus"))
         & (
             F.col("p.cents")
-            == (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            == cents("o_totalprice")
         )
     )
     return parsed.groupBy(F.col("p.o_orderstatus").alias("o_orderstatus")).agg(

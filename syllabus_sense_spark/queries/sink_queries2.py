@@ -23,7 +23,7 @@ from ..sinks.layout import write_zorder_clustered
 from ..sinks.upsert import upsert_partitioned
 from ..tables import load
 from . import register
-from ._util import scratch_dir
+from ._util import cents, scratch_dir, xsum
 
 # --- CDC upsert -------------------------------------------------------------
 # Change batch, derived deterministically from the source table:
@@ -219,5 +219,5 @@ def bucketed_join_roundtrip(spark, sf_dir):
     assert "Bucketed: true" in plan, "scan must use bucketed layout"
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.sum(dec2("l_quantity")).cast("double").alias("total_qty"),
+        xsum(cents("l_quantity"), 2, 18).alias("total_qty"),
     )

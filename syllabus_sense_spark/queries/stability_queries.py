@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import davg, dec2, dsum, rate
+from ._util import cents, hundredths, xavg, xsum
 
 _ORACLE = """
 SELECT
@@ -48,11 +48,11 @@ def stability_width_invariance(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
 
     def summary(df):
-        disc_price = dec2("l_extendedprice") * rate("l_discount")
+        disc_price = cents("l_extendedprice") * hundredths("l_discount")
         return df.groupBy("l_returnflag", "l_linestatus").agg(
-            dsum(dec2("l_quantity")).alias("sum_qty"),
-            dsum(disc_price).alias("sum_disc_price"),
-            davg(dec2("l_extendedprice")).alias("avg_price"),
+            xsum(cents("l_quantity"), 2, 18).alias("sum_qty"),
+            xsum(disc_price, 4, 22).alias("sum_disc_price"),
+            xavg(cents("l_extendedprice"), 2, 18).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
 

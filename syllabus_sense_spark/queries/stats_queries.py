@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2
+from ._util import cents, dec2
 
 _P = (1 << 31) - 1  # Mersenne prime 2^31-1
 _N_REPS = 32
@@ -99,7 +99,7 @@ def stat_bootstrap_poisson_ci(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .select(
             (F.col("event_id") % _P).alias("id"),
-            (dec2("value") * 100).cast("bigint").alias("cents"),
+            cents("value").alias("cents"),
         )
     )
     reps = F.array(

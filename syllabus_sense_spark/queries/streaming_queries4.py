@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import epoch_us, scratch_dir
+from ._util import cents, epoch_us, scratch_dir
 
 _UPSERT_LATEST_ORACLE = """
 WITH ranked AS (
@@ -51,8 +51,7 @@ def streaming_upsert_latest_drain(spark, sf_dir):
             "event_type",
             epoch_us(F.col("ts")).alias("us"),
             "event_id",
-            (F.col("value").cast("decimal(18,2)") * 100)
-            .cast("bigint")
+            cents("value")
             .alias("cents"),
         )
         upsert_versioned(
@@ -155,8 +154,7 @@ def pandas_api_customer_rollup(spark, sf_dir):
 
     cust = load(spark, sf_dir, "customer").select(
         "c_mktsegment",
-        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
-        .cast("bigint")
+        cents("c_acctbal")
         .alias("cents"),
     )
     pdf = cust.pandas_api()

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2
+from ._util import cents, dec2, scaled_to_double, xsum, xsum_total
 
 _RANK_ORACLE = """
 SELECT p_brand, p_partkey, p_name, p_retailprice, rnk
@@ -69,7 +69,7 @@ def window_running_total(spark, sf_dir):
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(dec2("o_totalprice")).over(frame).cast("double").alias("running_spend"),
+        xsum(cents("o_totalprice"), 2, 18, over=frame).alias("running_spend"),
         F.row_number().over(w).cast("long").alias("order_seq"),
     )
 
@@ -130,16 +130,20 @@ def window_moving_average(spark, sf_dir):
     # the pattern for global time-series windows: reduce first.
     o = load(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("order_day")).agg(
-        F.sum(dec2("o_totalprice")).alias("day_value"),
+        # exact per-day total in cents (scaled long) — the 7-day frame
+        # then sums plain longs, and both outputs reconstruct the
+        # decimal types the old plan produced ((28,2) per day, (38,2)
+        # per frame) before the final double cast
+        xsum_total(cents("o_totalprice")).cast("long").alias("day_cents"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     w = Window.orderBy("order_day").rowsBetween(-6, Window.currentRow)
     return daily.select(
         "order_day",
         "n_orders",
-        F.col("day_value").cast("double").alias("day_value"),
+        scaled_to_double(F.col("day_cents"), 2, 28).alias("day_value"),
         (
-            F.sum("day_value").over(w).cast("double")
+            scaled_to_double(F.sum("day_cents").over(w), 2, 38)
             / F.count(F.lit(1)).over(w).cast("double")
         ).alias("moving_avg_7d"),
     )

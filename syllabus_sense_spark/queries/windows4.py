@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2
+from ._util import cents, dec2, xsum_total
 
 _TOP = 20
 
@@ -63,8 +63,8 @@ def window_rank_movers(spark, sf_dir):
             (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("midx"),
         )
         .agg(
-            (F.sum(dec2("l_extendedprice")) * 100)
-            .cast("bigint")
+            xsum_total(cents("l_extendedprice"))
+            .cast("long")
             .alias("cents")
         )
     )

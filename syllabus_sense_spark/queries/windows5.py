@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import dec2, epoch_us
+from ._util import cents, dec2, epoch_us
 
 _W = 7  # trailing rows (current + 6 preceding)
 
@@ -50,7 +50,7 @@ def window_moving_median(spark, sf_dir):
         "user_id",
         epoch_us(F.col("ts")).alias("us"),
         "event_id",
-        (dec2("value") * 100).cast("bigint").alias("cents"),
+        cents("value").alias("cents"),
     )
     w = (
         Window.partitionBy("user_id")

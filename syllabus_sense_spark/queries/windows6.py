@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from ._util import epoch_us
+from ._util import cents, epoch_us
 
 _LOCF_ORACLE = """
 WITH ordered AS (
@@ -68,7 +68,7 @@ def events_locf_forward_fill(spark, sf_dir):
         "event_id",
         F.when(
             F.col("event_type") == "purchase",
-            (F.col("value").cast("decimal(18,2)") * 100).cast("bigint"),
+            cents("value"),
         ).alias("purchase_cents"),
     )
     w = (
