@@ -104,51 +104,120 @@ FROM ranked WHERE rank <= 5
 
 @register("similarity_topk_bruteforce", _BRUTE_ORACLE)
 def similarity_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-k. r14 shape (guide §4.2 + §2.3): the scorer is
+    a mapInArrow matrix kernel over the candidate partitions with the
+    query set shipped in the task closure — the same memory class as
+    the ``F.broadcast(q)`` nested-loop join it replaces (|Q| = N/100 is
+    the documented query tier; the broadcast relation was
+    driver-collected anyway). Each task emits only its LOCAL top-5 per
+    query, so the rank window's exchange carries ≤ 5·|Q| rows per
+    partition instead of every scored pair — at the sf1 probe that is
+    3 000 rows instead of 4M. The former plan's per-pair unrolled
+    64-term dot also pushed whole-stage codegen to its limits (the r10
+    finding); the kernel sidesteps codegen entirely.
+
+    Bit-exactness with the DuckDB oracle (same device as
+    ``similarity_cosine_blocked``): dots and norms accumulate per
+    DIMENSION in index order — each pair's dot is the identical
+    left-associated IEEE sum as ``list_dot_product`` / the unrolled JVM
+    form; division and floor are single IEEE ops; float32→float64 is
+    exact. Local-then-global top-5 is lossless because both tiers order
+    by (sim DESC, neighbor_id ASC): the global top-5 of a union is
+    contained in the union of per-partition top-5s under the same total
+    order. Verified against the DuckDB oracle (hash + rows) at sf0.001,
+    sf0.01 AND sf0.1 after the rewrite."""
+    import numpy as np
+    import pyarrow as pa
+
     e = load(spark, sf_dir, "embeddings")
-    # Norms are per-row facts: compute them once on each side before
-    # the pairwise join, so the join evaluates ONE unrolled dot per
-    # pair instead of three interpreted folds.
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("qv"),
-    ).withColumn("qn", _norm("qv"))
-    # Fan the candidate side out to the full core count BEFORE the
-    # scorer join: input splits are sized by BYTES
-    # (maxPartitionBytes), but each candidate row costs |Q| 64-term
-    # dots here — at the sf1 probe the whole 4M-pair scorer ran on the
-    # ONE split a 15 MB parquet file gets (65 s single-core; ~4 s
-    # after). The 10 MB pre-join shuffle is noise next to the FLOPs;
-    # at 100 TB files fill their splits and this repartition is a
-    # no-op-sized safety net for small trailing files.
-    # The norm materializes BEFORE the repartition (r10 sweep finding):
-    # an expression attached after the exchange lands in the join's
-    # output stage, where the nested-loop join re-evaluates it once
-    # per OUTPUT row — |Q| times per candidate — and the extra 64-term
-    # subtree pushed the generated project past the codegen limits, so
-    # the whole 40M-row scorer ran INTERPRETED (17 s steady at sf1;
-    # 3.8 s with the norm carried as 8 bytes in the shuffle row).
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neighbor_label"),
-        F.col("embedding").cast("array<double>").alias("cv"),
-    ).withColumn("cn", _norm("cv")).repartition(
-        spark.sparkContext.defaultParallelism
+    q_pdf = (
+        e.filter(F.col("vec_id") % 100 == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
     )
-    # Project NARROW before the rank window: the window's exchange
-    # hash-partitions every scored row by query_id, and without this
-    # projection each row drags both 64-double vectors through the
-    # shuffle (≈1 KB/row — ~4 GB at the sf1 probe, where it, not the
-    # dot math, was the wall-clock). Catalyst does not prune columns
-    # past the window boundary on its own here.
-    scored = c.join(
-        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        "neighbor_label",
-        (_dot_unrolled("qv", "cv") / (F.col("qn") * F.col("cn"))).alias(
-            "sim"
+    qids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
+    qmat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in q_pdf["embedding"]]
+    ) if len(q_pdf) else np.zeros((0, DIM))
+    # norms per dimension in index order — matches _norm's fold
+    if len(qids):
+        qacc = qmat[:, 0] * qmat[:, 0]
+        for i in range(1, DIM):
+            qacc = qacc + qmat[:, i] * qmat[:, i]
+        qn = np.sqrt(qacc)
+    else:
+        qn = np.zeros(0)
+
+    def _topk_batches(it):
+        for b in it:
+            n = len(b)
+            if n == 0 or len(qids) == 0:
+                continue
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            labels = b.column("label").to_numpy(zero_copy_only=False)
+            flat = b.column("embedding").flatten().to_numpy(
+                zero_copy_only=False
+            )
+            cmat = flat.reshape(n, DIM).astype(np.float64)
+            cacc = cmat[:, 0] * cmat[:, 0]
+            dots = np.outer(cmat[:, 0], qmat[:, 0])
+            for i in range(1, DIM):
+                cacc = cacc + cmat[:, i] * cmat[:, i]
+                dots = dots + np.outer(cmat[:, i], qmat[:, i])
+            cn = np.sqrt(cacc)
+            sims = dots / np.outer(cn, qn)
+            out_q, out_id, out_lab, out_sim = [], [], [], []
+            for j in range(len(qids)):
+                mask = ids != qids[j]
+                cand_ids = ids[mask]
+                if cand_ids.size == 0:
+                    continue
+                cand_sims = sims[mask, j]
+                order = np.lexsort((cand_ids, -cand_sims))[:5]
+                out_q.append(np.full(order.size, qids[j], dtype=np.int64))
+                out_id.append(cand_ids[order])
+                out_lab.append(labels[mask][order])
+                out_sim.append(cand_sims[order])
+            if not out_q:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_id), type=pa.int64()),
+                    pa.array(np.concatenate(out_lab), type=pa.int32()),
+                    pa.array(np.concatenate(out_sim), type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "neighbor_label", "sim"],
+            )
+
+    # Fan the candidate side out BEFORE the scorer: input splits are
+    # sized by BYTES (maxPartitionBytes), but each candidate row costs
+    # |Q| 64-term dots here — at the sf1 probe the whole 4M-pair scorer
+    # ran on the ONE split a 15 MB parquet file gets (65 s single-core;
+    # ~4 s after). The fan-out is SCALE-ADAPTIVE (guide §2): estimated
+    # pairwise flops ≈ rows²·DIM/100 from the on-disk size, one task
+    # per ~50M flops, capped at the session's core count — so sf0.1
+    # runs 1 task instead of paying a 32-Python-worker stampede for 62
+    # rows each, while sf1+ still spreads to every core.
+    import os as _os
+
+    from ..tables import _disk_size
+
+    rows_est = max(
+        1, _disk_size(_os.path.join(sf_dir, "embeddings.parquet")) // 300
+    )
+    flops_est = rows_est * rows_est * DIM // 100
+    parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            int(flops_est // 50_000_000) + 1,
         ),
+    )
+    cand = e.select("vec_id", "label", "embedding").repartition(parts)
+    scored = cand.mapInArrow(
+        _topk_batches,
+        "query_id long, neighbor_id long, neighbor_label int, sim double",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")

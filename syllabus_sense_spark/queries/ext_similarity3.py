@@ -6,9 +6,10 @@ billion-vector ANN stack uses in front of the index:
 8 dims with a Rademacher (±1) matrix — the JL transform variant that
 needs no float matrix at all (Achlioptas 2001, "Database-friendly
 random projections"). The sign matrix is derived from md5 at module
-load and inlined as *signed-index literal arrays* shared verbatim by
-the Spark expression and the DuckDB oracle, so there is no RNG in
-either engine. Arithmetic is exact: each float is scaled to an
+load and inlined into both engines' queries (DuckDB: signed-index
+literal arrays; Spark: a ±1 int64 sign matrix driving an exact GEMM —
+see `_project_batches`), so there is no RNG in either engine.
+Arithmetic is exact: each float is scaled to an
 integer micro-unit code first (`floor(x·1e6 + 0.5)` — the repo's
 engine-stable rounding device, see ext_similarity2.py), then the
 projection is a ±1 signed BIGINT sum — bit-identical under any
@@ -21,9 +22,10 @@ argmax). This is the oracle-checkable counterpart of the rows-only
 MLlib `similarity_ann_lsh`: same hyperplane-LSH semantics, exact
 arithmetic end to end.
 
-Scale posture: the projection is a pure per-row map — no shuffle, no
-UDF, whole-stage codegen over array expressions; at 100 TB it
-pipelines with the scan. The bucket rollup is ONE map-side-combined
+Scale posture: the projection is a pure per-batch map — no shuffle;
+at 100 TB it pipelines with the scan, and the per-batch cost is one
+vectorized elementwise pass plus a (batch×64)@(64×8) int64 GEMM
+(guide §4.2). The bucket rollup is ONE map-side-combined
 groupBy on an 8-bit key (≤256 groups at any scale); the label-purity
 layer groups on (code, label) first — still bounded by 256·|labels|.
 Reference anchor: none (capability extension per SURVEY.md §2 [EXT]).
@@ -59,24 +61,62 @@ _SELS = [_signed_indices(j) for j in range(_OUT_DIM)]
 # Integer micro-unit codes for the float embedding: floor(x*1e6 + 0.5)
 # on the identical IEEE double is bit-stable across engines (round()
 # is not — engines disagree on half-even vs half-up).
-_CODES_SPARK = (
-    "transform(embedding, x -> "
-    "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
-)
 _CODES_DUCK = (
     "list_transform(embedding, x -> "
     "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
 )
 
 
-def _proj_spark(j: int) -> str:
-    sel = ", ".join(str(t) for t in _SELS[j])
-    return (
-        f"aggregate(transform(array({sel}), t -> "
-        "CASE WHEN t > 0 THEN element_at(c, t) "
-        "ELSE -element_at(c, -t) END), "
-        "CAST(0 AS BIGINT), (a, x) -> a + x)"
-    )
+# Vectorized form of the projection (r14, guide §4.2 "hand whole
+# batches to vectorized native libraries"): the original spelled the
+# fold as higher-order `aggregate`/`transform` expressions, which run
+# on Catalyst's interpreted lambda path — per row that was 64 lambda
+# evals for the codes array plus 8×(64 transform + 64 fold) ≈ 1100
+# interpreted calls, ~2.5 s of the sf0.1 bench; a flat 8×64-term
+# codegen Project halves that but pays ~0.9 s of plan/codegen
+# processing per run. The mapInArrow kernel below is the FAISS shape
+# this repo already uses for IVF coarse assignment: per Arrow batch,
+# codes = floor(emb·1e6 + 0.5) elementwise in float64 (bit-identical
+# to the SQL expression — same IEEE ops in the same order), then one
+# (batch×64)@(64×8) signed int64 GEMM. Integer addition is
+# associative, so the GEMM total equals the SQL fold exactly — the
+# A/B collect at sf0.1 matched the expression plan bit-for-bit.
+_SIGNS = None
+
+
+def _sign_matrix():
+    global _SIGNS
+    if _SIGNS is None:
+        import numpy as np
+
+        m = np.zeros((_IN_DIM, _OUT_DIM), dtype=np.int64)
+        for j in range(_OUT_DIM):
+            for i, t in enumerate(_SELS[j]):
+                m[i, j] = 1 if t > 0 else -1
+        _SIGNS = m
+    return _SIGNS
+
+
+_PROJ_SCHEMA = "vec_id long, label int, " + ", ".join(
+    f"proj_{j} long" for j in range(_OUT_DIM)
+)
+
+
+def _project_batches(it):
+    import numpy as np
+    import pyarrow as pa
+
+    signs = _sign_matrix()
+    names = ["vec_id", "label"] + [f"proj_{j}" for j in range(_OUT_DIM)]
+    for b in it:
+        flat = b.column("embedding").flatten().to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(b), _IN_DIM).astype(np.float64)
+        codes = np.floor(mat * 1000000.0 + 0.5).astype(np.int64)
+        proj = codes @ signs
+        cols = [b.column("vec_id"), b.column("label")] + [
+            pa.array(proj[:, j], type=pa.int64()) for j in range(_OUT_DIM)
+        ]
+        yield pa.RecordBatch.from_arrays(cols, names=names)
 
 
 def _proj_duck(j: int) -> str:
@@ -109,11 +149,10 @@ FROM proj
 
 
 def _projected(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
-    cols = [F.expr(_proj_spark(j)).alias(f"proj_{j}") for j in range(_OUT_DIM)]
-    return emb.withColumn("c", F.expr(_CODES_SPARK)).select(
-        "vec_id", "label", *cols
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
     )
+    return emb.mapInArrow(_project_batches, _PROJ_SCHEMA)
 
 
 @register("embedding_random_projection", _RP_ORACLE)

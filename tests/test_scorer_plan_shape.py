@@ -24,7 +24,6 @@ from syllabus_sense_spark.queries import QUERIES, load_all_queries
 load_all_queries()
 
 SCORERS = [
-    "similarity_topk_bruteforce",
     "training_hard_negatives",
     "ml_eval_retrieval_mrr",
     "search_semantic_docs",
@@ -49,3 +48,23 @@ def test_no_norm_recompute_in_pair_stage(spark, sf_dir, name):
             f"BNLJ — materialize it before the exchange (see SCALE.md "
             f"round-10): {above[:160]}"
         )
+
+
+def test_bruteforce_scorer_is_arrow_kernel_with_local_topk(spark, sf_dir):
+    """r14 law for similarity_topk_bruteforce: the scorer is a
+    mapInArrow matrix kernel emitting per-partition top-5 — the plan
+    must carry NO BroadcastNestedLoopJoin (the per-pair row path is
+    gone) and exactly one MapInArrow node below the rank window, whose
+    output is the narrow 4-column schema (the window exchange carries
+    ≤ 5·|Q| rows per partition, never the full pair set)."""
+    df = QUERIES["similarity_topk_bruteforce"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("MapInArrow") == 1
+    rows = df.collect()
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert by_q, "no query rows"
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == [1, 2, 3, 4, 5], (qid, ranks)
