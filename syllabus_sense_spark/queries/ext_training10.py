@@ -14,11 +14,12 @@ data never reshuffles existing assignments.
 `training_hard_negatives`: for each query vector, the top-3 most
 similar corpus vectors with a DIFFERENT label — the classic hard
 negatives for contrastive training (high-similarity, wrong class).
-Same broadcast-query exact-scoring skeleton as
-`similarity_topk_bruteforce` (unrolled JVM dot, fixed-order IEEE,
-floor-scaled sim) with the label-mismatch predicate in the join; at
-corpus scale the exact scorer swaps for the IVF/PQ tiers exactly as
-in `search_semantic_docs_pq`.
+Same Arrow matrix-scorer skeleton as `similarity_topk_bruteforce`
+(per-dimension accumulated outer product — fixed-order IEEE, so
+bit-identical to the unrolled dot — local top-3 per partition) with
+the label-mismatch predicate as a mask inside the kernel; at corpus
+scale the exact scorer swaps for the IVF/PQ tiers exactly as in
+`search_semantic_docs_pq`.
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load
 from . import register
-from .ext_similarity import _dot_unrolled, _norm, _SQL_COSINE
+from .ext_similarity import _dot_unrolled, _SQL_COSINE
 
 _SPLIT_ORACLE = """
 WITH g AS (
@@ -102,43 +103,116 @@ FROM ranked WHERE rank <= 3
 
 @register("training_hard_negatives", _HARDNEG_ORACLE)
 def training_hard_negatives(spark, sf_dir):
+    """Exact hard-negative miner. r14 shape — the same mapInArrow matrix
+    kernel as ``similarity_topk_bruteforce`` (which this scorer always
+    mirrored), with the label-mismatch predicate as a mask inside the
+    kernel instead of a broadcast nested-loop join condition: each task
+    scores its candidate batch against the full query set as a per-
+    dimension accumulated outer product (identical left-associated IEEE
+    sums to the unrolled JVM dot / DuckDB's list_dot_product) and emits
+    only its LOCAL top-3 per query, so the rank window's exchange
+    carries ≤ 3·|Q| rows per partition instead of every cross-label
+    pair. Local-then-global top-3 is lossless under the shared
+    (sim DESC, negative_id ASC) total order."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .ext_similarity import DIM
+
     e = load(spark, sf_dir, "embeddings")
-    q = (
+    q_pdf = (
         e.filter(F.col("vec_id") % 100 == 0)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("label").alias("query_label"),
-            F.col("embedding").cast("array<double>").alias("qv"),
-        )
-        .withColumn("qn", _norm("qv"))
+        .select("vec_id", "label", "embedding")
+        .toPandas()
     )
-    # Same candidate-side fan-out as similarity_topk_bruteforce: splits
-    # are bytes-sized, but each candidate row pays |Q| dots, so the
-    # scorer must be spread over cores explicitly (sf1 measured the
-    # whole Q×N scorer on one 15 MB split's single task). The norm
-    # materializes BEFORE the exchange — attached after it, the
-    # nested-loop join re-evaluates it per OUTPUT row and the widened
-    # project falls out of codegen (see similarity_topk_bruteforce).
-    c = e.select(
-        F.col("vec_id").alias("negative_id"),
-        F.col("label").alias("negative_label"),
-        F.col("embedding").cast("array<double>").alias("cv"),
-    ).withColumn("cn", _norm("cv")).repartition(
-        spark.sparkContext.defaultParallelism
+    qids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
+    qlabels = q_pdf["label"].to_numpy()
+    qmat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in q_pdf["embedding"]]
+    ) if len(q_pdf) else np.zeros((0, DIM))
+    if len(qids):
+        qacc = qmat[:, 0] * qmat[:, 0]
+        for i in range(1, DIM):
+            qacc = qacc + qmat[:, i] * qmat[:, i]
+        qn = np.sqrt(qacc)
+    else:
+        qn = np.zeros(0)
+
+    def _topk_batches(it):
+        for b in it:
+            n = len(b)
+            if n == 0 or len(qids) == 0:
+                continue
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            labels = b.column("label").to_numpy(zero_copy_only=False)
+            flat = b.column("embedding").flatten().to_numpy(
+                zero_copy_only=False
+            )
+            cmat = flat.reshape(n, DIM).astype(np.float64)
+            cacc = cmat[:, 0] * cmat[:, 0]
+            dots = np.outer(cmat[:, 0], qmat[:, 0])
+            for i in range(1, DIM):
+                cacc = cacc + cmat[:, i] * cmat[:, i]
+                dots = dots + np.outer(cmat[:, i], qmat[:, i])
+            cn = np.sqrt(cacc)
+            sims = dots / np.outer(cn, qn)
+            out_q, out_ql, out_id, out_lab, out_sim = [], [], [], [], []
+            for j in range(len(qids)):
+                mask = labels != qlabels[j]
+                cand_ids = ids[mask]
+                if cand_ids.size == 0:
+                    continue
+                cand_sims = sims[mask, j]
+                order = np.lexsort((cand_ids, -cand_sims))[:3]
+                out_q.append(np.full(order.size, qids[j], dtype=np.int64))
+                out_ql.append(
+                    np.full(order.size, qlabels[j], dtype=np.int32)
+                )
+                out_id.append(cand_ids[order])
+                out_lab.append(labels[mask][order])
+                out_sim.append(cand_sims[order])
+            if not out_q:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_ql), type=pa.int32()),
+                    pa.array(np.concatenate(out_id), type=pa.int64()),
+                    pa.array(np.concatenate(out_lab), type=pa.int32()),
+                    pa.array(np.concatenate(out_sim), type=pa.float64()),
+                ],
+                names=[
+                    "query_id",
+                    "query_label",
+                    "negative_id",
+                    "negative_label",
+                    "sim",
+                ],
+            )
+
+    # Scale-adaptive candidate fan-out, same heuristic as
+    # similarity_topk_bruteforce: one task per ~50M pairwise flops,
+    # capped at core count — sf0.1 runs 1 task, sf1+ fills every core.
+    import os as _os
+
+    from ..tables import _disk_size
+
+    rows_est = max(
+        1, _disk_size(_os.path.join(sf_dir, "embeddings.parquet")) // 300
     )
-    # Narrow projection before the rank window (same fix as
-    # similarity_topk_bruteforce): without it every scored row drags
-    # both 64-double vectors through the window's hash exchange.
-    scored = c.join(
-        F.broadcast(q), F.col("negative_label") != F.col("query_label")
-    ).select(
-        "query_id",
-        "query_label",
-        "negative_id",
-        "negative_label",
-        (_dot_unrolled("qv", "cv") / (F.col("qn") * F.col("cn"))).alias(
-            "sim"
+    flops_est = rows_est * rows_est * DIM // 100
+    parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            int(flops_est // 50_000_000) + 1,
         ),
+    )
+    cand = e.select("vec_id", "label", "embedding").repartition(parts)
+    scored = cand.mapInArrow(
+        _topk_batches,
+        "query_id long, query_label int, negative_id long, "
+        "negative_label int, sim double",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("negative_id")

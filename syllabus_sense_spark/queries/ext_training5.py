@@ -127,17 +127,27 @@ def training_temperature_mixture(spark, sf_dir):
             ],
             out_schema,
         )
-    picks = (
-        d.join(F.broadcast(rates.select("source", "rate_ppm")), "source")
-        .filter(F.expr(f"(doc_id * {_KNUTH}) % 1000000") < F.col("rate_ppm"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
-    )
-    return rates.join(F.broadcast(picks), "source", "left").select(
-        "source",
-        "n_docs",
-        "mass",
-        "weight",
-        "rate_ppm",
-        F.coalesce(F.col("n_sampled"), F.lit(0).cast("long")).alias("n_sampled"),
+    # One distributed pass for the accept test: the audit columns ride
+    # the broadcast rates row, and the per-doc accept predicate folds
+    # into a CONDITIONAL count in the same groupBy — no second join,
+    # and no broadcast whose build side is itself an aggregation job
+    # (the former left-join shape serialized the whole picks subjob
+    # behind a driver collect before a 20-row join could run). Sources
+    # with zero accepted docs still group (every rates source has
+    # ≥1 document by construction — stats came from documents), so the
+    # conditional sum reproduces COALESCE(n_sampled, 0) exactly.
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "mass", "weight", "rate_ppm")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(f"(doc_id * {_KNUTH}) % 1000000")
+                    < F.col("rate_ppm"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_sampled")
+        )
     )

@@ -24,7 +24,6 @@ from syllabus_sense_spark.queries import QUERIES, load_all_queries
 load_all_queries()
 
 SCORERS = [
-    "training_hard_negatives",
     "ml_eval_retrieval_mrr",
     "search_semantic_docs",
 ]
@@ -50,14 +49,18 @@ def test_no_norm_recompute_in_pair_stage(spark, sf_dir, name):
         )
 
 
-def test_bruteforce_scorer_is_arrow_kernel_with_local_topk(spark, sf_dir):
-    """r14 law for similarity_topk_bruteforce: the scorer is a
-    mapInArrow matrix kernel emitting per-partition top-5 — the plan
-    must carry NO BroadcastNestedLoopJoin (the per-pair row path is
-    gone) and exactly one MapInArrow node below the rank window, whose
-    output is the narrow 4-column schema (the window exchange carries
-    ≤ 5·|Q| rows per partition, never the full pair set)."""
-    df = QUERIES["similarity_topk_bruteforce"](spark, sf_dir)
+@pytest.mark.parametrize(
+    "name,topk",
+    [("similarity_topk_bruteforce", 5), ("training_hard_negatives", 3)],
+)
+def test_scorer_is_arrow_kernel_with_local_topk(spark, sf_dir, name, topk):
+    """r14 law for the exact matrix scorers: the scorer is a mapInArrow
+    matrix kernel emitting per-partition top-k — the plan must carry NO
+    BroadcastNestedLoopJoin (the per-pair row path is gone) and exactly
+    one MapInArrow node below the rank window, whose output is the
+    narrow scalar schema (the window exchange carries ≤ k·|Q| rows per
+    partition, never the full pair set)."""
+    df = QUERIES[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("MapInArrow") == 1
@@ -67,4 +70,4 @@ def test_bruteforce_scorer_is_arrow_kernel_with_local_topk(spark, sf_dir):
         by_q.setdefault(r.query_id, []).append(r.rank)
     assert by_q, "no query rows"
     for qid, ranks in by_q.items():
-        assert sorted(ranks) == [1, 2, 3, 4, 5], (qid, ranks)
+        assert sorted(ranks) == list(range(1, topk + 1)), (qid, ranks)
