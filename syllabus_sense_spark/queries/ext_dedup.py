@@ -222,21 +222,25 @@ def planted_corpus_fingerprints(spark, sf_dir: str) -> DataFrame:
     return _persisted_fingerprints(spark, sf_dir, "planted_all", build)
 
 
-def planted_corpus_sizes(spark, sf_dir: str) -> DataFrame:
-    """(doc_id, n_shingles) for the planted corpus, session-persisted.
-    In production the per-doc shingle count is a column of the
-    fingerprint artifact, not something every verify pass re-aggregates
-    — deriving it per query re-shuffled the full fingerprint table on
-    every warm run (~0.5 s of the old dedup_minhash_lsh steady state)."""
+def planted_corpus_fingerprint_arrays(spark, sf_dir: str) -> DataFrame:
+    """(doc_id, hs): each planted-corpus doc's distinct fingerprint
+    set as ONE array row — the doc-major layout of the fingerprint
+    index (production stores the shingle set beside the doc exactly
+    so verify passes don't re-shuffle the row-major postings).
+    ``jaccard_verify`` computes |A∩B| and both set sizes from these
+    arrays in a single projection; the row-major multiset equi-join
+    it replaces shuffled the full fingerprint table per query."""
 
     def build():
-        return (
+        return ser_checkpoint(
             planted_corpus_fingerprints(spark, sf_dir)
             .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_shingles"))
+            .agg(F.collect_list("h").alias("hs"))
         )
 
-    return _persisted_fingerprints(spark, sf_dir, "planted_all_sizes", build)
+    return _persisted_fingerprints(
+        spark, sf_dir, "planted_fp_arrays", build, persist=False
+    )
 
 
 def planted_corpus_doc_freq(spark, sf_dir: str) -> DataFrame:
@@ -389,22 +393,36 @@ def _kept_bands(bands: DataFrame) -> DataFrame:
 
 
 def _pairs_from_kept(kept: DataFrame) -> DataFrame:
-    """Distinct (doc_a < doc_b) agreeing on at least one kept band —
-    an equi-join on the band's signature tuple (uniform ints: no
-    skew). ``kept`` must be materialized (checkpoint/artifact): both
-    join branches embed it and Catalyst has no cross-consumer CSE
-    (the r10/r11 law) — left lazy, the whole
-    fingerprint→minhash→window pipeline ran twice and doubled the
-    query at sf0.1."""
+    """Distinct (doc_a < doc_b) agreeing on at least one kept band.
+
+    r14 shape: ONE pass over the band table — group each bucket's
+    members into a sorted array and explode the C(n, 2) combinations
+    (bucket size is capped at MINHASH_MAX_BUCKET, so the fan-out is
+    bounded at C(cap, 2) per bucket) — instead of the equi-self-join,
+    which read the band table twice and paid two join-side exchanges
+    plus the distinct's third. ``sort_array`` makes doc_a < doc_b by
+    construction: (doc_id, band_idx) is unique, so bucket members are
+    strictly increasing. The input no longer needs to be materialized
+    for cross-branch CSE (it is referenced once), though callers still
+    pass the session band artifact so the signatures→bands→window
+    pipeline itself is not re-derived per query."""
     keys = ["band_idx"] + [f"v{r}" for r in range(ROWS_PER_BAND)]
-    a = kept.alias("a")
-    b = kept.alias("b")
-    cond = F.col("a.doc_id") < F.col("b.doc_id")
-    for kcol in keys:
-        cond = (F.col(f"a.{kcol}") == F.col(f"b.{kcol}")) & cond
+    buckets = (
+        kept.groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
     return (
-        a.join(b, cond)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "b -> named_struct('doc_a', a, 'doc_b', b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -412,17 +430,11 @@ def _pairs_from_kept(kept: DataFrame) -> DataFrame:
 def candidate_pairs(bands: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) agreeing on at least one KEPT band,
     restricted to buckets of ≤ MINHASH_MAX_BUCKET docs — the generic
-    seam (tests / the recall tool feed synthetic band tables).
-    Rotated, not leaked: the returned pairs read this checkpoint, so
-    it cannot be released before the caller's action — the next
-    candidate_pairs invocation releases it (one live band-table
-    generation per session instead of one per dedup query; the r12
-    ADVICE leak)."""
-    kept = rotate_checkpoint(
-        "ext_dedup.candidate_pairs.kept",
-        ser_checkpoint(_kept_bands(bands)),
-    )
-    return _pairs_from_kept(kept)
+    seam (tests / the recall tool feed synthetic band tables). The
+    band table no longer needs a checkpoint here: the r14 pair
+    generation references it exactly once (bucket groupBy + explode),
+    so there is no cross-branch subtree to deduplicate."""
+    return _pairs_from_kept(_kept_bands(bands))
 
 
 def planted_kept_bands(spark, sf_dir: str) -> DataFrame:
@@ -448,42 +460,41 @@ def planted_kept_bands(spark, sf_dir: str) -> DataFrame:
 
 def jaccard_verify(
     pairs: DataFrame,
-    hashed: DataFrame,
+    fp_arrays: DataFrame,
     threshold: float,
-    sizes: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact Jaccard on candidates only: |A∩B| via a fingerprint
-    equi-join, sizes via one count per doc. The candidate set is tiny
-    relative to the corpus (LSH guarantees it) — broadcast it so the
-    intersection needs no shuffle of the shingle table. Pass a
-    pre-computed (persisted) ``sizes`` table to skip the per-call
-    full-table count aggregation."""
-    if sizes is None:
-        sizes = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    s1 = hashed.alias("s1")
-    s2 = hashed.alias("s2")
-    inter = (
-        F.broadcast(pairs.alias("c"))
-        .join(s1, F.col("s1.doc_id") == F.col("c.doc_a"))
-        .join(
-            s2,
-            (F.col("s2.doc_id") == F.col("c.doc_b"))
-            & (F.col("s2.h") == F.col("s1.h")),
-        )
-        .groupBy("c.doc_a", "c.doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    """Exact Jaccard on candidates only, against a DOC-MAJOR
+    fingerprint table ``fp_arrays`` = (doc_id, hs) with each doc's
+    distinct fingerprint set as one array (the session artifact
+    ``planted_corpus_fingerprint_arrays`` for the planted corpus).
+
+    r14 shape (guide §2.3): |A∩B| and both set sizes come from
+    ``array_intersect``/``size`` in a single projection — the
+    row-major shape this replaces shuffled the FULL fingerprint
+    multiset for the intersection equi-join and paid two further
+    broadcast joins for the per-doc sizes. The candidate pairs are
+    broadcast (tiny relative to the corpus by the LSH guarantee —
+    the established posture) and referenced exactly once, so they
+    stay lazy; the doc-b attach is a shuffle of candidate-scale rows
+    only. Arrays are distinct per doc by construction, so set
+    semantics are exact."""
+    fa = fp_arrays.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha")
     )
-    na = sizes.alias("na")
-    nb = sizes.alias("nb")
+    fb = fp_arrays.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb")
+    )
+    n_common = F.size(F.array_intersect("ha", "hb"))
     return (
-        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
-        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        F.broadcast(pairs)
+        .join(fa, "doc_a")
+        .join(fb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             (
-                F.col("n_common").cast("double")
-                / (F.col("na.n_shingles") + F.col("nb.n_shingles") - F.col("n_common"))
+                n_common.cast("double")
+                / (F.size("ha") + F.size("hb") - n_common)
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -543,20 +554,14 @@ WHERE CAST(i.n_common AS DOUBLE) / (na.n_shingles + nb.n_shingles - i.n_common) 
 
 @register("dedup_minhash_lsh", _MINHASH_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir):
-    # The distinct (doc, fingerprint) set feeds three consumers
-    # (signatures, sizes, intersection join) and is shared with
-    # dedup_incremental_index: both probe the session-persistent
-    # fingerprint table instead of re-deriving it. Base and planted
-    # halves have disjoint doc_ids and are distinct per doc, so their
-    # union is the distinct fingerprint set of the planted corpus.
-    hashed = planted_corpus_fingerprints(spark, sf_dir)
-    # The capped band table is the session-persisted LSH index
-    # (signatures→bands→window run once per session inside the
-    # artifact builder — the per-query .cache() of signatures this
-    # replaces re-derived them every invocation).
+    # Probes two session artifacts: the capped band table (the LSH
+    # index — signatures→bands→window run once per session) for
+    # candidate generation, and the doc-major fingerprint-array table
+    # for the exact-Jaccard verify (|A∩B| and sizes off the arrays —
+    # the row-major fingerprint table is never shuffled per query).
     pairs = _pairs_from_kept(planted_kept_bands(spark, sf_dir))
     return jaccard_verify(
-        pairs, hashed, threshold=0.5, sizes=planted_corpus_sizes(spark, sf_dir)
+        pairs, planted_corpus_fingerprint_arrays(spark, sf_dir), threshold=0.5
     )
 
 

@@ -89,7 +89,7 @@ def _containment_sizes(spark, sf_dir):
     two full explode+groupBy passes per query, ~1.2 s of the 2.2 s
     warm run at sf0.1 in the r14 profile); as an artifact both
     branches broadcast-probe one doc-sized table. Same posture as
-    ``planted_corpus_sizes`` on the minhash side."""
+    the fingerprint artifacts on the minhash side."""
     from .ext_dedup import _persisted_fingerprints
 
     def build():

@@ -26,11 +26,7 @@ from ._util import release_checkpoint, rotate_checkpoint, ser_checkpoint
 from .ext_dedup import (
     _MINHASH_ORACLE,
     _corpus,
-    candidate_pairs,
     jaccard_verify,
-    lsh_bands,
-    minhash_signatures,
-    shingle_hashes,
 )
 
 
@@ -348,16 +344,16 @@ def dedup_components(spark, sf_dir):
     # are the same distinct (doc_id, h) multiset by construction:
     # disjoint doc_id halves, distinct per half).
     from .ext_dedup import (
-        planted_corpus_fingerprints,
-        planted_corpus_sizes,
+        planted_corpus_fingerprint_arrays,
         planted_kept_bands,
         _pairs_from_kept,
     )
 
-    hashed = planted_corpus_fingerprints(spark, sf_dir)
     pairs = _pairs_from_kept(planted_kept_bands(spark, sf_dir))
     dups = jaccard_verify(
-        pairs, hashed, threshold=0.5, sizes=planted_corpus_sizes(spark, sf_dir)
+        pairs,
+        planted_corpus_fingerprint_arrays(spark, sf_dir),
+        threshold=0.5,
     )
     # dup-pair graphs are tiny relative to the corpus: two contraction
     # levels resolve them without (or almost without) the per-round

@@ -80,11 +80,12 @@ def test_fingerprint_table_shared_across_dedup_queries(spark, sf_dir):
     QUERIES["dedup_minhash_lsh"](spark, sf_dir).count()
     builds_after_first = ext_dedup._FP_BUILDS
     # base + planted-dupe halves + their persisted union (built from
-    # the persisted halves, not by re-shingling) + the per-doc size
-    # table (one count aggregation, persisted so verify passes stop
-    # re-shuffling the full fingerprint table) + the capped LSH band
+    # the persisted halves, not by re-shingling) + the capped LSH band
     # table (the index a near-dedup job probes — signatures→bands→
-    # occupancy window run once per session, not per query)
+    # occupancy window run once per session, not per query) + the
+    # doc-major fingerprint-array table (r14: jaccard_verify computes
+    # |A∩B| and set sizes off these arrays — the per-doc size table
+    # and the row-major intersection shuffle are gone)
     assert builds_after_first == 5
 
     QUERIES["dedup_incremental_index"](spark, sf_dir).count()

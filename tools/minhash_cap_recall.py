@@ -35,12 +35,12 @@ def measure(spark, sf_dir: str) -> dict:
         jaccard_verify,
         lsh_bands,
         minhash_signatures,
+        planted_corpus_fingerprint_arrays,
         planted_corpus_fingerprints,
-        planted_corpus_sizes,
     )
 
     hashed = planted_corpus_fingerprints(spark, sf_dir)
-    sizes = planted_corpus_sizes(spark, sf_dir)
+    fp_arrays = planted_corpus_fingerprint_arrays(spark, sf_dir)
     sigs = minhash_signatures(hashed).cache()
     out: dict[str, float] = {}
     real_cap = ext_dedup.MINHASH_MAX_BUCKET
@@ -51,7 +51,7 @@ def measure(spark, sf_dir: str) -> dict:
             pairs = ext_dedup.candidate_pairs(lsh_bands(sigs))
             n_cand = pairs.count()
             n_verified = jaccard_verify(
-                pairs, hashed, threshold=0.5, sizes=sizes
+                pairs, fp_arrays, threshold=0.5
             ).count()
             out[f"{label}_candidates"] = n_cand
             out[f"{label}_verified"] = n_verified
