@@ -172,9 +172,81 @@ def _word_types(spark, sf_dir):
     return session_artifact(spark, sf_dir, "bpe_word_types", build, persist=False)
 
 
+# Driver-loop guard: below this many word TYPES the whole vocabulary
+# is metadata-sized (the centroid-table class) and the merge loop runs
+# as exact driver arithmetic — 2·N_MERGES distributed jobs per
+# invocation (pair-count + merge over a tens-of-rows table, pure stage
+# overhead) collapse to zero. Above it (Heap's-law vocab growth at
+# corpus scale) the distributed checkpointed loop below is the path.
+_DRIVER_MAX_TYPES = 65536
+_TYPES_CACHE: dict = {}
+
+
+def _collected_types(spark, sf_dir):
+    """The vocabulary as a list[(seq, freq)] when it fits under the
+    driver guard, else None. Memoized per (applicationId, sf_dir) —
+    one count + one collect per session, both over the word-type
+    artifact (a serialized checkpoint, not the corpus)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TYPES_CACHE:
+        w = _word_types(spark, sf_dir)
+        types = None
+        if w.count() <= _DRIVER_MAX_TYPES:
+            types = [(r["seq"], r["freq"]) for r in w.collect()]
+        _TYPES_CACHE[key] = types
+    return _TYPES_CACHE[key]
+
+
+def _driver_merges(types):
+    """The merge loop as exact driver arithmetic on the collected
+    vocabulary. Semantics identical to the distributed/SQL path:
+    greedy left-to-right non-overlapping merge (what the
+    space-doubled replace computes), argmax with the (cnt DESC,
+    a ASC, b ASC) total tiebreak compared on UTF-8 BYTES (Spark's
+    UTF8String and DuckDB's binary collation both compare bytes),
+    integer counts throughout. Returns (merge table rows, final
+    types)."""
+    cur = list(types)
+    merges = []
+    for k in range(1, _N_MERGES + 1):
+        counts: dict = {}
+        for seq, freq in cur:
+            sym = seq.split(" ")
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            # mirror the distributed path: an empty argmax empties the
+            # word table (crossJoin with zero rows) and contributes no
+            # merge row — subsequent rounds stay empty
+            cur = []
+            continue
+        (a, b), cnt = min(
+            counts.items(),
+            key=lambda kv: (-kv[1], kv[0][0].encode(), kv[0][1].encode()),
+        )
+        merges.append((k, a, b, a + b, cnt))
+        nxt = []
+        for seq, freq in cur:
+            sym = seq.split(" ")
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nxt.append((" ".join(out), freq))
+        cur = nxt
+    return merges, cur
+
+
 def _run_merges(spark, sf_dir):
-    """Shared loop. Returns (per-iteration best rows, initial word
-    table w1, final word table w{N+1})."""
+    """Shared DISTRIBUTED loop (the above-guard path). Returns
+    (per-iteration best rows, initial word table w1, final word table
+    w{N+1})."""
     from ._util import release_checkpoint, rotate_checkpoint
 
     # The type table is the loop state: materialized (artifact) so
@@ -216,6 +288,37 @@ def _run_merges(spark, sf_dir):
 
 @register("training_bpe_merges", _BPE_ORACLE)
 def training_bpe_merges(spark, sf_dir):
+    types = _collected_types(spark, sf_dir)
+    if types is not None:
+        merges, _ = _driver_merges(types)
+        # literal JVM rows, NOT createDataFrame: a python-list
+        # DataFrame is an ExistingRDD of pickled rows that spins a
+        # Python worker on every action (~0.4 s/write measured);
+        # range+inline(literals) is pure JVM local work
+        if not merges:
+            return spark.range(0, 0, 1, 1).select(
+                F.lit(0).cast("bigint").alias("iter"),
+                F.lit("").alias("pair_left"),
+                F.lit("").alias("pair_right"),
+                F.lit("").alias("merged"),
+                F.lit(0).cast("bigint").alias("pair_count"),
+            )
+        return spark.range(0, 1, 1, 1).select(
+            F.inline(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("bigint").alias("iter"),
+                            F.lit(a).alias("pair_left"),
+                            F.lit(b).alias("pair_right"),
+                            F.lit(m).alias("merged"),
+                            F.lit(c).cast("bigint").alias("pair_count"),
+                        )
+                        for (k, a, b, m, c) in merges
+                    ]
+                )
+            )
+        )
     merge_rows, _, _ = _run_merges(spark, sf_dir)
     out = merge_rows[0]
     for m in merge_rows[1:]:
@@ -225,6 +328,19 @@ def training_bpe_merges(spark, sf_dir):
 
 @register("training_bpe_encode", _ENCODE_ORACLE)
 def training_bpe_encode(spark, sf_dir):
+    types = _collected_types(spark, sf_dir)
+    if types is not None:
+        _, final = _driver_merges(types)
+        return spark.range(0, 1, 1, 1).select(
+            F.lit(len(types)).cast("bigint").alias("n_word_types"),
+            F.lit(sum(f for _, f in types)).cast("bigint").alias("n_words"),
+            F.lit(sum(f * (s.count(" ") + 1) for s, f in types))
+            .cast("bigint")
+            .alias("tokens_before"),
+            F.lit(sum(f * (s.count(" ") + 1) for s, f in final))
+            .cast("bigint")
+            .alias("tokens_after"),
+        )
     _, initial, final = _run_merges(spark, sf_dir)
     before = initial.agg(
         F.count(F.lit(1)).alias("n_word_types"),
