@@ -62,6 +62,20 @@ def flagship_from_elements(
         "inner",
     ).drop("subtopic_name")
 
+    # Spread the generation stage over every core (guide §4): the
+    # question-plan stream is KBs of Arrow rows here, so AQE's
+    # byte-based coalescing (minPartitionSize=1m even with
+    # parallelism-first) folds the upstream window exchange to 1-2
+    # tasks and the Python model-call stand-in runs near-serial —
+    # measured 1.80 → 1.19 s at sf0.1 with the explicit fan-out. An
+    # explicit-N round-robin repartition is exempt from AQE
+    # coalescing; N = defaultParallelism scales with the cluster (the
+    # per-row generation cost is what bounds this stage at any SF, so
+    # one balanced partition per core is the right shape).
+    enriched = enriched.repartition(
+        enriched.sparkSession.sparkContext.defaultParallelism
+    )
+
     return generate_questions(enriched)
 
 

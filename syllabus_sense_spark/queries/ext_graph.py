@@ -38,6 +38,15 @@ from .ext_dedup import (
 # corpus would blow past maxBroadcastTableSize).
 _BROADCAST_MAX_LABELS = 20_000_000
 
+# Driver union-find guard: at or below this many edges the whole dup/
+# match graph is metadata-sized (a few MB collected — the centroid-
+# table class) and connected_components resolves it as driver
+# union-find with zero per-round jobs; above it the distributed
+# contraction + min-label loop runs unchanged. The sf1 match graph
+# (15.7M edges) and every larger tier stay distributed, so the gates
+# keep both paths exercised.
+_DRIVER_MAX_EDGES = 65536
+
 # Partitions folded together per contraction level (multi-level
 # union-find): each level coalesces the star-edge output of the
 # previous one by this factor, so per-partition UF state stays
@@ -125,6 +134,54 @@ def connected_components(
     # storm is the sf30 session-death signature); node-sized loop
     # state below keeps the default level.
     edges = ser_checkpoint(edges)
+    if plan_probe is None and edges.count() <= _DRIVER_MAX_EDGES:
+        # Driver guard (the BPE-vocab / centroid-table pattern): dup
+        # and match graphs are tiny relative to the corpus BY
+        # CONSTRUCTION (LSH/blocking bounds them), so below the guard
+        # the whole edge list is metadata-sized — union-find with
+        # min-root attachment on the driver IS the min-label fixpoint
+        # (attach the larger root under the smaller: every set's root
+        # stays its minimum member), with zero per-round jobs instead
+        # of contraction checkpoints + a convergence action per round.
+        # Above the guard (pathological match density / corpus-scale
+        # dup graphs) the distributed loop below is unchanged, and the
+        # sf1+ gates keep exercising it. plan_probe callers (the
+        # plan-shape laws) always take the distributed path.
+        import pandas as pd
+
+        rows = edges.collect()
+        _release_checkpoint(edges)
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra < rb:
+                parent[rb] = ra
+            elif rb < ra:
+                parent[ra] = rb
+        nodes = list(parent)
+        pdf = pd.DataFrame(
+            {
+                "doc_id": pd.Series(nodes, dtype="int64"),
+                "component_id": pd.Series(
+                    [find(x) for x in nodes], dtype="int64"
+                ),
+            }
+        )
+        return edges.sparkSession.createDataFrame(
+            pdf, "doc_id long, component_id long"
+        )
     retired = edges  # superseded checkpoint, released once replaced
     for _ in range(contract_levels):
         nparts = max(1, edges.rdd.getNumPartitions())

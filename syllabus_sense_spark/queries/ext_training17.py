@@ -83,6 +83,51 @@ LIMIT {_TOP_K}
 """
 
 
+_VOCAB_TOTALS_CACHE: dict = {}
+
+
+def _importance_vocab(spark, sf_dir):
+    """The (tok, c_r, c_t) dictionary as a SESSION ARTIFACT (it
+    derives purely from the corpus — the DF-table/BPE-word-types
+    class; the r14 first cut rebuilt it per invocation as a rotated
+    checkpoint), plus the two corpus totals collected once per
+    (session, sf_dir) — driver arithmetic on a bounded table, so the
+    per-invocation totals aggregate and its broadcast build are gone.
+    ONE occurrence pass builds both dictionary columns (conditional
+    count); c_t is 0, not NULL, for tokens with no target
+    occurrences, which the old left-join+coalesce produced
+    identically."""
+    from ._util import ser_checkpoint
+    from .ext_dedup import session_artifact
+
+    def build():
+        docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        occ = docs.select(
+            "lang",
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+            ).alias("tok"),
+        )
+        return ser_checkpoint(
+            occ.groupBy("tok").agg(
+                F.count(F.lit(1)).alias("c_r"),
+                F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
+            )
+        )
+
+    vocab = session_artifact(
+        spark, sf_dir, "importance_vocab", build, persist=False
+    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _VOCAB_TOTALS_CACHE:
+        row = vocab.agg(
+            F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t")
+        ).first()
+        _VOCAB_TOTALS_CACHE[key] = (int(row.t_r), int(row.t_t))
+    t_r, t_t = _VOCAB_TOTALS_CACHE[key]
+    return vocab, t_r, t_t
+
+
 @register("training_importance_selection", _IMPORTANCE_ORACLE)
 def training_importance_selection(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
@@ -105,20 +150,7 @@ def training_importance_selection(spark, sf_dir):
     # sized) so the totals aggregate and the broadcast probe read it
     # instead of re-deriving it; two token passes remain — the floor,
     # since the score needs corpus-wide counts before the per-doc sum.
-    from ._util import rotate_checkpoint, ser_checkpoint
-
-    vocab = rotate_checkpoint(
-        "ext_training17.importance.vocab",
-        ser_checkpoint(
-            occ.groupBy("tok").agg(
-                F.count(F.lit(1)).alias("c_r"),
-                F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
-            )
-        ),
-    )
-    totals = vocab.agg(
-        F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t")
-    )
+    vocab, t_r, t_t = _importance_vocab(spark, sf_dir)
     # Dictionary join: vocabulary-sized side, broadcast (the 100 TB
     # fallback is AQE skew-join on the Zipf-heavy token key).
     doc_sums = (
@@ -129,11 +161,14 @@ def training_importance_selection(spark, sf_dir):
             F.sum("c_r").cast("long").alias("den"),
         )
     )
-    scored = doc_sums.crossJoin(F.broadcast(totals)).select(
+    # Totals are TWO integers (driver arithmetic on a bounded table,
+    # the temperature-mixture pattern): inlined as literals, so the
+    # per-invocation totals aggregate + crossJoin broadcast are gone.
+    scored = doc_sums.select(
         "doc_id",
         F.expr(
-            f"CAST((CAST(num AS DECIMAL(38,0)) * t_r * {_SCALE})"
-            f" DIV (CAST(den AS DECIMAL(38,0)) * t_t) AS BIGINT)"
+            f"CAST((CAST(num AS DECIMAL(38,0)) * {t_r} * {_SCALE})"
+            f" DIV (CAST(den AS DECIMAL(38,0)) * {t_t}) AS BIGINT)"
         ).alias("score_ppm"),
     )
     return scored.orderBy(F.desc("score_ppm"), "doc_id").limit(_TOP_K)
