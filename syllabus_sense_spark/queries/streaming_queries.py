@@ -32,9 +32,17 @@ GROUP BY 1, 2
 @register("streaming_tumbling_hourly_drain", _HOURLY_ORACLE)
 def streaming_tumbling_hourly_drain(spark, sf_dir):
     from ..streaming import stream_hourly_counts
+    from ..streaming.events import state_partitions
 
-    q = stream_hourly_counts(spark, sf_dir, query_name="harness_hourly_drain")
-    assert q.awaitTermination(600), "availableNow stream drain timed out"
+    # state-store partition count sized to the input (r14 — the
+    # stream-stream joins already did this; at 32 stores the
+    # per-partition commit cost, not row work, dominated the drain:
+    # 3.9 → 1.3 s at sf0.1)
+    with state_partitions(spark, sf_dir):
+        q = stream_hourly_counts(
+            spark, sf_dir, query_name="harness_hourly_drain"
+        )
+        assert q.awaitTermination(600), "availableNow stream drain timed out"
     return spark.sql("SELECT * FROM harness_hourly_drain")
 
 
@@ -103,9 +111,15 @@ GROUP BY user_id, session_id
 @register("streaming_session_windows_drain", _SESSION_ORACLE)
 def streaming_session_windows_drain(spark, sf_dir):
     from ..streaming import stream_session_windows
+    from ..streaming.events import state_partitions
 
-    q = stream_session_windows(spark, sf_dir, query_name="harness_session_drain")
-    assert q.awaitTermination(600), "availableNow stream drain timed out"
+    # sized state stores (see streaming_tumbling_hourly_drain):
+    # 2.7 → 1.2 s at sf0.1
+    with state_partitions(spark, sf_dir):
+        q = stream_session_windows(
+            spark, sf_dir, query_name="harness_session_drain"
+        )
+        assert q.awaitTermination(600), "availableNow stream drain timed out"
     return spark.sql("SELECT * FROM harness_session_drain")
 
 

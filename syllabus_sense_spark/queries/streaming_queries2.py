@@ -114,12 +114,14 @@ def streaming_dedup_drain(spark, sf_dir):
     the table itself: every row exactly once, zero duplicates
     surviving, zero rows lost.
     """
-    from ..streaming.events import stream_dedupe_within_watermark
+    from ..streaming.events import state_partitions, stream_dedupe_within_watermark
 
-    q = stream_dedupe_within_watermark(
-        spark, sf_dir, query_name="harness_dedup_drain"
-    )
-    assert q.awaitTermination(600), "availableNow stream drain timed out"
+    # sized state stores (see streaming_tumbling_hourly_drain, r14)
+    with state_partitions(spark, sf_dir):
+        q = stream_dedupe_within_watermark(
+            spark, sf_dir, query_name="harness_dedup_drain"
+        )
+        assert q.awaitTermination(600), "availableNow stream drain timed out"
     return spark.sql(
         "SELECT event_id, user_id, event_type, ts FROM harness_dedup_drain"
     )

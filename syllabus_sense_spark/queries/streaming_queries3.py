@@ -75,11 +75,14 @@ def streaming_stateful_counts_drain(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
+    from ..streaming.events import state_partitions
     from ..streaming.stateful import stream_running_counts
 
     name = f"running_counts_{_uuid.uuid4().hex[:8]}"
-    q = stream_running_counts(spark, sf_dir, query_name=name)
-    assert q.awaitTermination(600), "availableNow stream drain timed out"
+    # sized state stores (see streaming_tumbling_hourly_drain, r14)
+    with state_partitions(spark, sf_dir):
+        q = stream_running_counts(spark, sf_dir, query_name=name)
+        assert q.awaitTermination(600), "availableNow stream drain timed out"
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -113,9 +116,11 @@ def streaming_sliding_hourly_drain(spark, sf_dir):
     window expansion."""
     import uuid as _uuid
 
-    from ..streaming.events import stream_sliding_counts
+    from ..streaming.events import state_partitions, stream_sliding_counts
 
     name = f"sliding_drain_{_uuid.uuid4().hex[:8]}"
-    q = stream_sliding_counts(spark, sf_dir, query_name=name)
-    assert q.awaitTermination(600), "availableNow stream drain timed out"
+    # sized state stores (see streaming_tumbling_hourly_drain, r14)
+    with state_partitions(spark, sf_dir):
+        q = stream_sliding_counts(spark, sf_dir, query_name=name)
+        assert q.awaitTermination(600), "availableNow stream drain timed out"
     return spark.table(name)

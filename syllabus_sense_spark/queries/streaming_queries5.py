@@ -290,12 +290,17 @@ def streaming_dynamic_gap_drain(spark, sf_dir):
     drained memory-sink table must hash-match the batch interval-merge
     oracle exactly — no session split or merged across micro-batch
     boundaries. Batch twin: events24.events_sessionize_dynamic_gap."""
-    from ..streaming.events import stream_session_windows_dynamic
-
-    q = stream_session_windows_dynamic(
-        spark, sf_dir, query_name="harness_dynamic_gap_drain"
+    from ..streaming.events import (
+        state_partitions,
+        stream_session_windows_dynamic,
     )
-    assert q.awaitTermination(600), "availableNow stream drain timed out"
+
+    # sized state stores (see streaming_tumbling_hourly_drain, r14)
+    with state_partitions(spark, sf_dir):
+        q = stream_session_windows_dynamic(
+            spark, sf_dir, query_name="harness_dynamic_gap_drain"
+        )
+        assert q.awaitTermination(600), "availableNow stream drain timed out"
     return spark.sql(
         "SELECT session_start, session_end, user_id, n_events, n_purchases"
         " FROM harness_dynamic_gap_drain"
