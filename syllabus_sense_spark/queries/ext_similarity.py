@@ -364,14 +364,21 @@ def similarity_ann_lsh(spark, sf_dir):
     # side) and inlines into the probe-join key, where the interpreted
     # Predicate path evaluates it per candidate row (measured ~2.5 s
     # extra at sf0.1).
-    from ._util import rotate_checkpoint
+    # Session artifact (r14; was a rotated per-invocation checkpoint):
+    # the SRP bucket INDEX of the corpus — the LSH hash table an ANN
+    # service persists and probes.
+    from ._util import ser_checkpoint
+    from .ext_dedup import session_artifact
 
-    # rotated: backs the returned result; next invocation releases it
-    bucketed = rotate_checkpoint(
-        "ext_similarity.similarity_ann_lsh.bucketed",
-        e.withColumn("bucket", bucket(F.col("v")))
-        .withColumn("nrm", _norm("v"))
-        .localCheckpoint(),
+    def _build_bucketed():
+        return ser_checkpoint(
+            e.withColumn("bucket", bucket(F.col("v"))).withColumn(
+                "nrm", _norm("v")
+            )
+        )
+
+    bucketed = session_artifact(
+        spark, sf_dir, "srp_lsh_buckets", _build_bucketed, persist=False
     )
     probe_arr = "array(qbucket, " + ", ".join(
         f"qbucket ^ {1 << i}" for i in range(8)
