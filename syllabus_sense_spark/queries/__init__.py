@@ -65,6 +65,38 @@ _FORCE_RECHECK: list[str] = [
     "curation_pipeline_summary",
     "training_importance_selection",
     "training_temperature_mixture",
+    # Arrow matrix scorers (§14-§16: BNLJ → mapInArrow kernel +
+    # WindowGroupLimit):
+    "similarity_topk_bruteforce",
+    "training_hard_negatives",
+    "embedding_random_projection",
+    "similarity_srp_buckets",
+    # Doc-major Jaccard verify + one-pass pair explosion (§17) — every
+    # consumer of the shared seam:
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_canonical_keep",
+    # Driver guards with distributed fallbacks (§18 BPE vocab, §19
+    # union-find) and the artifact conversions (§20, §23):
+    "training_bpe_merges",
+    "training_bpe_encode",
+    "dedup_semantic_clusters",
+    "match_entity_canonical",
+    "match_fuzzy_parts_capped",
+    # Shared-artifact rewrites whose plans changed (§11, §12):
+    "text_ngram_novelty",
+    "curation_doc_decisions",
+    "graph_label_propagation",
+    # Scaled-long aggregation family (§10) — the headline members
+    # whose HashAggregate functions changed shape (the rest of the 42
+    # converted queries rotate through later windows; outputs were
+    # proven IEEE-bit-identical at two SFs in-round):
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "join_broadcast_lookup",
+    "agg_rollup_region_nation",
+    "window_running_total",
+    "events_sessionize_gap30m",
     # The rest of the 50-slot window drains the r04/r06-vintage tail.
 ]
 
