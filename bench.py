@@ -375,6 +375,108 @@ def _isolated_one(name: str) -> None:
     )
 
 
+def _prev_round_commit(here: str | None = None) -> str | None:
+    """The commit holding the PREVIOUS round's code — the driver's
+    "round N: verdict/..." commit lands immediately after round N's
+    bench, so its tree is exactly what that bench measured (plus the
+    verdict artifacts). None when git/the commit is unavailable."""
+    import subprocess
+
+    rnd = _latest_bench_round(here)
+    if rnd <= 0:
+        return None
+    here = here or os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            [
+                "git", "-C", here, "log", "--format=%H", "-n", "1",
+                "--grep", f"^round {rnd}:",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=60,
+        )
+        sha = out.stdout.strip().splitlines()
+        return sha[0] if sha and out.returncode == 0 else None
+    except Exception:
+        return None
+
+
+def _add_worktree(commit: str, here: str | None = None) -> str | None:
+    """Detached git worktree of ``commit`` in a temp dir — the
+    previous round's code, runnable in-place. None on failure."""
+    import subprocess
+    import tempfile
+
+    here = here or os.path.dirname(os.path.abspath(__file__))
+    path = tempfile.mkdtemp(prefix="bench_prev_")
+    try:
+        out = subprocess.run(
+            ["git", "-C", here, "worktree", "add", "--detach", "--force",
+             path, commit],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        if out.returncode == 0:
+            return path
+    except Exception:
+        pass
+    return None
+
+
+def _remove_worktree(path: str, here: str | None = None) -> None:
+    import shutil
+    import subprocess
+
+    here = here or os.path.dirname(os.path.abspath(__file__))
+    try:
+        subprocess.run(
+            ["git", "-C", here, "worktree", "remove", "--force", path],
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _ab_verdict(
+    iso_head: float,
+    head_cal: float,
+    iso_prev: float,
+    prev_leg_cal: float,
+) -> tuple[str, dict]:
+    """Classify one mover from a back-to-back isolated A/B: the
+    PREVIOUS round's code and HEAD, both run cold (fresh JVM, fresh
+    Python workers) on the SAME host minutes apart. This replaces the
+    r14 protocol of comparing cold-HEAD against the previous round's
+    warm-session archive, which is systematically biased (round 14: a
+    query 3.34x faster in-session was flagged `confirmed_slower`
+    because its isolated cold-codegen leg was held against r13's warm
+    number — the calibration scalar corrects CPU speed, not
+    cold-vs-warm state). Both legs sharing the cold posture makes the
+    comparison self-anchoring; the residual per-leg host jitter is
+    corrected by each child's own calibration probe."""
+    extras: dict = {}
+    ref = iso_prev
+    if head_cal > 0 and prev_leg_cal > 0:
+        leg_ratio = min(3.0, max(1 / 3.0, head_cal / prev_leg_cal))
+        extras["ab_host_ratio"] = round(leg_ratio, 3)
+        ref = iso_prev * leg_ratio
+    extras["ab_ratio"] = round(iso_head / ref, 2) if ref > 0 else None
+    if ref <= 0:
+        return "noise", extras
+    if abs(iso_head - ref) < MOVER_MIN_DELTA:
+        return "noise", extras
+    ratio = iso_head / ref
+    if ratio > MOVER_RATIO:
+        return "confirmed_slower", extras
+    if ratio < 1 / MOVER_RATIO:
+        return "confirmed_faster", extras
+    return "noise", extras
+
+
 def _mover_verdict(
     prev: float,
     prev_host_scaled: float,
@@ -415,23 +517,32 @@ def _mover_verdict(
     return "noise", extras
 
 
-def _isolated_time(name: str, half: str) -> tuple[float, float] | None:
+def _isolated_time(
+    name: str,
+    half: str,
+    script: str | None = None,
+    cwd: str | None = None,
+) -> tuple[float, float] | None:
     """Re-time one query in a fresh process (fresh JVM, fresh Python
     workers, no session history); ``half`` picks the total ('queries')
     or write-only ('execute') number so the verdict compares the same
-    quantity the previous round recorded. Returns (seconds, child
-    calibration seconds) — the caller host-corrects the verdict with
-    the child's own calibration, since a degraded hypervisor window
-    outlives the parent session. None on any failure — the caller
-    reports the mover as unconfirmed rather than crashing the bench."""
+    quantity the previous round recorded. ``script``/``cwd`` point at
+    an alternate checkout's bench.py (the previous round's worktree)
+    for the A/B protocol. Returns (seconds, child calibration
+    seconds) — the caller host-corrects the verdict with the child's
+    own calibration, since a degraded hypervisor window outlives the
+    parent session. None on any failure — the caller reports the
+    mover as unconfirmed rather than crashing the bench."""
     import subprocess
 
     try:
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--isolated-one", name],
+            [sys.executable, script or os.path.abspath(__file__),
+             "--isolated-one", name],
             capture_output=True,
             text=True,
             timeout=1200,
+            cwd=cwd,
         )
         for line in reversed(out.stdout.strip().splitlines()):
             if line.startswith("{"):
@@ -568,10 +679,12 @@ def main() -> None:
                 "session": sec,
                 "ratio": round(ratio, 2),
             }
-    if movers and not prev_cal:
+    prev_commit = _prev_round_commit() if movers else None
+    if movers and not prev_cal and not prev_commit:
         # No calibration anchor for the previous round (missing OR a
         # parsed zero — same predicate `_mover_verdict` uses, r13
-        # ADVICE): there is no way to separate code movement from host
+        # ADVICE) AND no previous-round commit for the self-anchoring
+        # A/B: there is no way to separate code movement from host
         # movement, so every verdict is inconclusive — round 12
         # emitted five `confirmed_slower` against the unanchored r11
         # tail and all five were judge-adjudicated hypervisor drift.
@@ -581,28 +694,71 @@ def main() -> None:
             movers[name]["verdict"] = "no_anchor_inconclusive"
     elif movers:
         spark.stop()
+        # r15 protocol (r14 judge item 2): isolated confirmation runs
+        # BOTH commits cold — the previous round's code from a
+        # detached worktree and HEAD — back-to-back per mover, and the
+        # verdict compares those two legs. The r14 shape (cold-HEAD vs
+        # the previous round's warm-session archive, scalar
+        # host-corrected) produced a provably false `confirmed_slower`
+        # for a query that was 3.34x faster in-session: a fresh JVM's
+        # cold codegen/JIT state is not a host-speed effect. The
+        # archive-based verdict remains only as the fallback when the
+        # worktree leg is unavailable.
+        wt = _add_worktree(prev_commit) if prev_commit else None
         by_severity = sorted(
             movers, key=lambda n: abs(1 - movers[n]["ratio"]), reverse=True
         )
-        for name in by_severity[:MAX_ISOLATED]:
-            got = _isolated_time(name, prev_kind)
-            m = movers[name]
-            if got is None:
-                m["verdict"] = "isolated_run_failed"
-                continue
-            iso, iso_cal = got
-            m["isolated"] = round(iso, 3)
-            if iso_cal > 0:
-                m["isolated_cal"] = round(iso_cal, 3)
-            verdict, extras = _mover_verdict(
-                prev=m["prev"],
-                prev_host_scaled=m["prev_host_scaled"],
-                iso=iso,
-                iso_cal=iso_cal,
-                prev_cal=prev_cal,
-            )
-            m.update(extras)
-            m["verdict"] = verdict
+        try:
+            for name in by_severity[:MAX_ISOLATED]:
+                got = _isolated_time(name, prev_kind)
+                m = movers[name]
+                if got is None:
+                    m["verdict"] = "isolated_run_failed"
+                    continue
+                iso, iso_cal = got
+                m["isolated"] = round(iso, 3)
+                if iso_cal > 0:
+                    m["isolated_cal"] = round(iso_cal, 3)
+                got_prev = (
+                    _isolated_time(
+                        name,
+                        prev_kind,
+                        script=os.path.join(wt, "bench.py"),
+                        cwd=wt,
+                    )
+                    if wt
+                    else None
+                )
+                if got_prev is not None:
+                    iso_prev, prev_leg_cal = got_prev
+                    m["isolated_prev"] = round(iso_prev, 3)
+                    if prev_leg_cal > 0:
+                        m["isolated_prev_cal"] = round(prev_leg_cal, 3)
+                    verdict, extras = _ab_verdict(
+                        iso_head=iso,
+                        head_cal=iso_cal,
+                        iso_prev=iso_prev,
+                        prev_leg_cal=prev_leg_cal,
+                    )
+                elif prev_cal:
+                    verdict, extras = _mover_verdict(
+                        prev=m["prev"],
+                        prev_host_scaled=m["prev_host_scaled"],
+                        iso=iso,
+                        iso_cal=iso_cal,
+                        prev_cal=prev_cal,
+                    )
+                    verdict = {
+                        "confirmed_slower": "archive_slower_unconfirmed",
+                        "confirmed_faster": "archive_faster_unconfirmed",
+                    }.get(verdict, verdict)
+                else:
+                    verdict, extras = "no_anchor_inconclusive", {}
+                m.update(extras)
+                m["verdict"] = verdict
+        finally:
+            if wt:
+                _remove_worktree(wt)
         for name in by_severity[MAX_ISOLATED:]:
             movers[name]["verdict"] = "isolated_skipped_cap"
 

@@ -81,3 +81,76 @@ def test_verdict_boundary_tracks_mover_ratio_constant():
     )
     assert v_in == "noise"
     assert v_out == "confirmed_slower"
+
+
+# ---- r15: the isolated A/B protocol (r14 judge item 2) ----
+# The r14 protocol compared cold-HEAD against the previous round's
+# WARM-session archive and produced a provably false confirmed_slower
+# (q1: 3.34x faster in-session). The A/B verdict compares two COLD
+# legs run back-to-back — previous round's commit in a worktree vs
+# HEAD — so cold-vs-warm bias cannot enter.
+
+from bench import MOVER_MIN_DELTA, _ab_verdict, _prev_round_commit
+
+
+def test_ab_equal_legs_is_noise():
+    verdict, extras = _ab_verdict(
+        iso_head=1.0, head_cal=1.0, iso_prev=1.0, prev_leg_cal=1.0
+    )
+    assert verdict == "noise"
+    assert extras["ab_ratio"] == 1.0
+
+
+def test_ab_confirms_real_regression_and_improvement():
+    v, e = _ab_verdict(iso_head=2.0, head_cal=1.0, iso_prev=1.0, prev_leg_cal=1.0)
+    assert v == "confirmed_slower" and e["ab_ratio"] == 2.0
+    v, _ = _ab_verdict(iso_head=1.0, head_cal=1.0, iso_prev=2.0, prev_leg_cal=1.0)
+    assert v == "confirmed_faster"
+
+
+def test_ab_host_drift_between_legs_corrected():
+    # HEAD leg ran on a 1.5x-slower host window than the prev leg:
+    # raw 1.5x ratio is fully explained by the per-leg calibrations.
+    v, e = _ab_verdict(iso_head=1.5, head_cal=1.8, iso_prev=1.0, prev_leg_cal=1.2)
+    assert v == "noise"
+    assert e["ab_host_ratio"] == 1.5
+    assert abs(e["ab_ratio"] - 1.0) < 0.05
+
+
+def test_ab_sub_delta_moves_are_noise():
+    # Ratio beyond the band but absolute delta under MOVER_MIN_DELTA:
+    # sub-0.2s queries flap on scheduler jitter, never confirm them.
+    v, _ = _ab_verdict(
+        iso_head=MOVER_MIN_DELTA * 0.9,
+        head_cal=1.0,
+        iso_prev=MOVER_MIN_DELTA * 0.3,
+        prev_leg_cal=1.0,
+    )
+    assert v == "noise"
+
+
+def test_ab_missing_calibration_still_compares_raw():
+    # A failed calibration probe (0.0) on either leg: compare raw —
+    # both legs are cold on the same host minutes apart, so raw is
+    # still the least-biased available comparison.
+    v, e = _ab_verdict(iso_head=2.0, head_cal=0.0, iso_prev=1.0, prev_leg_cal=1.2)
+    assert v == "confirmed_slower"
+    assert "ab_host_ratio" not in e
+
+
+def test_prev_round_commit_resolves_in_this_repo():
+    # The driver's "round N:" commit for the latest archived BENCH
+    # round must resolve to a real sha (this repo carries r14's).
+    sha = _prev_round_commit()
+    import subprocess
+
+    if (
+        subprocess.run(
+            ["git", "rev-parse", "--git-dir"], capture_output=True
+        ).returncode
+        != 0
+    ):
+        import pytest
+
+        pytest.skip("not a git checkout")
+    assert sha is not None and len(sha) == 40
