@@ -45,59 +45,61 @@ def register(name: str, oracle: str | None = None):
 # last-green round, so the oldest evidence rotates back into the
 # 50-slot window first and stale green rows get re-confirmed.
 _FORCE_RECHECK: list[str] = [
-    # Round-14 state: all five r13 force entries landed latest-green
-    # r13 rows (CORRECTNESS_r13: 50/50 green) — pruned. Force-listed
-    # below: every query whose plan/output path round 14's
-    # optimization edits actually changed (outputs verified identical
-    # on the full local oracle gate; rows re-earned by policy).
-    # The trade-graph edge snapshot moved from a bare columnar persist
-    # to a SERIALIZED localCheckpoint (lineage-truncated opaque leaf —
-    # the r13 judge's `weak` fix for the ~5× sf0.1 BFS constant),
-    # changing both graph iterations' physical plans:
-    "graph_pagerank_trade",
-    "graph_bfs_levels",
-    # Redundant-pass rewrites (one corpus scan instead of 2-16; plan
-    # Exchange counts drop accordingly):
-    "ml_pca_power_iteration",
-    "dedup_repeated_passages",
-    "dedup_containment",
-    "pipeline_flagship_questions",
-    "curation_pipeline_summary",
-    "training_importance_selection",
-    "training_temperature_mixture",
-    # Arrow matrix scorers (§14-§16: BNLJ → mapInArrow kernel +
-    # WindowGroupLimit):
-    "similarity_topk_bruteforce",
-    "training_hard_negatives",
-    "embedding_random_projection",
-    "similarity_srp_buckets",
-    # Doc-major Jaccard verify + one-pass pair explosion (§17) — every
-    # consumer of the shared seam:
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "dedup_canonical_keep",
-    # Driver guards with distributed fallbacks (§18 BPE vocab, §19
-    # union-find) and the artifact conversions (§20, §23):
-    "training_bpe_merges",
-    "training_bpe_encode",
-    "dedup_semantic_clusters",
-    "match_entity_canonical",
-    "match_fuzzy_parts_capped",
-    # Shared-artifact rewrites whose plans changed (§11, §12):
-    "text_ngram_novelty",
-    "curation_doc_decisions",
-    "graph_label_propagation",
-    # Scaled-long aggregation family (§10) — the headline members
-    # whose HashAggregate functions changed shape (the rest of the 42
-    # converted queries rotate through later windows; outputs were
-    # proven IEEE-bit-identical at two SFs in-round):
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "join_broadcast_lookup",
-    "agg_rollup_region_nation",
-    "window_running_total",
-    "events_sessionize_gap30m",
-    # The rest of the 50-slot window drains the r04/r06-vintage tail.
+    # Round-15 state: all 30 r14 force entries landed latest-green r14
+    # rows (CORRECTNESS_r14: 50/50 green) — pruned. Force-listed
+    # below, per the r14 verdict items 8/10:
+    #
+    # (a) the r14 §10 scaled-long conversion tail — registry queries
+    # whose HashAggregate functions changed shape in round 14
+    # (decimal SUM → paired hi/lo long sums) but whose latest driver
+    # green row predates that plan change (outputs were proven
+    # IEEE-bit-identical at two SFs in-round; the driver row is
+    # re-earned here by policy). The nine converted headliners that
+    # sat in r14's window (q1/q2/q5, join_broadcast_lookup,
+    # agg_rollup, window_running_total, events_sessionize_gap30m,
+    # events_rollup_daily_from_hourly, events_session_capped) already
+    # re-earned green and are NOT re-listed.
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q19_disjunctive_filters",
+    "agg_cube_status_priority",
+    "agg_stats_moments",
+    "join_range_bands",
+    "join_range_binned",
+    "join_salted_skew",
+    "join_left_outer_flag",
+    "unpivot_nation_metrics",
+    "stability_width_invariance",
+    "events_sessionize_dynamic_gap",
+    "events_tumbling_hourly",
+    "events_sliding_window_agg",
+    "events_session_window_native",
+    "events_interval_join_views",
+    "events_histogram_bins",
+    "events_gapfill_forward",
+    "customer_rfm_segments",
+    "bucketed_join_roundtrip",
+    "window_moving_average",
+    "orders_revenue_waterfall",
+    "agg_any_value_functional",
+    "customer_revenue_concentration",
+    "part_brand_price_index",
+    "orders_pareto_8020",
+    "supply_concentration_hhi",
+    "orders_mom_growth",
+    "orders_segment_migration",
+    "window_rank_movers",
+    # (b) every query whose plan/output path round 15's optimization
+    # edits actually change (appended as the round lands them):
+    # nearest-direction as-of: two opposite-order sorts over one
+    # exchange -> ONE sort, forward candidate via lead IGNORE NULLS
+    "events_asof_nearest_order",
 ]
 
 _NEW_THIS_ROUND: list[str] = [
