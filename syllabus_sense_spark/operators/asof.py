@@ -94,7 +94,8 @@ def asof_join(
     # last() picks it. Forward pass: the same composition over
     # REVERSED time order — the last reference row before the probe in
     # descending order is the earliest rt >= lt. Both windows share
-    # the hash partitioning, so nearest still shuffles once.
+    # the hash partitioning, so nearest still shuffles once — and
+    # since r15 it also SORTS once (see the nearest branch below).
     w_back = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__t"), F.col("__is_probe"), F.col("__tb"))
@@ -109,20 +110,72 @@ def asof_join(
     # row: pack them (plus the reference time, which nearest needs for
     # its distance compare) into one struct so last(..., ignorenulls)
     # is atomic.
-    packed = F.when(
-        F.col("__is_probe") == 0,
-        F.struct(
-            *[F.col(f"__v_{c}").alias(c) for c in value_cols],
-            F.col("__t").alias("__rt"),
-        ),
+    payload = F.struct(
+        *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+        F.col("__t").alias("__rt"),
     )
+    packed = F.when(F.col("__is_probe") == 0, payload)
     if direction == "backward":
         match = F.last(packed, ignorenulls=True).over(w_back)
     elif direction == "forward":
         match = F.last(packed, ignorenulls=True).over(w_fwd)
     else:  # nearest: both candidates, pick the closer (tie -> backward)
-        back = F.last(packed, ignorenulls=True).over(w_back)
-        fwd = F.last(packed, ignorenulls=True).over(w_fwd)
+        # r15 (guide §2.3): both candidates resolve over ONE ascending
+        # sort instead of two opposite-order sorts on the same
+        # exchange, using only O(n) window frames (a min over the
+        # [current, unbounded following) frame would be the natural
+        # spelling, but Spark re-aggregates that frame per row —
+        # measured quadratic: 200k rows in one partition did not
+        # finish in 5 minutes, vs 0.5 s for the running frame).
+        #
+        # Ordering: (__t, __tb) with probe rows' null tiebreak
+        # coalesced to +inf, so reference rows still sort before the
+        # probe at equal timestamps (every real tiebreak is finite)
+        # and the backward running last() stays inclusive and
+        # max-tiebreak, exactly as (__t, __is_probe, __tb) ordered it.
+        #
+        # Forward candidate — earliest rt >= lt, ties by greatest
+        # tiebreak — as lead(.., 1) IGNORE NULLS over a column that is
+        # non-null ONLY on each (key, rt) group's max-tiebreak
+        # reference row. That row is simply the last reference row of
+        # its (key, rt) run in this ordering, detected with a plain
+        # lead(1) group-boundary test — same window spec, so no extra
+        # exchange or sort (a partition-by-(keys, rt) group max would
+        # hash-partition on (keys, rt) and plan a SECOND exchange —
+        # measured). Both lead frames are the O(n) two-pointer offset
+        # frame. One semantic wrinkle: same-timestamp references sort
+        # BEFORE the probe, so lead sees rt > lt instead of rt >= lt —
+        # which cannot change the result, because an rt == lt
+        # reference is always the backward candidate at distance 0 and
+        # an exact-distance tie prefers backward (the old forward
+        # candidate at distance 0 always lost to it).
+        unioned = unioned.withColumn(
+            "__tb", F.coalesce(F.col("__tb"), F.lit(float("inf")))
+        )
+        w_near = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t"), F.col("__tb"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_lead = Window.partitionBy(*keys).orderBy(
+            F.col("__t"), F.col("__tb")
+        )
+        nxt_t = F.lead("__t", 1).over(w_lead)
+        nxt_probe = F.lead("__is_probe", 1).over(w_lead)
+        unioned = unioned.withColumn(
+            "__fwd_cand",
+            F.when(
+                (F.col("__is_probe") == 0)
+                & (
+                    nxt_t.isNull()
+                    | (nxt_t != F.col("__t"))
+                    | (nxt_probe == 1)
+                ),
+                payload,
+            ),
+        )
+        back = F.last(packed, ignorenulls=True).over(w_near)
+        fwd = F.expr("lead(__fwd_cand, 1) IGNORE NULLS").over(w_lead)
         t_us = F.unix_micros(F.col("__t").cast("timestamp"))
         back_d = t_us - F.unix_micros(back["__rt"].cast("timestamp"))
         fwd_d = F.unix_micros(fwd["__rt"].cast("timestamp")) - t_us
