@@ -100,6 +100,9 @@ _FORCE_RECHECK: list[str] = [
     # nearest-direction as-of: two opposite-order sorts over one
     # exchange -> ONE sort, forward candidate via lead IGNORE NULLS
     "events_asof_nearest_order",
+    # LPA rounds as driver arithmetic below the edge guard (the
+    # ext_graph union-find pattern); distributed loop above unchanged
+    "graph_label_propagation",
 ]
 
 _NEW_THIS_ROUND: list[str] = [

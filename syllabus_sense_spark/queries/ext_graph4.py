@@ -109,9 +109,70 @@ def _lpa_adj(spark, sf_dir):
     return session_artifact(spark, sf_dir, "lpa_adj", build, persist=False)
 
 
+# adjacency row count per (applicationId, sf_dir) — the driver-guard
+# predicate costs one job on the checkpointed artifact; a session asks
+# it once, not per invocation (the ext_graph2 node-count pattern)
+_ADJ_COUNT_CACHE: dict = {}
+
+
+def _lpa_driver_rounds(adj_rows) -> dict:
+    """The _N_ROUNDS synchronous majority rounds as exact driver
+    arithmetic over the collected adjacency — integer counts, argmax
+    tiebreak (cnt DESC, label ASC), identical to the oracle CTEs (and
+    to tests/test_round6_ops.py's independent reference)."""
+    adj: dict = {}
+    for r in adj_rows:
+        adj.setdefault(r[0], []).append(r[1])
+    labels = {n: n for n in adj}
+    from collections import Counter
+
+    for _ in range(_N_ROUNDS):
+        labels = {
+            n: min(
+                Counter(labels[m] for m in nbrs).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for n, nbrs in adj.items()
+        }
+    return labels
+
+
 @register("graph_label_propagation", _LPA_ORACLE)
 def graph_label_propagation(spark, sf_dir):
     adj = _lpa_adj(spark, sf_dir)
+
+    # Driver guard (r15; the ext_graph union-find / BPE-vocab
+    # pattern): the co-purchase projection is support-thresholded, so
+    # at gate scales the symmetrized adjacency is metadata-sized
+    # (~7k rows at sf0.1) — yet the distributed 3-round unroll paid
+    # ~1.4 s of construct per invocation (6 exchanges + the final
+    # checkpoint materialization: pure stage overhead, r14 measured
+    # every cheaper distributed variant worse). Below the guard the
+    # rounds run as exact driver arithmetic on the collected adjacency
+    # and return as an Arrow-backed local DataFrame; above it the
+    # distributed loop below is unchanged (the sf1+ graphs stay
+    # distributed, so the budget gates keep exercising it).
+    from .ext_graph import _DRIVER_MAX_EDGES
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    n_adj = _ADJ_COUNT_CACHE.get(key)
+    if n_adj is None:
+        n_adj = _ADJ_COUNT_CACHE[key] = adj.count()
+    if n_adj <= _DRIVER_MAX_EDGES:
+        import pandas as pd
+
+        labels = _lpa_driver_rounds(adj.collect())
+        nodes = list(labels)
+        pdf = pd.DataFrame(
+            {
+                "part_key": pd.Series(nodes, dtype="int64"),
+                "community": pd.Series(
+                    [labels[n] for n in nodes], dtype="int64"
+                ),
+            }
+        )
+        return spark.createDataFrame(pdf, "part_key long, community long")
+
     labels = adj.select("node").distinct().select(
         "node", F.col("node").alias("label")
     )
