@@ -76,6 +76,48 @@ _SQL_COSINE = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
 
+# The exact scorers' query set, collected once per (applicationId,
+# sf_dir) — r15 (guide §2.4, §1.2): both Arrow matrix scorers
+# (similarity_topk_bruteforce, training_hard_negatives) re-ran the
+# filter+collect corpus scan per invocation to rebuild the identical
+# |Q| = N/100 query tier. Corpus-pure input in the doctrine's
+# driver-memo class (BPE vocabulary, importance totals) and the same
+# memory class as the broadcast relation the r14 kernels replaced.
+_QUERY_SET_CACHE: dict = {}
+
+
+def _query_set(spark, sf_dir):
+    """(qids, qlabels, qmat, qn) for the vec_id % 100 == 0 query tier.
+    Norms accumulate per DIMENSION in index order — the bit-exactness
+    device both scorers rely on (each query's norm is the identical
+    left-associated IEEE sum as the unrolled JVM dot / DuckDB fold)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _QUERY_SET_CACHE.get(key)
+    if got is None:
+        import numpy as np
+
+        q_pdf = (
+            load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % 100 == 0)
+            .select("vec_id", "label", "embedding")
+            .toPandas()
+        )
+        qids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
+        qlabels = q_pdf["label"].to_numpy()
+        qmat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in q_pdf["embedding"]]
+        ) if len(q_pdf) else np.zeros((0, DIM))
+        if len(qids):
+            qacc = qmat[:, 0] * qmat[:, 0]
+            for i in range(1, DIM):
+                qacc = qacc + qmat[:, i] * qmat[:, i]
+            qn = np.sqrt(qacc)
+        else:
+            qn = np.zeros(0)
+        got = _QUERY_SET_CACHE[key] = (qids, qlabels, qmat, qn)
+    return got
+
+
 _BRUTE_ORACLE = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -130,23 +172,9 @@ def similarity_topk_bruteforce(spark, sf_dir):
     import pyarrow as pa
 
     e = load(spark, sf_dir, "embeddings")
-    q_pdf = (
-        e.filter(F.col("vec_id") % 100 == 0)
-        .select("vec_id", "embedding")
-        .toPandas()
-    )
-    qids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
-    qmat = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in q_pdf["embedding"]]
-    ) if len(q_pdf) else np.zeros((0, DIM))
-    # norms per dimension in index order — matches _norm's fold
-    if len(qids):
-        qacc = qmat[:, 0] * qmat[:, 0]
-        for i in range(1, DIM):
-            qacc = qacc + qmat[:, i] * qmat[:, i]
-        qn = np.sqrt(qacc)
-    else:
-        qn = np.zeros(0)
+    # query tier from the session memo (r15): one collect per
+    # (session, sf_dir) instead of one corpus scan per invocation
+    qids, _qlabels, qmat, qn = _query_set(spark, sf_dir)
 
     def _topk_batches(it):
         for b in it:

@@ -117,26 +117,12 @@ def training_hard_negatives(spark, sf_dir):
     import numpy as np
     import pyarrow as pa
 
-    from .ext_similarity import DIM
+    from .ext_similarity import DIM, _query_set
 
     e = load(spark, sf_dir, "embeddings")
-    q_pdf = (
-        e.filter(F.col("vec_id") % 100 == 0)
-        .select("vec_id", "label", "embedding")
-        .toPandas()
-    )
-    qids = q_pdf["vec_id"].to_numpy(dtype=np.int64)
-    qlabels = q_pdf["label"].to_numpy()
-    qmat = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in q_pdf["embedding"]]
-    ) if len(q_pdf) else np.zeros((0, DIM))
-    if len(qids):
-        qacc = qmat[:, 0] * qmat[:, 0]
-        for i in range(1, DIM):
-            qacc = qacc + qmat[:, i] * qmat[:, i]
-        qn = np.sqrt(qacc)
-    else:
-        qn = np.zeros(0)
+    # query tier from the session memo (r15): one collect per
+    # (session, sf_dir) instead of one corpus scan per invocation
+    qids, qlabels, qmat, qn = _query_set(spark, sf_dir)
 
     def _topk_batches(it):
         for b in it:
