@@ -103,6 +103,9 @@ _FORCE_RECHECK: list[str] = [
     # LPA rounds as driver arithmetic below the edge guard (the
     # ext_graph union-find pattern); distributed loop above unchanged
     "graph_label_propagation",
+    # hamming verify moved BEFORE the pair-dedup exchange (filter
+    # drops 96% of candidates; distinct commutes with it)
+    "dedup_simhash",
 ]
 
 _NEW_THIS_ROUND: list[str] = [
