@@ -106,6 +106,9 @@ _FORCE_RECHECK: list[str] = [
     # hamming verify moved BEFORE the pair-dedup exchange (filter
     # drops 96% of candidates; distinct commutes with it)
     "dedup_simhash",
+    # redundant pair-stream distinct removed (union-find consumers are
+    # multiplicity-insensitive)
+    "dedup_semantic_clusters",
 ]
 
 _NEW_THIS_ROUND: list[str] = [

@@ -224,10 +224,16 @@ def dedup_semantic_clusters(spark, sf_dir):
         keep = ids[ia] < ids[ib]  # each unordered pair once, no diagonal
         return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep]})
 
-    pairs = (
-        cells.groupBy("cent_id")
-        .applyInPandas(cell_pairs, "doc_a long, doc_b long")
-        .distinct()
+    # No DISTINCT on the pair stream (r15, guide §2.4): a pair found
+    # in both shared cells appears at most twice, and every consumer
+    # is multiplicity-insensitive — the driver union-find ignores
+    # duplicate edges outright, and the distributed path contracts
+    # partition-locally first and dedups its (much smaller) star
+    # edges itself (dedup_edges=True). The removed exchange shuffled
+    # the full pair stream once per invocation just to drop the
+    # double-cell fraction.
+    pairs = cells.groupBy("cent_id").applyInPandas(
+        cell_pairs, "doc_a long, doc_b long"
     )
     # semantic dup graphs are tiny: two contraction levels resolve
     # them without the per-round join loop's fixed cost (ext_graph)
