@@ -109,6 +109,9 @@ _FORCE_RECHECK: list[str] = [
     # redundant pair-stream distinct removed (union-find consumers are
     # multiplicity-insensitive)
     "dedup_semantic_clusters",
+    # d-way unions of groupBys / top-k sorts collapsed to one explode
+    # + one exchange / one TakeOrdered
+    "sketch_countmin_heavy_hitters",
 ]
 
 _NEW_THIS_ROUND: list[str] = [

@@ -99,25 +99,40 @@ def sketch_countmin_heavy_hitters(spark, sf_dir):
         "ext_sketches2.countmin.cnt", cnt.localCheckpoint()
     )
 
-    cells = None
-    for i in range(len(_ROWS)):
-        part = cnt.groupBy(
-            F.expr(_bucket_sql(i, "key")).cast("bigint").alias("bucket")
-        ).agg(F.sum("true_cnt").alias("cell")).select(
-            F.lit(i).cast("bigint").alias("row_i"), "bucket", "cell"
+    # r15 (guide §2.4): the d sketch rows were a d-way UNION of
+    # separate groupBys (d exchanges over the key-count table) and the
+    # probe side re-ran the top-k sort once per union branch (d
+    # TakeOrdered jobs). Exploding the d (row_i, bucket) pairs per key
+    # instead makes the sketch ONE exchange with map-side partial
+    # aggregation (≤ d·w cells per task) and the probe ONE top-k pass
+    # — identical cell/probe sets, identical oracle.
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("bigint").alias("row_i"),
+                F.expr(_bucket_sql(i, "key")).cast("bigint").alias("bucket"),
+            )
+            for i in range(len(_ROWS))
+        ]
+    )
+    cells = (
+        cnt.select("true_cnt", F.explode(bucket_structs).alias("rb"))
+        .groupBy(
+            F.col("rb.row_i").alias("row_i"),
+            F.col("rb.bucket").alias("bucket"),
         )
-        cells = part if cells is None else cells.unionAll(part)
+        .agg(F.sum("true_cnt").alias("cell"))
+    )
 
     top = cnt.orderBy(F.desc("true_cnt"), F.asc("key")).limit(_TOPK)
-    probe = None
-    for i in range(len(_ROWS)):
-        p = top.select(
-            "key",
-            "true_cnt",
-            F.lit(i).cast("bigint").alias("row_i"),
-            F.expr(_bucket_sql(i, "key")).cast("bigint").alias("bucket"),
-        )
-        probe = p if probe is None else probe.unionAll(p)
+    probe = top.select(
+        "key", "true_cnt", F.explode(bucket_structs).alias("rb")
+    ).select(
+        "key",
+        "true_cnt",
+        F.col("rb.row_i").alias("row_i"),
+        F.col("rb.bucket").alias("bucket"),
+    )
 
     return (
         probe.join(F.broadcast(cells), ["row_i", "bucket"])
