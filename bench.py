@@ -731,15 +731,42 @@ def main() -> None:
                 )
                 if got_prev is not None:
                     iso_prev, prev_leg_cal = got_prev
-                    m["isolated_prev"] = round(iso_prev, 3)
-                    if prev_leg_cal > 0:
-                        m["isolated_prev_cal"] = round(prev_leg_cal, 3)
                     verdict, extras = _ab_verdict(
                         iso_head=iso,
                         head_cal=iso_cal,
                         iso_prev=iso_prev,
                         prev_leg_cal=prev_leg_cal,
                     )
+                    if verdict in ("confirmed_slower", "confirmed_faster"):
+                        # One repeat pair before confirming, minima
+                        # per leg: identical-code legs measured ±40%
+                        # on a turbulent host (two false
+                        # confirmed_slower in one round-15 run), and a
+                        # single degraded child window must not
+                        # confirm a mover.
+                        got2 = _isolated_time(name, prev_kind)
+                        if got2 is not None and got2[0] < iso:
+                            iso, iso_cal = got2
+                            m["isolated"] = round(iso, 3)
+                            if iso_cal > 0:
+                                m["isolated_cal"] = round(iso_cal, 3)
+                        got_prev2 = _isolated_time(
+                            name,
+                            prev_kind,
+                            script=os.path.join(wt, "bench.py"),
+                            cwd=wt,
+                        )
+                        if got_prev2 is not None and got_prev2[0] < iso_prev:
+                            iso_prev, prev_leg_cal = got_prev2
+                        verdict, extras = _ab_verdict(
+                            iso_head=iso,
+                            head_cal=iso_cal,
+                            iso_prev=iso_prev,
+                            prev_leg_cal=prev_leg_cal,
+                        )
+                    m["isolated_prev"] = round(iso_prev, 3)
+                    if prev_leg_cal > 0:
+                        m["isolated_prev_cal"] = round(prev_leg_cal, 3)
                 elif prev_cal:
                     verdict, extras = _mover_verdict(
                         prev=m["prev"],
