@@ -517,6 +517,54 @@ def _mover_verdict(
     return "noise", extras
 
 
+# A child leg whose own calibration exceeds the parent session's by
+# this factor ran in a degraded host window (hypervisor-neighbor
+# contention; observed 2x+ on identical code) — retry it once and keep
+# the leg measured on the quieter window.
+_DEGRADED_LEG_RATIO = 1.5
+
+
+def _cleaner_leg(
+    a: tuple[float, float] | None, b: tuple[float, float] | None
+) -> tuple[float, float] | None:
+    """Of two (seconds, calibration) leg results, the one measured on
+    the quieter host window: lower positive calibration wins; a leg
+    with a failed calibration (0) loses to any calibrated leg."""
+    if b is None:
+        return a
+    if a is None:
+        return b
+    if a[1] <= 0:
+        return b if b[1] > 0 else (a if a[0] <= b[0] else b)
+    if b[1] <= 0:
+        return a
+    return a if a[1] <= b[1] else b
+
+
+def _isolated_time_clean(
+    name: str,
+    half: str,
+    session_cal: float,
+    script: str | None = None,
+    cwd: str | None = None,
+) -> tuple[float, float] | None:
+    """_isolated_time, re-run once when the child's calibration says
+    its window was degraded relative to the parent session — the
+    failure mode behind every false confirmed_* this protocol has
+    produced (a bandwidth-contended window inflates CPU-heavy queries
+    ~4x while barely moving warm in-session numbers)."""
+    got = _isolated_time(name, half, script=script, cwd=cwd)
+    if (
+        got is not None
+        and session_cal > 0
+        and got[1] > _DEGRADED_LEG_RATIO * session_cal
+    ):
+        got = _cleaner_leg(
+            got, _isolated_time(name, half, script=script, cwd=cwd)
+        )
+    return got
+
+
 def _isolated_time(
     name: str,
     half: str,
@@ -710,7 +758,7 @@ def main() -> None:
         )
         try:
             for name in by_severity[:MAX_ISOLATED]:
-                got = _isolated_time(name, prev_kind)
+                got = _isolated_time_clean(name, prev_kind, cal)
                 m = movers[name]
                 if got is None:
                     m["verdict"] = "isolated_run_failed"
@@ -720,9 +768,10 @@ def main() -> None:
                 if iso_cal > 0:
                     m["isolated_cal"] = round(iso_cal, 3)
                 got_prev = (
-                    _isolated_time(
+                    _isolated_time_clean(
                         name,
                         prev_kind,
+                        cal,
                         script=os.path.join(wt, "bench.py"),
                         cwd=wt,
                     )
@@ -744,15 +793,16 @@ def main() -> None:
                         # confirmed_slower in one round-15 run), and a
                         # single degraded child window must not
                         # confirm a mover.
-                        got2 = _isolated_time(name, prev_kind)
+                        got2 = _isolated_time_clean(name, prev_kind, cal)
                         if got2 is not None and got2[0] < iso:
                             iso, iso_cal = got2
                             m["isolated"] = round(iso, 3)
                             if iso_cal > 0:
                                 m["isolated_cal"] = round(iso_cal, 3)
-                        got_prev2 = _isolated_time(
+                        got_prev2 = _isolated_time_clean(
                             name,
                             prev_kind,
+                            cal,
                             script=os.path.join(wt, "bench.py"),
                             cwd=wt,
                         )

@@ -154,3 +154,18 @@ def test_prev_round_commit_resolves_in_this_repo():
 
         pytest.skip("not a git checkout")
     assert sha is not None and len(sha) == 40
+
+
+def test_cleaner_leg_prefers_quieter_window():
+    from bench import _cleaner_leg
+
+    # lower calibration = quieter window wins, regardless of seconds
+    assert _cleaner_leg((4.0, 2.8), (0.5, 1.3)) == (0.5, 1.3)
+    assert _cleaner_leg((0.5, 1.3), (4.0, 2.8)) == (0.5, 1.3)
+    # a failed-calibration leg loses to any calibrated leg
+    assert _cleaner_leg((0.4, 0.0), (0.6, 1.2)) == (0.6, 1.2)
+    # both failed: faster leg wins; None propagates
+    assert _cleaner_leg((0.4, 0.0), (0.6, 0.0)) == (0.4, 0.0)
+    assert _cleaner_leg(None, (0.6, 1.2)) == (0.6, 1.2)
+    assert _cleaner_leg((0.6, 1.2), None) == (0.6, 1.2)
+    assert _cleaner_leg(None, None) is None
