@@ -112,6 +112,10 @@ _FORCE_RECHECK: list[str] = [
     # d-way unions of groupBys / top-k sorts collapsed to one explode
     # + one exchange / one TakeOrdered
     "sketch_countmin_heavy_hitters",
+    # query-set collect memoized per session (kernel inputs identical;
+    # plans unchanged — listed because the code path changed)
+    "similarity_topk_bruteforce",
+    "training_hard_negatives",
 ]
 
 _NEW_THIS_ROUND: list[str] = [
